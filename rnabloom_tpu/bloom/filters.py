@@ -1,0 +1,237 @@
+"""HBM-resident Bloom structures with batched gather/scatter ops.
+
+Design (TPU-first, not a port of bloom/BloomFilter.java):
+
+* A Bloom "bit" is a **uint8 lane** in an HBM array.  Insert is a
+  ``scatter-set(1)`` — every colliding write stores the same constant, so
+  batched inserts are deterministic with no atomics (the reference instead
+  tolerates racy read-modify-writes on a packed bit array,
+  buffer/UnsafeByteBuffer.java:35-85).  Lookup is a gather + AND-reduce
+  across the ``num_hash`` lanes.
+
+* The counting filter is an **int32 conservative-update sketch**
+  (count = min over h cells; update writes max(cell, min+multiplicity)).
+  This is exactly the reference's increment-min scheme
+  (bloom/CountingBloomFilter.java:170-194) generalized to batched
+  multiplicities, with exact deterministic counters instead of stochastic
+  8-bit MiniFloat — same estimator, strictly less noise.  Within-batch
+  multiplicities are recovered with a small scratch sketch and scatter-add,
+  so no sort is needed anywhere in the insert path.
+
+* Filter sizes are powers of two: index = (hash >>> 1) & (size-1), the
+  pow2 specialization of the reference's (hash >>> 1) % size
+  (bloom/BloomFilter.java:108-111).  Hash values are u64 limb pairs; the
+  index math stays entirely in uint32 lanes.
+
+* Every filter array carries one extra trailing "trash" cell; masked-out
+  lanes scatter there, which keeps shapes static with no predication.
+
+All ops are functional: they return the new filter array (donate the old one
+under jit for in-place updates).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from dataclasses import dataclass
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import u64
+from ..ops.u64 import U64
+
+
+def pow2_size(requested: int) -> int:
+    """Round a requested cell count up to a power of two (min 1024)."""
+    return 1 << max(10, math.ceil(math.log2(max(requested, 2))))
+
+
+@dataclass(frozen=True)
+class BloomConfig:
+    """Static shape/hash parameters of a filter (hashable, jit-static)."""
+
+    size_log2: int
+    num_hash: int
+
+    @property
+    def size(self) -> int:
+        return 1 << self.size_log2
+
+    @classmethod
+    def for_expected(cls, num_elements: int, fpr: float, num_hash: int) -> "BloomConfig":
+        """Sizing from expected elements + target FPR.
+
+        Same formula as BloomFilter.getExpectedSize (BloomFilter.java:196-199),
+        then rounded up to a power of two.
+        """
+        r = -num_hash / math.log(1.0 - math.exp(math.log(fpr) / num_hash))
+        return cls(pow2_size(int(math.ceil(num_elements * r))).bit_length() - 1, num_hash)
+
+
+def bloom_indices(hashes: U64, size_log2: int, valid: Optional[jax.Array] = None) -> jax.Array:
+    """(hash >>> 1) & (size - 1) as uint32 lane indices.
+
+    Supports size_log2 <= 32 (per-shard sizes; 2**32 lanes = 4 GiB of uint8).
+    Invalid lanes are redirected to the trash cell at index ``size``.
+    """
+    assert size_log2 <= 32
+    idx_lo = (hashes.lo >> 1) | (hashes.hi << 31)
+    if size_log2 < 32:
+        idx = idx_lo & jnp.uint32((1 << size_log2) - 1)
+    else:
+        idx = idx_lo
+    if valid is not None:
+        idx = jnp.where(valid, idx, jnp.uint32(1 << size_log2))
+    return idx
+
+
+def make_bloom(cfg: BloomConfig) -> jax.Array:
+    """Fresh bit-lane array (uint8, size + 1 trash cell)."""
+    return jnp.zeros(cfg.size + 1, dtype=jnp.uint8)
+
+
+def bloom_add(bits: jax.Array, cfg: BloomConfig, hashes: U64, valid: Optional[jax.Array] = None) -> jax.Array:
+    """Insert a batch.  hashes: U64 (..., num_hash)."""
+    idx = bloom_indices(hashes, cfg.size_log2, _bcast_valid(valid, hashes))
+    return bits.at[idx.reshape(-1)].set(jnp.uint8(1), mode="drop")
+
+
+def bloom_lookup(bits: jax.Array, cfg: BloomConfig, hashes: U64) -> jax.Array:
+    """Membership per element.  hashes: U64 (..., num_hash) -> bool (...)."""
+    idx = bloom_indices(hashes, cfg.size_log2)
+    return jnp.all(jnp.take(bits, idx, axis=0) != 0, axis=-1)
+
+
+def bloom_lookup_then_add(
+    bits: jax.Array, cfg: BloomConfig, hashes: U64, valid: Optional[jax.Array] = None
+) -> Tuple[jax.Array, jax.Array]:
+    """Batched lookupThenAdd: returns (new_bits, was_present).
+
+    ``was_present`` is evaluated against the pre-batch snapshot; the
+    reference's sequential loop would see earlier same-batch inserts.  The
+    difference only shifts first-occurrence accounting within one batch and
+    is corrected by the caller's multiplicity logic (see graph.add_kmers).
+    """
+    found = bloom_lookup(bits, cfg, hashes)
+    return bloom_add(bits, cfg, hashes, valid), found
+
+
+def bloom_popcount(bits: jax.Array) -> jax.Array:
+    """Number of set lanes, as float32 (feeds the FPR estimate only)."""
+    return jnp.sum(bits[:-1].astype(jnp.float32))
+
+
+def bloom_fpr(bits: jax.Array, cfg: BloomConfig) -> jax.Array:
+    """(popcount / size) ** num_hash (BloomFilter.java:184-194)."""
+    pc = jnp.sum(bits[:-1].astype(jnp.float32))
+    return (pc / cfg.size) ** cfg.num_hash
+
+
+# ---------------------------------------------------------------------------
+# Counting filter (conservative-update sketch, int32)
+# ---------------------------------------------------------------------------
+
+SCRATCH_LOG2_DEFAULT = 22  # 4M cells * 4B = 16 MiB scratch sketch per batch
+
+
+@dataclass(frozen=True)
+class CountingConfig:
+    size_log2: int
+    num_hash: int
+    scratch_log2: int = SCRATCH_LOG2_DEFAULT
+
+    @property
+    def size(self) -> int:
+        return 1 << self.size_log2
+
+
+def make_counting(cfg: CountingConfig) -> jax.Array:
+    return jnp.zeros(cfg.size + 1, dtype=jnp.int32)
+
+
+def counting_count(counts: jax.Array, cfg: CountingConfig, hashes: U64) -> jax.Array:
+    """Estimated count per element: min over the h cells."""
+    idx = bloom_indices(hashes, cfg.size_log2)
+    return jnp.min(jnp.take(counts, idx, axis=0), axis=-1)
+
+
+def counting_increment(
+    counts: jax.Array,
+    cfg: CountingConfig,
+    hashes: U64,
+    valid: Optional[jax.Array] = None,
+    dec_first: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Conservative-update increment of a batch with multiplicity.
+
+    Args:
+      hashes: U64 (..., num_hash), one row per k-mer *occurrence*.
+      valid: bool (...) — occurrences to count.
+      dec_first: bool (...) — subtract 1 from the applied multiplicity for
+        these elements (used by the graph to reproduce the reference's
+        "first insert goes to dbgbf only" accounting,
+        graph/BloomFilterDeBruijnGraph.java:405-412).
+
+    Batched semantics: every occurrence of the same k-mer in the batch sees
+    the same pre-batch cell snapshot; the within-batch multiplicity m is
+    recovered from a scratch count-min sketch (scatter-add), and all h cells
+    are raised to max(cell, min_cell + m).  For exact counters this equals m
+    sequential conservative-update increments.
+    """
+    valid = _bcast_valid(valid, hashes)
+    idx = bloom_indices(hashes, cfg.size_log2, valid)
+
+    # Within-batch multiplicity via scratch sketch (keyed by the same hashes,
+    # reduced into a smaller range).
+    sidx = bloom_indices(hashes, cfg.scratch_log2, valid)
+    scratch = jnp.zeros((1 << cfg.scratch_log2) + 1, dtype=jnp.int32)
+    scratch = scratch.at[sidx.reshape(-1)].add(jnp.int32(1), mode="drop")
+    mult = jnp.min(jnp.take(scratch, sidx, axis=0), axis=-1)
+
+    if dec_first is not None:
+        mult = mult - dec_first.astype(jnp.int32)
+
+    cur_min = jnp.min(jnp.take(counts, idx, axis=0), axis=-1)
+    new_val = cur_min + jnp.maximum(mult, 0)
+    ok = valid[..., 0] if valid is not None else jnp.ones(new_val.shape, bool)
+    new_val = jnp.where(ok, new_val, 0)
+    upd = jnp.broadcast_to(new_val[..., None], idx.shape)
+    return counts.at[idx.reshape(-1)].max(upd.reshape(-1), mode="drop")
+
+
+def counting_fpr(counts: jax.Array, cfg: CountingConfig) -> jax.Array:
+    pc = jnp.sum((counts[:-1] != 0).astype(jnp.float32))
+    return (pc / cfg.size) ** cfg.num_hash
+
+
+def _bcast_valid(valid: Optional[jax.Array], hashes: U64) -> Optional[jax.Array]:
+    """Broadcast a (...)-shaped mask to the (..., num_hash) hash shape."""
+    if valid is None:
+        return None
+    if valid.shape == hashes.lo.shape:
+        return valid
+    return jnp.broadcast_to(valid[..., None], hashes.lo.shape)
+
+
+# ---------------------------------------------------------------------------
+# Save / restore
+# ---------------------------------------------------------------------------
+
+
+def save_filter(path: str, array: jax.Array, desc: dict) -> None:
+    """Persist lanes + JSON descriptor (<path>.npy / <path>.desc.json)."""
+    np.save(path + ".npy", np.asarray(array))
+    with open(path + ".desc.json", "w") as f:
+        json.dump(desc, f)
+
+
+def load_filter(path: str) -> Tuple[jax.Array, dict]:
+    arr = jnp.asarray(np.load(path + ".npy"))
+    with open(path + ".desc.json") as f:
+        desc = json.load(f)
+    return arr, desc
