@@ -1,0 +1,162 @@
+"""Stage 1 — de Bruijn graph construction from read files.
+
+TPU-native equivalent of populateGraph2 / Fast{q,a}ToGraphWorker
+(RNABloom.java:1290-1346, :526-733): instead of N threads racing scatter
+writes into shared filters, the host streams quality-segmented 2-bit read
+batches to the device, where one fused jitted step (hash -> multi-hash ->
+scatter) updates all filters.  JAX's async dispatch overlaps host parsing
+of batch i+1 with device execution of batch i.
+
+Read-length-based parameters follow setReadLengthBasedParams
+(RNABloom.java:1011-1033): read-pair distance = Q1 - k - minNumKmerPairs.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Iterable, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from ..bloom.filters import BloomConfig, CountingConfig
+from ..graph import dbg
+from ..io import fastx
+from ..utils import seq as sequtils
+
+
+@dataclass
+class Stage1Params:
+    k: int = 25
+    stranded: bool = False
+    min_qual: int = 3
+    batch_size: int = 4096
+    max_seq_len: int = 256
+    min_num_kmer_pairs: int = 10
+    sample_size: int = 1000  # reads sampled for length quartiles
+
+
+@dataclass
+class Stage1Stats:
+    num_reads: int = 0
+    num_segments: int = 0
+    num_bases: int = 0
+    num_batches: int = 0
+    elapsed_s: float = 0.0
+    read_pair_distance: int = -1
+    max_tip_length: int = -1
+    fprs: dict = field(default_factory=dict)
+
+
+def sample_read_lengths(paths: Sequence[str], sample_size: int) -> np.ndarray:
+    lengths = []
+    for path in paths:
+        for _, seq, _ in fastx.read_seqs(path):
+            lengths.append(len(seq))
+            if len(lengths) >= sample_size:
+                return np.asarray(lengths)
+    return np.asarray(lengths)
+
+
+def read_length_params(lengths: np.ndarray, k: int, min_num_kmer_pairs: int) -> Tuple[int, int]:
+    """(read_pair_distance, max_tip_length) from length quartiles."""
+    if len(lengths) == 0:
+        return -1, -1
+    q1, med, _ = sequtils.quartiles(lengths)
+    d = int(q1) - k - min_num_kmer_pairs
+    return max(d, 0), max(int(med) - k, 0)
+
+
+def _segments_from_file(
+    path: str, params: Stage1Params, reverse_complement: bool = False
+):
+    """Yield (num_reads_delta, segment) code arrays for one file."""
+    k = params.k
+    for _, seq, qual in fastx.read_seqs(path):
+        codes = sequtils.encode(seq)
+        quals = (
+            np.frombuffer(qual.encode("ascii"), dtype=np.uint8) if qual is not None else None
+        )
+        first = True
+        for seg in sequtils.segment_read(codes, quals, params.min_qual, k):
+            if reverse_complement:
+                seg = sequtils.revcomp_codes(seg)
+            yield first, seg
+            first = False
+        if first:
+            yield True, None  # read produced no segment; still counted
+
+
+def build_graph(
+    paths: Sequence[str],
+    cfg: dbg.GraphConfig,
+    state: dbg.GraphState,
+    params: Stage1Params,
+    revcomp_flags: Optional[Sequence[bool]] = None,
+    add_read_pairs: bool = False,
+) -> Tuple[dbg.GraphState, Stage1Stats]:
+    """Populate the graph filters from read files.  Returns (state, stats)."""
+    t0 = time.time()
+    stats = Stage1Stats()
+    k = params.k
+    B, L = params.batch_size, params.max_seq_len
+    pending: List[np.ndarray] = []
+
+    def flush(state):
+        batch, _ = sequtils.pack_batch(pending, B, L)
+        state = dbg.build_step(state, cfg, jax.numpy.asarray(batch), add_read_pairs=add_read_pairs)
+        stats.num_batches += 1
+        pending.clear()
+        return state
+
+    if revcomp_flags is None:
+        revcomp_flags = [False] * len(paths)
+
+    for path, rc in zip(paths, revcomp_flags):
+        for is_new_read, seg in _segments_from_file(path, params, rc):
+            stats.num_reads += is_new_read
+            if seg is None:
+                continue
+            stats.num_segments += 1
+            stats.num_bases += len(seg)
+            for chunk in sequtils.chunk_segments([seg], L, k - 1):
+                pending.append(chunk)
+                if len(pending) == B:
+                    state = flush(state)
+    if pending:
+        state = flush(state)
+
+    jax.block_until_ready(state.cbf)
+    stats.elapsed_s = time.time() - t0
+    stats.fprs = dbg.fprs(state, cfg)
+    return state, stats
+
+
+def default_graph_config(
+    k: int,
+    stranded: bool,
+    total_mem_bytes: int,
+    num_hash: int = 2,
+    read_pair_distance: int = -1,
+    with_pkbf: bool = True,
+) -> dbg.GraphConfig:
+    """Memory-plan defaults mirroring the reference's split.
+
+    The reference gives dbgbf 1/8, cbf 1/2, pkbf 1/8 of the budget in *cells*
+    (RNABloom.java:6822-6830); cells here are 1-byte bit lanes and 4-byte
+    counters, sized to the nearest power of two.
+    """
+    from ..bloom.filters import pow2_size
+
+    dbg_bits = pow2_size(total_mem_bytes // 8)
+    cbf_cells = pow2_size(total_mem_bytes // 2 // 4)  # int32 cells
+    pk_bits = pow2_size(total_mem_bytes // 8)
+    return dbg.GraphConfig(
+        k=k,
+        stranded=stranded,
+        dbgbf=BloomConfig(dbg_bits.bit_length() - 1, num_hash),
+        cbf=CountingConfig(cbf_cells.bit_length() - 1, num_hash),
+        pkbf=BloomConfig(pk_bits.bit_length() - 1, num_hash) if with_pkbf else None,
+        read_pair_distance=read_pair_distance,
+    )

@@ -82,11 +82,11 @@ def bloom_indices(hashes: U64, size_log2: int, valid: Optional[jax.Array] = None
     assert size_log2 <= 32
     idx_lo = (hashes.lo >> 1) | (hashes.hi << 31)
     if size_log2 < 32:
-        idx = idx_lo & jnp.uint32((1 << size_log2) - 1)
+        idx = idx_lo & np.uint32((1 << size_log2) - 1)
     else:
         idx = idx_lo
     if valid is not None:
-        idx = jnp.where(valid, idx, jnp.uint32(1 << size_log2))
+        idx = jnp.where(valid, idx, np.uint32(1 << size_log2))
     return idx
 
 
@@ -98,7 +98,7 @@ def make_bloom(cfg: BloomConfig) -> jax.Array:
 def bloom_add(bits: jax.Array, cfg: BloomConfig, hashes: U64, valid: Optional[jax.Array] = None) -> jax.Array:
     """Insert a batch.  hashes: U64 (..., num_hash)."""
     idx = bloom_indices(hashes, cfg.size_log2, _bcast_valid(valid, hashes))
-    return bits.at[idx.reshape(-1)].set(jnp.uint8(1), mode="drop")
+    return bits.at[idx.reshape(-1)].set(np.uint8(1), mode="drop")
 
 
 def bloom_lookup(bits: jax.Array, cfg: BloomConfig, hashes: U64) -> jax.Array:
@@ -189,8 +189,8 @@ def counting_increment(
     # Within-batch multiplicity via scratch sketch (keyed by the same hashes,
     # reduced into a smaller range).
     sidx = bloom_indices(hashes, cfg.scratch_log2, valid)
-    scratch = jnp.zeros((1 << cfg.scratch_log2) + 1, dtype=jnp.int32)
-    scratch = scratch.at[sidx.reshape(-1)].add(jnp.int32(1), mode="drop")
+    scratch = jnp.zeros_like(counts, shape=((1 << cfg.scratch_log2) + 1,))
+    scratch = scratch.at[sidx.reshape(-1)].add(np.int32(1), mode="drop")
     mult = jnp.min(jnp.take(scratch, sidx, axis=0), axis=-1)
 
     if dec_first is not None:
@@ -198,10 +198,29 @@ def counting_increment(
 
     cur_min = jnp.min(jnp.take(counts, idx, axis=0), axis=-1)
     new_val = cur_min + jnp.maximum(mult, 0)
-    ok = valid[..., 0] if valid is not None else jnp.ones(new_val.shape, bool)
+    ok = valid[..., 0] if valid is not None else np.ones(new_val.shape, bool)
     new_val = jnp.where(ok, new_val, 0)
     upd = jnp.broadcast_to(new_val[..., None], idx.shape)
     return counts.at[idx.reshape(-1)].max(upd.reshape(-1), mode="drop")
+
+
+def counting_increment_cm(
+    counts: jax.Array,
+    cfg: CountingConfig,
+    hashes: U64,
+    valid: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Plain count-min increment: scatter-add 1 at all h cells.
+
+    The fast path for stage-1 graph build: one scatter-add per (occurrence,
+    hash) and nothing else — no membership pre-pass, no scratch sketch.
+    Estimates overcount only by the per-cell collision mass (≈ inserted
+    occurrences / size per cell, negligible at the reference's 1% FPR design
+    point), whereas the conservative-update path (counting_increment) matches
+    the reference's increment-min semantics exactly.
+    """
+    idx = bloom_indices(hashes, cfg.size_log2, _bcast_valid(valid, hashes))
+    return counts.at[idx.reshape(-1)].add(np.int32(1), mode="drop")
 
 
 def counting_fpr(counts: jax.Array, cfg: CountingConfig) -> jax.Array:

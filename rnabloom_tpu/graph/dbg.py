@@ -36,7 +36,18 @@ from ..ops.u64 import U64
 
 @dataclass(frozen=True)
 class GraphConfig:
-    """Static graph parameters (jit-static, hashable)."""
+    """Static graph parameters (jit-static, hashable).
+
+    ``exact_counts`` selects the counting scheme:
+      * False (default, fast): pure count-min — membership is count > 0,
+        inserts are a single scatter-add per (occurrence, hash).  No dbgbf
+        array exists.  This is the TPU speed-of-light path: XLA's scatter
+        engine is index-rate-bound (~9 ns/index), so stage-1 cost is
+        proportional to the number of scattered indices.
+      * True: reference-parity accounting — dbgbf bit lanes plus
+        conservative-update cbf storing multiplicity-1
+        (BloomFilterDeBruijnGraph.java:405-412, :552-570).
+    """
 
     k: int
     stranded: bool
@@ -45,6 +56,7 @@ class GraphConfig:
     pkbf: Optional[BloomConfig] = None  # shared shape for rpkbf/fpkbf
     read_pair_distance: int = -1
     fragment_pair_distance: int = -1
+    exact_counts: bool = False
 
     @property
     def num_hash_max(self) -> int:
@@ -57,7 +69,7 @@ class GraphConfig:
 class GraphState(NamedTuple):
     """Device arrays of the implicit graph (a pytree)."""
 
-    dbgbf: jax.Array  # uint8 lanes
+    dbgbf: Optional[jax.Array]  # uint8 lanes (exact_counts mode only)
     cbf: jax.Array  # int32 counters
     rpkbf: Optional[jax.Array] = None  # uint8 lanes (read-pair keys)
     fpkbf: Optional[jax.Array] = None  # uint8 lanes (fragment-pair keys)
@@ -65,7 +77,7 @@ class GraphState(NamedTuple):
 
 def make_graph(cfg: GraphConfig, with_rpkbf: bool = False, with_fpkbf: bool = False) -> GraphState:
     return GraphState(
-        dbgbf=filters.make_bloom(cfg.dbgbf),
+        dbgbf=filters.make_bloom(cfg.dbgbf) if cfg.exact_counts else None,
         cbf=filters.make_counting(cfg.cbf),
         rpkbf=filters.make_bloom(cfg.pkbf) if with_rpkbf else None,
         fpkbf=filters.make_bloom(cfg.pkbf) if with_fpkbf else None,
@@ -122,10 +134,15 @@ def pair_base_hashes(
 
 
 def add_kmers(state: GraphState, cfg: GraphConfig, base: U64, valid: jax.Array) -> GraphState:
-    """Insert k-mer occurrences (base hash per occurrence) into dbgbf + cbf."""
+    """Insert k-mer occurrences (base hash per occurrence) into the counters
+    (and dbgbf in exact_counts mode)."""
+    h_cbf = _multi(cfg, base, cfg.cbf.num_hash)
+    if not cfg.exact_counts:
+        return state._replace(
+            cbf=filters.counting_increment_cm(state.cbf, cfg.cbf, h_cbf, valid=valid)
+        )
     h_dbg = _multi(cfg, base, cfg.dbgbf.num_hash)
     new_dbg, present = filters.bloom_lookup_then_add(state.dbgbf, cfg.dbgbf, h_dbg, valid)
-    h_cbf = _multi(cfg, base, cfg.cbf.num_hash)
     # First occurrence of a batch-new k-mer is accounted to dbgbf only.
     dec_first = jnp.logical_and(valid, jnp.logical_not(present))
     new_cbf = filters.counting_increment(
@@ -163,13 +180,22 @@ def add_fragment_pair_kmers(
 
 
 def contains(state: GraphState, cfg: GraphConfig, base: U64) -> jax.Array:
+    if not cfg.exact_counts:
+        est = filters.counting_count(state.cbf, cfg.cbf, _multi(cfg, base, cfg.cbf.num_hash))
+        return est > 0
     return filters.bloom_lookup(state.dbgbf, cfg.dbgbf, _multi(cfg, base, cfg.dbgbf.num_hash))
 
 
 def get_counts(state: GraphState, cfg: GraphConfig, base: U64) -> jax.Array:
-    """Float counts per k-mer: in-dbgbf ? cbf + 1 : 0 (graph/:552-570)."""
-    member = contains(state, cfg, base)
+    """Float counts per k-mer.
+
+    exact_counts mode mirrors the reference: in-dbgbf ? cbf + 1 : 0
+    (graph/:552-570); count-min mode reads the counters directly.
+    """
     est = filters.counting_count(state.cbf, cfg.cbf, _multi(cfg, base, cfg.cbf.num_hash))
+    if not cfg.exact_counts:
+        return est.astype(jnp.float32)
+    member = filters.bloom_lookup(state.dbgbf, cfg.dbgbf, _multi(cfg, base, cfg.dbgbf.num_hash))
     return jnp.where(member, est.astype(jnp.float32) + 1.0, 0.0)
 
 
@@ -212,10 +238,9 @@ def count_step(state: GraphState, cfg: GraphConfig, codes: jax.Array) -> Tuple[j
 
 
 def fprs(state: GraphState, cfg: GraphConfig) -> dict:
-    out = {
-        "dbgbf": float(filters.bloom_fpr(state.dbgbf, cfg.dbgbf)),
-        "cbf": float(filters.counting_fpr(state.cbf, cfg.cbf)),
-    }
+    out = {"cbf": float(filters.counting_fpr(state.cbf, cfg.cbf))}
+    if state.dbgbf is not None:
+        out["dbgbf"] = float(filters.bloom_fpr(state.dbgbf, cfg.dbgbf))
     if state.rpkbf is not None:
         out["rpkbf"] = float(filters.bloom_fpr(state.rpkbf, cfg.pkbf))
     if state.fpkbf is not None:

@@ -30,6 +30,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import nthash_ref as ref
 from . import u64
@@ -65,9 +66,17 @@ def comp_codes(codes: jax.Array) -> jax.Array:
 
 
 def _gather_seed(table: Tuple[jnp.ndarray, jnp.ndarray], codes: jax.Array) -> U64:
+    # 5-entry table lookup as a select chain: XLA TPU lowers per-element
+    # gathers to a serialized index engine (~17ns/elem); four vectorized
+    # where-ops are ~100x faster.  Code 4 (N/invalid) has seed 0.
     lo, hi = table
-    c = codes.astype(jnp.int32)
-    return U64(jnp.take(lo, c, axis=0), jnp.take(hi, c, axis=0))
+    out_lo = jnp.zeros(codes.shape, dtype=jnp.uint32)
+    out_hi = jnp.zeros(codes.shape, dtype=jnp.uint32)
+    for c in range(4):
+        sel = codes == c
+        out_lo = jnp.where(sel, np.uint32(lo[c]), out_lo)
+        out_hi = jnp.where(sel, np.uint32(hi[c]), out_hi)
+    return U64(out_lo, out_hi)
 
 
 def seed_of(codes: jax.Array, k: int, which: str = "ident") -> U64:
@@ -124,13 +133,13 @@ def rolling_hash(
     assert n >= 1, f"sequence length {L} < k={k}"
     axis = codes.ndim - 1
 
-    pos = jnp.arange(L, dtype=jnp.uint32) & jnp.uint32(63)
+    pos = np.arange(L, dtype=np.uint32) & np.uint32(63)
     seeds = seed_of(codes, k, "ident")
 
     # Forward strand: t(p) = rotr(seed[s_p], p); fh(i) = rotl(window, (k-1+i)).
     t_f = u64.rotr_dyn(seeds, pos)
     w_f = _window_xor(_prefix_xor(t_f, axis), k, axis)
-    rot_amt = (jnp.arange(n, dtype=jnp.uint32) + jnp.uint32(k - 1)) & jnp.uint32(63)
+    rot_amt = (np.arange(n, dtype=np.uint32) + np.uint32(k - 1)) & np.uint32(63)
     fh = u64.rotl_dyn(w_f, rot_amt)
 
     rh = None
@@ -138,7 +147,7 @@ def rolling_hash(
         seeds_c = seed_of(comp_codes(codes), k, "ident")
         t_r = u64.rotl_dyn(seeds_c, pos)
         w_r = _window_xor(_prefix_xor(t_r, axis), k, axis)
-        rh = u64.rotr_dyn(w_r, jnp.arange(n, dtype=jnp.uint32) & jnp.uint32(63))
+        rh = u64.rotr_dyn(w_r, np.arange(n, dtype=np.uint32) & np.uint32(63))
 
     # Validity: no invalid base inside the window.
     invalid = (codes >= 4).astype(jnp.int32)
@@ -212,9 +221,9 @@ def successor_hashes(
       fh' = rotl(fh,1) ^ rotl(seed[out], k) ^ seed[in]
       rh' = rotr(rh,1) ^ rotr(seed[comp out], 1) ^ rotl(seed[comp in], k-1)
     """
-    base4 = jnp.arange(4, dtype=jnp.uint8)
+    base4 = np.arange(4, dtype=np.uint8)
     shape4 = out_codes.shape + (4,)
-    in_codes = jnp.broadcast_to(base4, shape4)
+    in_codes = np.broadcast_to(base4, shape4)
 
     t = u64.xor(u64.rotl1(fh), seed_of(out_codes, k, "rot_k"))
     fh4 = u64.xor(
@@ -243,9 +252,9 @@ def predecessor_hashes(
     fh' = rotr(fh,1) ^ rotr(seed[out], 1) ^ rotl(seed[in], k-1)
     rh' = rotl(rh,1) ^ rotl(seed[comp out], k) ^ seed[comp in]
     """
-    base4 = jnp.arange(4, dtype=jnp.uint8)
+    base4 = np.arange(4, dtype=np.uint8)
     shape4 = out_codes.shape + (4,)
-    in_codes = jnp.broadcast_to(base4, shape4)
+    in_codes = np.broadcast_to(base4, shape4)
 
     t = u64.xor(u64.rotr1(fh), seed_of(out_codes, k, "rotr_1"))
     fh4 = u64.xor(
@@ -272,9 +281,9 @@ def variant_hashes_right(
     0 in the forward sum); reverse strand: rotation k-1 of complements.
     Mirrors RightVariantsNTHashIterator behavior.
     """
-    base4 = jnp.arange(4, dtype=jnp.uint8)
+    base4 = np.arange(4, dtype=np.uint8)
     shape4 = last_codes.shape + (4,)
-    in_codes = jnp.broadcast_to(base4, shape4)
+    in_codes = np.broadcast_to(base4, shape4)
 
     t = u64.xor(fh, seed_of(last_codes, k, "ident"))
     fh4 = u64.xor(
@@ -295,9 +304,9 @@ def variant_hashes_left(
     fh: U64, first_codes: jax.Array, k: int, rh: Optional[U64] = None
 ) -> Tuple[U64, Optional[U64]]:
     """Hashes of the k-mers with the FIRST base substituted (rotation k-1)."""
-    base4 = jnp.arange(4, dtype=jnp.uint8)
+    base4 = np.arange(4, dtype=np.uint8)
     shape4 = first_codes.shape + (4,)
-    in_codes = jnp.broadcast_to(base4, shape4)
+    in_codes = np.broadcast_to(base4, shape4)
 
     t = u64.xor(fh, seed_of(first_codes, k, "rot_km1"))
     fh4 = u64.xor(

@@ -17,9 +17,10 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 U32 = jnp.uint32
-_MASK16 = jnp.uint32(0xFFFF)
+_MASK16 = np.uint32(0xFFFF)
 
 
 class U64(NamedTuple):
@@ -36,8 +37,9 @@ class U64(NamedTuple):
 def from_py(value: int, shape=()) -> U64:
     """Broadcast a Python int (mod 2**64) to a U64 of the given shape."""
     value &= (1 << 64) - 1
-    lo = jnp.full(shape, value & 0xFFFFFFFF, dtype=U32)
-    hi = jnp.full(shape, value >> 32, dtype=U32)
+    # numpy constants: never dispatch eagerly to a device during tracing
+    lo = np.full(shape, value & 0xFFFFFFFF, dtype=np.uint32)
+    hi = np.full(shape, value >> 32, dtype=np.uint32)
     return U64(lo, hi)
 
 
@@ -120,32 +122,32 @@ def rotr1(a: U64) -> U64:
 
 def _shl32_dyn(x: jax.Array, s: jax.Array) -> jax.Array:
     """x << s for dynamic s in [0, 32]; returns 0 when s == 32."""
-    return jnp.where(s >= 32, jnp.uint32(0), x << jnp.minimum(s, jnp.uint32(31)))
+    return jnp.where(s >= 32, np.uint32(0), x << jnp.minimum(s, np.uint32(31)))
 
 
 def _shr32_dyn(x: jax.Array, s: jax.Array) -> jax.Array:
-    return jnp.where(s >= 32, jnp.uint32(0), x >> jnp.minimum(s, jnp.uint32(31)))
+    return jnp.where(s >= 32, np.uint32(0), x >> jnp.minimum(s, np.uint32(31)))
 
 
 def rotl_dyn(a: U64, s: jax.Array) -> U64:
     """Rotate left by a per-lane dynamic amount (uint32 array, taken mod 64)."""
-    s = s.astype(U32) & jnp.uint32(63)
+    s = s.astype(U32) & np.uint32(63)
     # Stage 1: swap limbs if s >= 32 (a rotate by exactly 32).
     swap = s >= 32
     lo1 = jnp.where(swap, a.hi, a.lo)
     hi1 = jnp.where(swap, a.lo, a.hi)
     # Stage 2: funnel shift by r in [0, 31].
-    r = s & jnp.uint32(31)
-    rc = (jnp.uint32(32) - r) & jnp.uint32(31)  # 0 when r == 0
+    r = s & np.uint32(31)
+    rc = (np.uint32(32) - r) & np.uint32(31)  # 0 when r == 0
     zero_r = r == 0
-    spill_hi = jnp.where(zero_r, jnp.uint32(0), hi1 >> rc)
-    spill_lo = jnp.where(zero_r, jnp.uint32(0), lo1 >> rc)
+    spill_hi = jnp.where(zero_r, np.uint32(0), hi1 >> rc)
+    spill_lo = jnp.where(zero_r, np.uint32(0), lo1 >> rc)
     return U64((lo1 << r) | spill_hi, (hi1 << r) | spill_lo)
 
 
 def rotr_dyn(a: U64, s: jax.Array) -> U64:
-    s = s.astype(U32) & jnp.uint32(63)
-    return rotl_dyn(a, (jnp.uint32(64) - s) & jnp.uint32(63))
+    s = s.astype(U32) & np.uint32(63)
+    return rotl_dyn(a, (np.uint32(64) - s) & np.uint32(63))
 
 
 def mul32_wide(a: jax.Array, b: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -177,9 +179,9 @@ def mul(a: U64, b: U64) -> U64:
 def mul_const(a: U64, c: int) -> U64:
     """Multiply by a static Python constant (mod 2**64)."""
     c &= (1 << 64) - 1
-    c_lo = jnp.uint32(c & 0xFFFFFFFF)
-    c_hi = jnp.uint32(c >> 32)
-    lo, carry_hi = mul32_wide(a.lo, jnp.broadcast_to(c_lo, a.lo.shape))
+    c_lo = np.uint32(c & 0xFFFFFFFF)
+    c_hi = np.uint32(c >> 32)
+    lo, carry_hi = mul32_wide(a.lo, c_lo)
     hi = carry_hi + a.lo * c_hi + a.hi * c_lo
     return U64(lo, hi)
 
@@ -215,7 +217,7 @@ def where_keep(pred: jax.Array, a: U64, fill: int = 0) -> U64:
 
 
 def zeros(shape) -> U64:
-    return U64(jnp.zeros(shape, U32), jnp.zeros(shape, U32))
+    return U64(np.zeros(shape, np.uint32), np.zeros(shape, np.uint32))
 
 
 def stack(xs, axis=0) -> U64:

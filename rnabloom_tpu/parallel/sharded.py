@@ -1,0 +1,332 @@
+"""Multi-chip graph build: hash-range-sharded filters over a device mesh.
+
+The reference's only parallelism is shared-memory threads racing writes into
+one process's Bloom filters (RNABloom.java:1203-1238).  The TPU-native
+scale-out story replaces that with:
+
+  * **DP over reads**: each device hashes its own slice of the read batch.
+  * **Hash-range sharding of every filter**: device s owns lane indices
+    [s * local, (s+1) * local).  A filter of global size 2**G over n = 2**N
+    devices keeps local = 2**(G-N) lanes (+1 trash) per device.
+  * **All-to-all routing over ICI**: lane indices are bucketed by owner
+    shard (sort + searchsorted ranking into fixed-capacity buckets), moved
+    with ``jax.lax.all_to_all``, answered by local gather/scatter, and —
+    for lookups — routed back with a second all-to-all.  Popcounts/FPR are
+    ``psum`` reductions.
+
+One build step costs 6 all-to-alls (dbgbf insert+membership: 2, cbf
+conservative update: 3, rpkbf insert: 1) plus one small psum (the scratch
+multiplicity sketch is allreduced so within-batch k-mer multiplicities are
+global, keeping sharded counts identical to the single-device build).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..bloom.filters import BloomConfig, CountingConfig
+from ..graph import dbg
+from ..graph.dbg import GraphConfig
+from ..ops import nthash, u64
+from ..ops.u64 import U64
+
+try:  # JAX >= 0.4.35 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+
+class ShardedGraphState(NamedTuple):
+    """Filter arrays laid out (num_shards, local_size + 1), sharded on axis 0."""
+
+    dbgbf: Optional[jax.Array]
+    cbf: jax.Array
+    rpkbf: Optional[jax.Array] = None
+    fpkbf: Optional[jax.Array] = None
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "d") -> Mesh:
+    devs = jax.devices()[: n_devices or len(jax.devices())]
+    return Mesh(np.array(devs), (axis,))
+
+
+def make_sharded_graph(
+    cfg: GraphConfig, mesh: Mesh, with_rpkbf: bool = False, with_fpkbf: bool = False
+) -> ShardedGraphState:
+    n = mesh.devices.size
+    assert n & (n - 1) == 0, "device count must be a power of two"
+    sh = NamedSharding(mesh, P("d", None))
+
+    def filt(size_log2, dtype):
+        local = (1 << size_log2) // n + 1
+        return jax.device_put(jnp.zeros((n, local), dtype=dtype), sh)
+
+    return ShardedGraphState(
+        dbgbf=filt(cfg.dbgbf.size_log2, jnp.uint8) if cfg.exact_counts else None,
+        cbf=filt(cfg.cbf.size_log2, jnp.int32),
+        rpkbf=filt(cfg.pkbf.size_log2, jnp.uint8) if with_rpkbf else None,
+        fpkbf=filt(cfg.pkbf.size_log2, jnp.uint8) if with_fpkbf else None,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Routing primitives (run inside shard_map)
+# ---------------------------------------------------------------------------
+
+
+def _bucket_capacity(m: int, n: int) -> int:
+    """Fixed per-target bucket size: generous slack, exact for tiny batches."""
+    if m <= 4096:
+        return m
+    c = int(math.ceil(m / n * 4))
+    return min(m, (c + 127) // 128 * 128)
+
+
+def _route_requests(lidx: jax.Array, target: jax.Array, n: int, sentinel: int):
+    """Bucket local indices by owner shard into an (n, C) send buffer.
+
+    Returns (send, ts, rank, order) where rows of ``send`` go to each shard
+    and (ts, rank, order) allow aligning responses back to request order.
+    """
+    m = lidx.shape[0]
+    C = _bucket_capacity(m, n)
+    order = jnp.argsort(target, stable=True)
+    ts = target[order]
+    vs = lidx[order]
+    start = jnp.searchsorted(ts, np.arange(n, dtype=np.int32))
+    rank = np.arange(m, dtype=np.int32) - start[ts].astype(jnp.int32)
+    send = jnp.zeros_like(lidx, shape=(n, C)) + np.asarray(sentinel, dtype=lidx.dtype)
+    send = send.at[ts, rank].set(vs, mode="drop")
+    return send, ts, rank, order
+
+
+def _gather_responses(resp: jax.Array, ts, rank, order, m: int, fill):
+    """Align (n, C) responses back to original request order."""
+    vals = resp.at[ts, rank].get(mode="fill", fill_value=fill)
+    out = jnp.zeros_like(resp, shape=(m,) + resp.shape[2:])
+    return out.at[order].set(vals)
+
+
+def _a2a(x: jax.Array, axis: str) -> jax.Array:
+    return jax.lax.all_to_all(x, axis, split_axis=0, concat_axis=0, tiled=True)
+
+
+def _global_indices(hashes: U64, size_log2: int, valid, my_shard, local_log2: int, n: int):
+    """(local_idx, target_shard) for each hash; invalid lanes -> own trash."""
+    idx_lo = (hashes.lo >> 1) | (hashes.hi << 31)
+    gidx = idx_lo & np.uint32((1 << size_log2) - 1) if size_log2 < 32 else idx_lo
+    t = (gidx >> local_log2).astype(jnp.int32)
+    lidx = gidx & np.uint32((1 << local_log2) - 1)
+    if valid is not None:
+        v = jnp.broadcast_to(valid[..., None], hashes.lo.shape)
+        t = jnp.where(v, t, my_shard)
+        lidx = jnp.where(v, lidx, np.uint32(1 << local_log2))
+    return lidx.reshape(-1), t.reshape(-1)
+
+
+def _sharded_bloom_insert_lookup(
+    bits: jax.Array,  # (1, local+1) block inside shard_map
+    hashes: U64,
+    valid,
+    size_log2: int,
+    num_hash: int,
+    n: int,
+    axis: str,
+    do_insert: bool = True,
+):
+    """Insert + pre-batch membership over the sharded bit lanes."""
+    local_log2 = size_log2 - int(math.log2(n))
+    my = jax.lax.axis_index(axis).astype(jnp.int32)
+    trash = 1 << local_log2
+    lidx, t = _global_indices(hashes, size_log2, valid, my, local_log2, n)
+    m = lidx.shape[0]
+
+    send, ts, rank, order = _route_requests(lidx, t, n, sentinel=trash)
+    req = _a2a(send, axis)  # (n, C) indices I own
+    flat = bits[0]
+    old = jnp.take(flat, req, axis=0, mode="clip")
+    if do_insert:
+        flat = flat.at[req.reshape(-1)].set(np.uint8(1), mode="drop")
+    resp = _a2a(old, axis)
+    mine = _gather_responses(resp, ts, rank, order, m, fill=0)
+    present = jnp.all(mine.reshape(hashes.lo.shape) != 0, axis=-1)
+    return flat[None], present
+
+
+def _sharded_counting_increment(
+    counts: jax.Array,  # (1, local+1)
+    hashes: U64,
+    valid,
+    dec_first,
+    ccfg: CountingConfig,
+    n: int,
+    axis: str,
+):
+    local_log2 = ccfg.size_log2 - int(math.log2(n))
+    my = jax.lax.axis_index(axis).astype(jnp.int32)
+    trash = 1 << local_log2
+    lidx, t = _global_indices(hashes, ccfg.size_log2, valid, my, local_log2, n)
+    m = lidx.shape[0]
+
+    send, ts, rank, order = _route_requests(lidx, t, n, sentinel=trash)
+    req = _a2a(send, axis)
+    flat = counts[0]
+    cell_vals = jnp.take(flat, req, axis=0, mode="clip")
+    resp = _a2a(cell_vals, axis)
+    mine = _gather_responses(resp, ts, rank, order, m, fill=0)
+    mine = mine.reshape(hashes.lo.shape)
+    cur_min = jnp.min(mine, axis=-1)
+
+    # local within-batch multiplicity via scratch sketch
+    from ..bloom import filters as _f
+
+    sidx = _f.bloom_indices(hashes, ccfg.scratch_log2, _f._bcast_valid(valid, hashes))
+    scratch = jnp.zeros_like(flat, shape=((1 << ccfg.scratch_log2) + 1,))
+    scratch = scratch.at[sidx.reshape(-1)].add(np.int32(1), mode="drop")
+    # allreduce the scratch sketch so multiplicities are global across the
+    # batch (otherwise a k-mer split over devices would be undercounted)
+    scratch = jax.lax.psum(scratch, axis)
+    mult = jnp.min(jnp.take(scratch, sidx, axis=0), axis=-1)
+    if dec_first is not None:
+        mult = mult - dec_first.astype(jnp.int32)
+    new_val = cur_min + jnp.maximum(mult, 0)
+    if valid is not None:
+        new_val = jnp.where(valid, new_val, 0)
+
+    upd_flat = jnp.broadcast_to(new_val[..., None], hashes.lo.shape).reshape(-1)
+    send_upd = jnp.zeros_like(send, dtype=jnp.int32)
+    send_upd = send_upd.at[ts, rank].set(upd_flat[order], mode="drop")
+    upd = _a2a(send_upd, axis)
+    flat = flat.at[req.reshape(-1)].max(upd.reshape(-1), mode="drop")
+    return flat[None]
+
+
+def _sharded_counting_add_cm(
+    counts: jax.Array,  # (1, local+1)
+    hashes: U64,
+    valid,
+    ccfg: CountingConfig,
+    n: int,
+    axis: str,
+):
+    """Count-min increment: route indices once, scatter-add locally."""
+    local_log2 = ccfg.size_log2 - int(math.log2(n))
+    my = jax.lax.axis_index(axis).astype(jnp.int32)
+    trash = 1 << local_log2
+    lidx, t = _global_indices(hashes, ccfg.size_log2, valid, my, local_log2, n)
+    send, _, _, _ = _route_requests(lidx, t, n, sentinel=trash)
+    req = _a2a(send, axis)
+    # sentinel-padded slots all add into the trash cell
+    flat = counts[0].at[req.reshape(-1)].add(np.int32(1), mode="drop")
+    return flat[None]
+
+
+# ---------------------------------------------------------------------------
+# Fused sharded build step
+# ---------------------------------------------------------------------------
+
+
+def sharded_build_step(mesh: Mesh, cfg: GraphConfig, add_read_pairs: bool = False):
+    """Returns a jitted (state, codes) -> state step over the mesh.
+
+    ``codes`` is (B, L) with B divisible by the device count; rows are
+    DP-sharded.  All filter traffic rides all-to-alls inside one program.
+    """
+    n = mesh.devices.size
+    axis = mesh.axis_names[0]
+
+    state_specs = ShardedGraphState(
+        dbgbf=P(axis, None) if cfg.exact_counts else None,
+        cbf=P(axis, None),
+        rpkbf=P(axis, None),
+        fpkbf=None,
+    )
+
+    def step_local(state: ShardedGraphState, codes: jax.Array) -> ShardedGraphState:
+        fh, rh, base, valid = dbg.seq_hashes(cfg, codes)
+        h_cbf = nthash.multi_hash(base, cfg.k, cfg.cbf.num_hash)
+        if cfg.exact_counts:
+            h_dbg = nthash.multi_hash(base, cfg.k, cfg.dbgbf.num_hash)
+            new_dbg, present = _sharded_bloom_insert_lookup(
+                state.dbgbf, h_dbg, valid, cfg.dbgbf.size_log2, cfg.dbgbf.num_hash, n, axis
+            )
+            dec_first = jnp.logical_and(valid, jnp.logical_not(present))
+            new_cbf = _sharded_counting_increment(
+                state.cbf, h_cbf, valid, dec_first, cfg.cbf, n, axis
+            )
+        else:
+            # count-min fast path: one all-to-all of indices, local scatter-add
+            new_dbg = None
+            new_cbf = _sharded_counting_add_cm(state.cbf, h_cbf, valid, cfg.cbf, n, axis)
+        new_rpk = state.rpkbf
+        if add_read_pairs and state.rpkbf is not None and cfg.read_pair_distance > 0:
+            pair_base, np_ = dbg.pair_base_hashes(cfg, fh, rh, cfg.read_pair_distance)
+            pv = jnp.logical_and(valid[..., :np_], valid[..., cfg.read_pair_distance :])
+            hp = nthash.multi_hash(pair_base, cfg.k, cfg.pkbf.num_hash)
+            new_rpk, _ = _sharded_bloom_insert_lookup(
+                state.rpkbf, hp, pv, cfg.pkbf.size_log2, cfg.pkbf.num_hash, n, axis
+            )
+        return ShardedGraphState(new_dbg, new_cbf, new_rpk, None)
+
+    smapped = shard_map(
+        step_local,
+        mesh=mesh,
+        in_specs=(state_specs, P(axis, None)),
+        out_specs=state_specs,
+        check_vma=False,
+    )
+    return jax.jit(smapped, donate_argnums=(0,))
+
+
+def sharded_count_query(mesh: Mesh, cfg: GraphConfig):
+    """Returns a jitted (state, codes) -> (counts, valid) query over the mesh."""
+    n = mesh.devices.size
+    axis = mesh.axis_names[0]
+    state_specs = ShardedGraphState(
+        dbgbf=P(axis, None) if cfg.exact_counts else None,
+        cbf=P(axis, None),
+        rpkbf=P(axis, None),
+        fpkbf=None,
+    )
+
+    def query_local(state: ShardedGraphState, codes: jax.Array):
+        _, _, base, valid = dbg.seq_hashes(cfg, codes)
+        # count estimate: route cbf gathers (request/response all-to-alls)
+        local_log2 = cfg.cbf.size_log2 - int(math.log2(n))
+        my = jax.lax.axis_index(axis).astype(jnp.int32)
+        h_cbf = nthash.multi_hash(base, cfg.k, cfg.cbf.num_hash)
+        lidx, t = _global_indices(h_cbf, cfg.cbf.size_log2, valid, my, local_log2, n)
+        m = lidx.shape[0]
+        send, ts, rank, order = _route_requests(lidx, t, n, sentinel=1 << local_log2)
+        req = _a2a(send, axis)
+        vals = jnp.take(state.cbf[0], req, axis=0, mode="clip")
+        resp = _a2a(vals, axis)
+        mine = _gather_responses(resp, ts, rank, order, m, fill=0)
+        est = jnp.min(mine.reshape(h_cbf.lo.shape), axis=-1)
+        if cfg.exact_counts:
+            h_dbg = nthash.multi_hash(base, cfg.k, cfg.dbgbf.num_hash)
+            _, member = _sharded_bloom_insert_lookup(
+                state.dbgbf, h_dbg, valid, cfg.dbgbf.size_log2, cfg.dbgbf.num_hash,
+                n, axis, do_insert=False,
+            )
+            counts = jnp.where(member, est.astype(jnp.float32) + 1.0, 0.0)
+        else:
+            counts = est.astype(jnp.float32)
+        return jnp.where(valid, counts, 0.0), valid
+
+    smapped = shard_map(
+        query_local,
+        mesh=mesh,
+        in_specs=(state_specs, P(axis, None)),
+        out_specs=(P(axis, None), P(axis, None)),
+        check_vma=False,
+    )
+    return jax.jit(smapped)

@@ -1,0 +1,212 @@
+"""Bloom filters + implicit DBG vs a sequential Python oracle."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rnabloom_tpu.bloom import filters
+from rnabloom_tpu.bloom.filters import BloomConfig, CountingConfig
+from rnabloom_tpu.graph import dbg
+from rnabloom_tpu.ops import nthash, nthash_ref as ref, u64
+
+RNG = np.random.default_rng(123)
+
+
+def mk_u64(vals):
+    vals = np.asarray(vals, dtype=np.uint64)
+    return u64.U64(
+        jnp.asarray((vals & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+        jnp.asarray((vals >> np.uint64(32)).astype(np.uint32)),
+    )
+
+
+class PyBloom:
+    """Sequential oracle with identical pow2 indexing."""
+
+    def __init__(self, size_log2, num_hash, k):
+        self.mask = (1 << size_log2) - 1
+        self.num_hash = num_hash
+        self.k = k
+        self.bits = set()
+
+    def indices(self, base):
+        return [((h & ref.M64) >> 1) & self.mask for h in ref.multi_hash(base, self.k, self.num_hash)]
+
+    def add(self, base):
+        for i in self.indices(base):
+            self.bits.add(i)
+
+    def lookup(self, base):
+        return all(i in self.bits for i in self.indices(base))
+
+
+K = 25
+
+
+def rand_bases(n):
+    return [int(x) for x in RNG.integers(0, 1 << 64, size=n, dtype=np.uint64)]
+
+
+def test_bloom_add_lookup_matches_oracle():
+    cfg = BloomConfig(size_log2=14, num_hash=3)
+    bits = filters.make_bloom(cfg)
+    py = PyBloom(14, 3, K)
+
+    inserted = rand_bases(500)
+    probes = inserted[:100] + rand_bases(200)
+
+    base = mk_u64(inserted)
+    hashes = nthash.multi_hash(base, K, cfg.num_hash)
+    add = jax.jit(functools.partial(filters.bloom_add, cfg=cfg))
+    bits = add(bits, hashes=hashes)
+    for b in inserted:
+        py.add(b)
+
+    probe_h = nthash.multi_hash(mk_u64(probes), K, cfg.num_hash)
+    lookup = jax.jit(functools.partial(filters.bloom_lookup, cfg=cfg))
+    got = np.asarray(lookup(bits, hashes=probe_h))
+    exp = [py.lookup(b) for b in probes]
+    assert list(got) == exp
+    assert all(got[:100])  # everything inserted must be found
+
+
+def test_bloom_valid_mask():
+    cfg = BloomConfig(size_log2=12, num_hash=2)
+    bits = filters.make_bloom(cfg)
+    bases = rand_bases(50)
+    valid = jnp.asarray(np.array([i % 2 == 0 for i in range(50)]))
+    hashes = nthash.multi_hash(mk_u64(bases), K, cfg.num_hash)
+    bits = jax.jit(functools.partial(filters.bloom_add, cfg=cfg))(bits, hashes=hashes, valid=valid)
+    got = np.asarray(jax.jit(functools.partial(filters.bloom_lookup, cfg=cfg))(bits, hashes=hashes))
+    py = PyBloom(12, 2, K)
+    for i, b in enumerate(bases):
+        if i % 2 == 0:
+            py.add(b)
+    assert list(got) == [py.lookup(b) for b in bases]
+
+
+def test_counting_multiplicity_and_min():
+    cfg = CountingConfig(size_log2=16, num_hash=2, scratch_log2=16)
+    counts = filters.make_counting(cfg)
+
+    distinct = rand_bases(300)
+    mult = RNG.integers(1, 9, size=300)
+    occurrences = [b for b, m in zip(distinct, mult) for _ in range(m)]
+    RNG.shuffle(occurrences)
+
+    h = nthash.multi_hash(mk_u64(occurrences), K, cfg.num_hash)
+    inc = jax.jit(functools.partial(filters.counting_increment, cfg=cfg))
+    counts = inc(counts, hashes=h)
+
+    hq = nthash.multi_hash(mk_u64(distinct), K, cfg.num_hash)
+    got = np.asarray(jax.jit(functools.partial(filters.counting_count, cfg=cfg))(counts, hashes=hq))
+    # conservative update: estimate >= truth; with a roomy table, equality
+    assert (got >= mult).all()
+    assert (got == mult).mean() > 0.95
+
+
+def test_counting_across_batches():
+    cfg = CountingConfig(size_log2=16, num_hash=3, scratch_log2=16)
+    counts = filters.make_counting(cfg)
+    b = rand_bases(50)
+    inc = jax.jit(functools.partial(filters.counting_increment, cfg=cfg))
+    h = nthash.multi_hash(mk_u64(b), K, cfg.num_hash)
+    for _ in range(4):
+        counts = inc(counts, hashes=h)
+    got = np.asarray(jax.jit(functools.partial(filters.counting_count, cfg=cfg))(counts, hashes=h))
+    assert (got >= 4).all()
+    assert (got == 4).mean() > 0.95
+
+
+def graph_cfg(stranded=True, exact=True):
+    return dbg.GraphConfig(
+        k=K,
+        stranded=stranded,
+        dbgbf=BloomConfig(size_log2=18, num_hash=2),
+        cbf=CountingConfig(size_log2=18, num_hash=2, scratch_log2=16),
+        pkbf=BloomConfig(size_log2=18, num_hash=2),
+        read_pair_distance=30,
+        exact_counts=exact,
+    )
+
+
+def encode_batch(seqs, L):
+    arr = np.full((len(seqs), L), 4, dtype=np.uint8)
+    for i, s in enumerate(seqs):
+        arr[i, : len(s)] = ref.encode(s)
+    return jnp.asarray(arr)
+
+
+def rand_seq(n):
+    return "".join(RNG.choice(list("ACGT"), size=n))
+
+
+@pytest.mark.parametrize("stranded", [True, False])
+@pytest.mark.parametrize("exact", [True, False])
+def test_graph_build_and_count(stranded, exact):
+    cfg = graph_cfg(stranded=stranded, exact=exact)
+    state = dbg.make_graph(cfg, with_rpkbf=True)
+
+    # 20 distinct reads, read 0 repeated 5 extra times
+    reads = [rand_seq(80) for _ in range(20)]
+    batch = reads + [reads[0]] * 5
+    codes = encode_batch(batch, 80)
+    state = dbg.build_step(state, cfg, codes, add_read_pairs=True)
+
+    counts, valid = dbg.count_step(state, cfg, encode_batch(reads, 80))
+    counts = np.asarray(counts)
+    assert np.asarray(valid).all()
+    # k-mers of read 0 seen 6 times (5 repeats + 1), others >= 1
+    assert (counts[0] >= 6).all()
+    assert (counts >= 1).all()
+    assert np.median(counts[1:]) == 1.0
+
+    # unseen reads must be absent (up to Bloom FPR)
+    unseen = encode_batch([rand_seq(80) for _ in range(20)], 80)
+    counts_u, _ = dbg.count_step(state, cfg, unseen)
+    assert (np.asarray(counts_u) == 0).mean() > 0.98
+
+
+def test_graph_canonical_mode_folds_strands():
+    cfg = graph_cfg(stranded=False)
+    state = dbg.make_graph(cfg, with_rpkbf=True)
+    s = rand_seq(80)
+    rc = s.translate(str.maketrans("ACGT", "TGCA"))[::-1]
+    state = dbg.build_step(state, cfg, encode_batch([s], 80))
+    # reverse complement must be found with the same counts
+    counts, _ = dbg.count_step(state, cfg, encode_batch([rc], 80))
+    assert (np.asarray(counts) >= 1).all()
+
+
+def test_graph_read_pair_lookup():
+    cfg = graph_cfg()
+    state = dbg.make_graph(cfg, with_rpkbf=True)
+    s = rand_seq(100)
+    codes = encode_batch([s], 100)
+    state = dbg.build_step(state, cfg, codes, add_read_pairs=True)
+
+    fh, rh, base, valid = dbg.seq_hashes(cfg, codes)
+    pair_base, np_ = dbg.pair_base_hashes(cfg, fh, rh, cfg.read_pair_distance)
+    got = np.asarray(dbg.lookup_read_pair(state, cfg, pair_base))
+    assert got.all()
+
+    # pairs from a different read are absent
+    codes2 = encode_batch([rand_seq(100)], 100)
+    fh2, rh2, _, _ = dbg.seq_hashes(cfg, codes2)
+    pb2, _ = dbg.pair_base_hashes(cfg, fh2, rh2, cfg.read_pair_distance)
+    got2 = np.asarray(dbg.lookup_read_pair(state, cfg, pb2))
+    assert (~got2).mean() > 0.95
+
+
+def test_fpr_reporting():
+    cfg = graph_cfg()
+    state = dbg.make_graph(cfg, with_rpkbf=True)
+    reads = [rand_seq(80) for _ in range(50)]
+    state = dbg.build_step(state, cfg, encode_batch(reads, 80), add_read_pairs=True)
+    out = dbg.fprs(state, cfg)
+    assert 0 < out["dbgbf"] < 0.05
+    assert 0 < out["cbf"] < 0.05
+    assert out["rpkbf"] > 0
