@@ -1,0 +1,452 @@
+"""Frontier-batched de Bruijn graph traversal on device.
+
+The reference walks the implicit graph one k-mer at a time per thread
+(Kmer.getSuccessors -> 4 hash derivations + filter lookups per step,
+graph/Kmer.java:199-255; naiveExtendRight GraphUtils.java:6835-6886;
+greedyExtendRightOnce GraphUtils.java:501-625).  A TPU cannot chase pointers
+— instead W walks advance in lockstep as array lanes:
+
+  * **Superstep A (cheap walk)**: a ``lax.while_loop`` advances every active
+    lane while it has exactly one viable successor (the overwhelmingly common
+    case), freezing lanes that hit a dead end, a branch, a cycle, or a
+    terminator.  Cost per hop: 4 successor hash derivations (VPU) + 4*h
+    counter gathers per lane.
+  * **Superstep B (branch resolution)**: frozen branch lanes are resolved in
+    one vectorized step — either greedy lookahead scoring (exhaustive
+    depth-``lookahead`` expansion, score = max over paths of min coverage,
+    mirroring getMaxMedianCoverageRight) or naive tip-filtering (candidates
+    must pass a depth probe; >1 survivor stops the walk).
+  * The host alternates A and B until all lanes stop — two device dispatches
+    per superstep regardless of walk count.
+
+Walks always extend to the *right* in walk coordinates.  Left extension of a
+sequence is a right extension of its reverse complement: in canonical mode
+lookups are strand-symmetric; in stranded mode lookups use the walk k-mer's
+reverse-strand hash (the actual forward-strand k-mer's hash).
+
+Deviations from the reference (documented for the parity checker):
+  * hasDepthLeft/Right DFS probes (Kmer.java:407-486) are replaced by a
+    greedy max-count descent of ``tip_probe_depth`` steps — exact for real
+    tips (dead ends), approximate when the only deep path is off the greedy
+    route.
+  * cycle detection compares against a ring of the last ``cycle_window``
+    k-mer hashes instead of the full visited set.
+  * back-branch checks (left variants with depth) are not yet applied.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..bloom import filters
+from ..ops import nthash, u64
+from ..ops.u64 import U64
+from . import dbg as dbgmod
+from .dbg import GraphConfig, GraphState
+
+# status codes
+ACTIVE = 0
+BRANCH = 1  # frozen at a branch, waiting for resolution
+DEAD = 2  # no viable successor
+CYCLE = 3  # revisited a recent k-mer
+TERM = 4  # hit a terminator (screening BF)
+FULL = 5  # reached max buffer length / bound
+STOPPED_BRANCH = 6  # naive mode: too many good branches
+
+
+@dataclass(frozen=True)
+class WalkConfig:
+    """Static traversal parameters."""
+
+    max_len: int  # output buffer length (incl. seed)
+    lookahead: int = 3
+    tip_probe_depth: int = 8  # must stay < k (probe out-chars read the buffer)
+    cycle_window: int = 64
+    left: bool = False  # walk is the reverse complement of the sequence
+    use_terminators: bool = False
+    term_cfg: Optional["filters.BloomConfig"] = None  # screening BF shape
+
+
+class WalkState(NamedTuple):
+    buf: jax.Array  # (W, max_len) uint8 codes, seed at [0, pos)
+    pos: jax.Array  # (W,) int32
+    fh: U64  # (W,) forward hash of current walk k-mer
+    rh: U64  # (W,) reverse hash (zeros unused in stranded+right mode)
+    hist: U64  # (W, cycle_window) recent query hashes (ring)
+    status: jax.Array  # (W,) int32
+    hops: jax.Array  # (W,) int32 total appended bases
+
+
+def make_walks(cfg: GraphConfig, wcfg: WalkConfig, seeds: np.ndarray) -> WalkState:
+    """Initialize walks from seed k-mers.
+
+    seeds: (W, k) uint8 codes (callers pass revcomp'd seeds for left walks).
+    """
+    W, k = seeds.shape
+    assert k == cfg.k
+    seeds_j = jnp.asarray(seeds)
+    fh, rh, valid = nthash.rolling_hash(seeds_j, cfg.k, stranded=False)
+    fh = u64.reshape(fh, (W,))
+    rh = u64.reshape(rh, (W,))
+    buf = jnp.zeros((W, wcfg.max_len), dtype=jnp.uint8).at[:, :k].set(seeds_j)
+    qh = _query_hash(cfg, wcfg, fh, rh)
+    hist = u64.U64(
+        jnp.zeros((W, wcfg.cycle_window), jnp.uint32).at[:, 0].set(qh.lo),
+        jnp.zeros((W, wcfg.cycle_window), jnp.uint32).at[:, 0].set(qh.hi),
+    )
+    status = jnp.where(valid.reshape(W), ACTIVE, DEAD).astype(jnp.int32)
+    return WalkState(
+        buf=buf,
+        pos=jnp.full((W,), k, jnp.int32),
+        fh=fh,
+        rh=rh,
+        hist=hist,
+        status=status,
+        hops=jnp.zeros((W,), jnp.int32),
+    )
+
+
+def _query_hash(cfg: GraphConfig, wcfg: WalkConfig, fh: U64, rh: U64) -> U64:
+    """Filter-query hash of a walk k-mer (see module docstring)."""
+    if cfg.stranded:
+        return rh if wcfg.left else fh
+    return u64.min_signed(fh, rh)
+
+
+def _counts_of(graph: GraphState, cfg: GraphConfig, base: U64) -> jax.Array:
+    return dbgmod.get_counts(graph, cfg, base)
+
+
+def _successors(
+    cfg: GraphConfig, wcfg: WalkConfig, fh: U64, rh: U64, out_codes: jax.Array
+) -> Tuple[U64, U64, U64]:
+    """(fh4, rh4, query4) for the 4 candidate next walk k-mers."""
+    fh4, rh4 = nthash.successor_hashes(fh, out_codes, cfg.k, rh=rh)
+    q4 = _query_hash(cfg, wcfg, fh4, rh4)
+    return fh4, rh4, q4
+
+
+def _gather_out_codes(buf: jax.Array, pos: jax.Array, k: int) -> jax.Array:
+    """First base of each lane's current k-mer: buf[pos - k]."""
+    return jnp.take_along_axis(buf, jnp.maximum(pos - k, 0)[:, None], axis=1)[:, 0]
+
+
+def _in_hist(hist: U64, q: U64) -> jax.Array:
+    return jnp.any((hist.lo == q.lo[:, None]) & (hist.hi == q.hi[:, None]), axis=1)
+
+
+def _push_hist(hist: U64, q: U64, hops: jax.Array, wcfg: WalkConfig, advance) -> U64:
+    slot = ((hops + 1) % wcfg.cycle_window).astype(jnp.int32)
+    lo = hist.lo.at[jnp.arange(hist.lo.shape[0]), slot].set(
+        jnp.where(advance, q.lo, hist.lo[jnp.arange(hist.lo.shape[0]), slot])
+    )
+    hi = hist.hi.at[jnp.arange(hist.hi.shape[0]), slot].set(
+        jnp.where(advance, q.hi, hist.hi[jnp.arange(hist.hi.shape[0]), slot])
+    )
+    return u64.U64(lo, hi)
+
+
+def _apply_advance(
+    state: WalkState,
+    cfg: GraphConfig,
+    wcfg: WalkConfig,
+    advance: jax.Array,  # (W,) bool
+    code: jax.Array,  # (W,) uint8 chosen base
+    fh4: U64,
+    rh4: U64,
+    q4: U64,
+) -> WalkState:
+    W = state.pos.shape[0]
+    rows = jnp.arange(W)
+    ci = code.astype(jnp.int32)
+    fh_new = u64.U64(fh4.lo[rows, ci], fh4.hi[rows, ci])
+    rh_new = u64.U64(rh4.lo[rows, ci], rh4.hi[rows, ci])
+    q_new = u64.U64(q4.lo[rows, ci], q4.hi[rows, ci])
+
+    pos_new = jnp.where(advance, state.pos + 1, state.pos)
+    buf_new = state.buf.at[rows, jnp.minimum(state.pos, wcfg.max_len - 1)].set(
+        jnp.where(advance, code, state.buf[rows, jnp.minimum(state.pos, wcfg.max_len - 1)])
+    )
+    fh_out = u64.select(advance, fh_new, state.fh)
+    rh_out = u64.select(advance, rh_new, state.rh)
+    hist_new = _push_hist(state.hist, q_new, state.hops, wcfg, advance)
+    hops_new = jnp.where(advance, state.hops + 1, state.hops)
+    return state._replace(
+        buf=buf_new, pos=pos_new, fh=fh_out, rh=rh_out, hist=hist_new, hops=hops_new
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "wcfg", "max_hops"),
+    donate_argnames=("state",),
+)
+def walk_superstep(
+    state: WalkState,
+    graph: GraphState,
+    cfg: GraphConfig,
+    wcfg: WalkConfig,
+    min_cov: jax.Array,  # (W,) float32 per-lane coverage floor
+    bound: jax.Array,  # (W,) int32 max hops per lane
+    max_hops: int,
+    terminators: Optional[jax.Array] = None,  # screening BF lanes
+) -> WalkState:
+    """Advance all active lanes while each has exactly one viable successor.
+
+    Lanes freeze with BRANCH status when >1 successors pass min_cov; the
+    branch is resolved by resolve_branches().  One device dispatch runs up
+    to ``max_hops`` hops for the whole batch.
+    """
+
+    def body(st: WalkState) -> WalkState:
+        active = st.status == ACTIVE
+        out_codes = _gather_out_codes(st.buf, st.pos, cfg.k)
+        fh4, rh4, q4 = _successors(cfg, wcfg, st.fh, st.rh, out_codes)
+        counts = _counts_of(graph, cfg, q4)  # (W, 4)
+        viable = counts >= jnp.maximum(min_cov, 1.0)[:, None]
+        nviable = jnp.sum(viable.astype(jnp.int32), axis=1)
+
+        # the single viable candidate (valid only when nviable == 1)
+        code = jnp.argmax(viable, axis=1).astype(jnp.uint8)
+        rows = jnp.arange(st.pos.shape[0])
+        qn = u64.U64(q4.lo[rows, code.astype(jnp.int32)], q4.hi[rows, code.astype(jnp.int32)])
+
+        cyc = _in_hist(st.hist, qn)
+        term = jnp.zeros_like(cyc)
+        if wcfg.use_terminators and terminators is not None:
+            tcfg = wcfg.term_cfg
+            th = nthash.multi_hash(qn, cfg.k, tcfg.num_hash)
+            term = filters.bloom_lookup(terminators, tcfg, th)
+
+        full = (st.pos >= wcfg.max_len - 1) | (st.hops >= bound)
+
+        advance = active & (nviable == 1) & ~cyc & ~term & ~full
+        new_status = jnp.where(
+            ~active,
+            st.status,
+            jnp.where(
+                nviable == 0,
+                DEAD,
+                jnp.where(
+                    nviable > 1,
+                    BRANCH,
+                    jnp.where(cyc, CYCLE, jnp.where(term, TERM, jnp.where(full, FULL, ACTIVE))),
+                ),
+            ),
+        )
+        st = _apply_advance(st, cfg, wcfg, advance, code, fh4, rh4, q4)
+        return st._replace(status=new_status.astype(jnp.int32))
+
+    def cond(st: WalkState) -> jax.Array:
+        return jnp.any(st.status == ACTIVE)
+
+    def outer(i, st):
+        return jax.lax.cond(cond(st), body, lambda s: s, st)
+
+    return jax.lax.fori_loop(0, max_hops, outer, state)
+
+
+def _expand_scores(
+    graph: GraphState,
+    cfg: GraphConfig,
+    wcfg: WalkConfig,
+    buf: jax.Array,
+    pos: jax.Array,
+    fh4: U64,
+    rh4: U64,
+    q4: U64,
+) -> jax.Array:
+    """Greedy lookahead scores per candidate (W, 4).
+
+    score(c) = max over depth-(lookahead-1) expansions from c of the minimum
+    coverage along the path (getMaxMedianCoverageRight semantics: a path
+    shorter than ``lookahead`` scores 0; lookahead == 1 scores count(c)).
+    """
+    W = pos.shape[0]
+    cand_counts = _counts_of(graph, cfg, q4)  # (W, 4)
+    if wcfg.lookahead == 1:
+        return cand_counts
+
+    # out-char for the candidates' successors: second base of current k-mer
+    rows = jnp.arange(W)
+    out1 = jnp.take_along_axis(buf, jnp.maximum(pos - cfg.k + 1, 0)[:, None], axis=1)[:, 0]
+    out1 = jnp.broadcast_to(out1[:, None], (W, 4))
+    fh_l1, rh_l1 = nthash.successor_hashes(fh4, out1, cfg.k, rh=rh4)  # (W,4,4)
+    q_l1 = _query_hash(cfg, wcfg, fh_l1, rh_l1)
+    c_l1 = _counts_of(graph, cfg, q_l1)  # (W,4,4)
+
+    if wcfg.lookahead == 2:
+        # path = [cand, n1]: min(count(c), count(n1)), max over n1
+        path_min = jnp.minimum(cand_counts[:, :, None], c_l1)
+        return jnp.max(path_min, axis=-1)
+
+    out2 = jnp.take_along_axis(buf, jnp.maximum(pos - cfg.k + 2, 0)[:, None], axis=1)[:, 0]
+    out2 = jnp.broadcast_to(out2[:, None, None], (W, 4, 4))
+    fh_l2, rh_l2 = nthash.successor_hashes(fh_l1, out2, cfg.k, rh=rh_l1)  # (W,4,4,4)
+    q_l2 = _query_hash(cfg, wcfg, fh_l2, rh_l2)
+    c_l2 = _counts_of(graph, cfg, q_l2)  # (W,4,4,4)
+
+    # path = [cand, n1, n2]
+    path_min = jnp.minimum(
+        jnp.minimum(cand_counts[:, :, None, None], c_l1[:, :, :, None]), c_l2
+    )
+    return jnp.max(path_min, axis=(-2, -1))
+
+
+def _tip_probe(
+    graph: GraphState,
+    cfg: GraphConfig,
+    wcfg: WalkConfig,
+    buf: jax.Array,
+    pos: jax.Array,
+    fh4: U64,
+    rh4: U64,
+    q4: U64,
+    min_cov: jax.Array,
+) -> jax.Array:
+    """Greedy depth probe per candidate: depth reached following max-count
+    successors, up to tip_probe_depth.  Returns (W, 4) int32 depths
+    (candidate itself = depth 1 when viable)."""
+    W = pos.shape[0]
+    counts = _counts_of(graph, cfg, q4)
+    viable0 = counts >= jnp.maximum(min_cov, 1.0)[:, None]
+    depth = viable0.astype(jnp.int32)
+
+    fh_c = u64.reshape(fh4, (W * 4,))
+    rh_c = u64.reshape(rh4, (W * 4,))
+    alive = viable0.reshape(W * 4)
+
+    # out-chars walk forward from (pos - k + 1)
+    def body(i, carry):
+        fh_c, rh_c, alive, depth = carry
+        off = jnp.minimum(pos - cfg.k + 1 + i, wcfg.max_len - 1)
+        outc = jnp.take_along_axis(buf, off[:, None], axis=1)[:, 0]
+        outc = jnp.broadcast_to(outc[:, None], (W, 4)).reshape(W * 4)
+        f4, r4 = nthash.successor_hashes(fh_c, outc, cfg.k, rh=rh_c)
+        qq = _query_hash(cfg, wcfg, f4, r4)
+        cc = _counts_of(graph, cfg, qq)  # (W*4, 4)
+        mc = jnp.broadcast_to(jnp.maximum(min_cov, 1.0)[:, None], (W, 4)).reshape(W * 4)
+        ok = cc >= mc[:, None]
+        best = jnp.argmax(jnp.where(ok, cc, -1.0), axis=1).astype(jnp.int32)
+        any_ok = jnp.any(ok, axis=1)
+        rows = jnp.arange(W * 4)
+        fh_n = u64.U64(f4.lo[rows, best], f4.hi[rows, best])
+        rh_n = u64.U64(r4.lo[rows, best], r4.hi[rows, best])
+        alive_n = alive & any_ok
+        depth_n = depth + alive_n.reshape(W, 4).astype(jnp.int32)
+        return (
+            u64.select(alive_n, fh_n, fh_c),
+            u64.select(alive_n, rh_n, rh_c),
+            alive_n,
+            depth_n,
+        )
+
+    # NOTE: probe out-chars come from the *current* buffer; beyond the stored
+    # window this is approximate for the rare probe deeper than k.
+    fh_c, rh_c, alive, depth = jax.lax.fori_loop(
+        0, wcfg.tip_probe_depth - 1, body, (fh_c, rh_c, alive, depth)
+    )
+    return depth
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "wcfg", "mode"),
+    donate_argnames=("state",),
+)
+def resolve_branches(
+    state: WalkState,
+    graph: GraphState,
+    cfg: GraphConfig,
+    wcfg: WalkConfig,
+    min_cov: jax.Array,
+    mode: str = "greedy",
+) -> WalkState:
+    """Resolve lanes frozen with BRANCH status.
+
+    mode="greedy": pick the candidate with the best lookahead score
+      (ties: higher candidate count, then smaller base code — the
+      reference's first-wins iteration order).  Lane resumes ACTIVE.
+    mode="naive": candidates must reach tip_probe_depth; exactly one
+      survivor resumes the walk, otherwise the lane stops (STOPPED_BRANCH).
+    """
+    at_branch = state.status == BRANCH
+    out_codes = _gather_out_codes(state.buf, state.pos, cfg.k)
+    fh4, rh4, q4 = _successors(cfg, wcfg, state.fh, state.rh, out_codes)
+    counts = _counts_of(graph, cfg, q4)
+    viable = counts >= jnp.maximum(min_cov, 1.0)[:, None]
+
+    if mode == "greedy":
+        scores = _expand_scores(graph, cfg, wcfg, state.buf, state.pos, fh4, rh4, q4)
+        scores = jnp.where(viable, scores, -1.0)
+        # lexicographic: best score, then higher candidate count, then first
+        # base order (argmax takes the first maximum — the reference's
+        # first-candidate-wins tie rule)
+        is_best = scores >= jnp.max(scores, axis=1, keepdims=True)
+        best = jnp.argmax(
+            jnp.where(is_best & viable, counts, -1.0), axis=1
+        ).astype(jnp.uint8)
+        advance = at_branch
+        new_status = jnp.where(at_branch, ACTIVE, state.status)
+    else:
+        depth = _tip_probe(graph, cfg, wcfg, state.buf, state.pos, fh4, rh4, q4, min_cov)
+        deep = depth >= wcfg.tip_probe_depth
+        ndeep = jnp.sum(deep.astype(jnp.int32), axis=1)
+        best = jnp.argmax(jnp.where(deep, counts, -1.0), axis=1).astype(jnp.uint8)
+        advance = at_branch & (ndeep == 1)
+        new_status = jnp.where(
+            at_branch, jnp.where(ndeep == 1, ACTIVE, STOPPED_BRANCH), state.status
+        )
+
+    # cycle / capacity guards for the chosen hop
+    rows = jnp.arange(state.pos.shape[0])
+    ci = best.astype(jnp.int32)
+    qn = u64.U64(q4.lo[rows, ci], q4.hi[rows, ci])
+    cyc = _in_hist(state.hist, qn)
+    full = state.pos >= wcfg.max_len - 1
+    advance = advance & ~cyc & ~full
+    new_status = jnp.where(
+        at_branch & cyc, CYCLE, jnp.where(at_branch & full, FULL, new_status)
+    )
+
+    st = _apply_advance(state, cfg, wcfg, advance, best, fh4, rh4, q4)
+    return st._replace(status=new_status.astype(jnp.int32))
+
+
+def extend_walks(
+    state: WalkState,
+    graph: GraphState,
+    cfg: GraphConfig,
+    wcfg: WalkConfig,
+    min_cov,
+    bound,
+    mode: str = "greedy",
+    terminators: Optional[jax.Array] = None,
+    superstep_hops: int = 64,
+    max_supersteps: int = 64,
+) -> WalkState:
+    """Host driver: alternate walk supersteps and branch resolution."""
+    W = state.pos.shape[0]
+    min_cov = jnp.broadcast_to(jnp.asarray(min_cov, jnp.float32), (W,))
+    bound = jnp.broadcast_to(jnp.asarray(bound, jnp.int32), (W,))
+    for _ in range(max_supersteps):
+        state = walk_superstep(
+            state, graph, cfg, wcfg, min_cov, bound, superstep_hops, terminators=terminators
+        )
+        status = np.asarray(state.status)
+        if (status == BRANCH).any():
+            state = resolve_branches(state, graph, cfg, wcfg, min_cov, mode=mode)
+        elif not (status == ACTIVE).any():
+            break
+    return state
+
+
+def harvest(state: WalkState) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(buf, pos, status) as numpy — the walks' emitted code sequences."""
+    return np.asarray(state.buf), np.asarray(state.pos), np.asarray(state.status)
