@@ -1,0 +1,248 @@
+"""Batched short-read error correction (substitution model).
+
+Mirrors the reference's coverage-threshold + variant-substitution scheme
+(GraphUtils.correctErrorsPE :4051-4182, correctMismatches :3914-3997):
+
+  * Per read, k-mer coverages are sorted; the threshold walks down from the
+    top (minus covFPR false positives allowed) until consecutive sorted
+    values drop by ``maxCovGradient`` — vectorized here as an adjacent-gap
+    scan over the sorted axis.
+  * A single substitution error at base p makes exactly the k-mers covering
+    p drop below threshold.  Low-coverage runs are classified (interior run
+    of length k -> candidate at run_start + k - 1; runs touching a read end
+    anchor one-sided), the 3 alternative bases are evaluated by re-hashing
+    the affected window in one device batch, and the best variant is applied
+    when its min coverage passes ``min_kmer_cov`` and its median beats the
+    current window median.
+  * Iterated ``rounds`` times (errors < k apart resolve across rounds).
+
+Deviation (round 1): the reference additionally repairs indels and
+re-anchors edges via greedy path search with percent-identity checks
+(correctErrorHelper :3711-3913, maxIndelSize); this module corrects
+substitutions only and leaves indel bridging to the fragment connector.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph import dbg
+from ..graph.dbg import GraphConfig, GraphState
+
+
+@dataclass
+class CorrectParams:
+    max_cov_gradient: float = 0.5
+    cov_fpr: float = 0.01  # fraction of k-mers allowed as false positives
+    min_cov_threshold: float = 2.0
+    min_kmer_cov: float = 1.0
+    rounds: int = 2
+
+
+@partial(jax.jit, static_argnames=("grad",))
+def coverage_thresholds(counts: jax.Array, valid: jax.Array, fp_allowed: jax.Array, grad: float):
+    """Per-read dropoff threshold over sorted coverages.
+
+    counts: (B, P) float32 (0 where invalid); valid: (B, P) bool.
+    Returns (threshold (B,), found (B,)).  Mirrors the downward scan of
+    correctErrorsPE: starting at index n-1-fp_allowed, threshold follows the
+    sorted values until covs[i] <= covs[i+1] * grad.
+    """
+    B, P = counts.shape
+    n = jnp.sum(valid.astype(jnp.int32), axis=1)
+    # push invalid entries to the front with -inf so the tail is the real data
+    key = jnp.where(valid, counts, -jnp.inf)
+    s = jnp.sort(key, axis=1)  # ascending; invalid first
+    idx = jnp.arange(P)
+
+    start = P - 1 - jnp.minimum(fp_allowed, jnp.maximum(n - 1, 0))
+    # gap[i] between sorted i and i+1 (i in [P - n, start - 1])
+    nxt = jnp.concatenate([s[:, 1:], s[:, -1:]], axis=1)
+    in_range = (idx[None, :] < start[:, None]) & (idx[None, :] >= (P - n)[:, None])
+    gap = in_range & (s <= nxt * grad) & (nxt > 0)
+    found = jnp.any(gap, axis=1)
+    # highest gap index -> threshold = s[i+1]
+    jstar = jnp.argmax(jnp.where(gap, idx[None, :], -1), axis=1)
+    thr_at_gap = jnp.take_along_axis(nxt, jstar[:, None], axis=1)[:, 0]
+    thr_start = jnp.take_along_axis(s, jnp.maximum(start, 0)[:, None], axis=1)[:, 0]
+    thr = jnp.where(found, thr_at_gap, thr_start)
+    return thr, found
+
+
+def _runs(mask: np.ndarray):
+    """(start, end) pairs of True runs in a 1-D bool array."""
+    padded = np.concatenate(([False], mask, [False]))
+    d = np.diff(padded.astype(np.int8))
+    return np.flatnonzero(d == 1), np.flatnonzero(d == -1)
+
+
+def find_candidates(
+    counts: np.ndarray, valid: np.ndarray, thr: np.ndarray, found: np.ndarray, k: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Candidate (read, base_position) pairs from low-coverage runs."""
+    reads, positions = [], []
+    B, P = counts.shape
+    for b in range(B):
+        if not found[b]:
+            continue
+        v = valid[b]
+        n = int(v.sum())
+        if n == 0:
+            continue
+        low = (counts[b] < thr[b]) & v
+        if low.all() or not low.any():
+            continue
+        starts, ends = _runs(low)
+        for s, e in zip(starts, ends):
+            run = e - s
+            touches_left = s == 0 or not v[:s].any()
+            touches_right = e >= P or not v[e:].any()
+            if touches_left and touches_right:
+                continue
+            if touches_left:
+                p = e - 1  # error at last base covered only by low k-mers
+            elif run <= k:
+                p = s + k - 1  # interior single error (or right-edge run)
+            else:
+                continue  # multi-error / low region: leave to path search
+            reads.append(b)
+            positions.append(p)
+    return np.asarray(reads, np.int32), np.asarray(positions, np.int32)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _window_scores(
+    graph: GraphState, cfg: GraphConfig, windows: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """(min_cov, median_cov) over each window row's valid k-mers."""
+    counts, valid = dbg.count_step(graph, cfg, windows)
+    big = jnp.where(valid, counts, jnp.inf)
+    mn = jnp.min(big, axis=1)
+    mn = jnp.where(jnp.isfinite(mn), mn, 0.0)
+    # median over valid entries via sort with +inf padding
+    s = jnp.sort(big, axis=1)
+    nv = jnp.sum(valid.astype(jnp.int32), axis=1)
+    half = jnp.maximum(nv // 2, 0)
+    lo_i = jnp.maximum(jnp.where(nv % 2 == 0, half - 1, half), 0)
+    med = (
+        jnp.take_along_axis(s, lo_i[:, None], axis=1)[:, 0]
+        + jnp.take_along_axis(s, half[:, None], axis=1)[:, 0]
+    ) / 2.0
+    med = jnp.where(nv > 0, med, 0.0)
+    return mn, med
+
+
+def correct_batch(
+    graph: GraphState,
+    cfg: GraphConfig,
+    codes: np.ndarray,
+    lengths: np.ndarray,
+    params: CorrectParams,
+    pair_ids: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Correct substitution errors in a batch of reads.
+
+    codes: (B, L) uint8 (4 = pad/N); lengths: (B,) bases per row.
+    pair_ids: optional (B,) grouping — rows with the same id share the
+    minimum threshold (correctErrorsPE's min(left, right) rule).
+
+    Returns (corrected codes, corrected_mask (B,) bool).
+    """
+    k = cfg.k
+    B, L = codes.shape
+    codes = codes.copy()
+    changed = np.zeros(B, dtype=bool)
+
+    for _ in range(params.rounds):
+        jc = jnp.asarray(codes)
+        counts_d, valid_d = dbg.count_step(graph, cfg, jc)
+        nvalid = jnp.sum(valid_d.astype(jnp.int32), axis=1)
+        fp_allowed = jnp.round(nvalid * params.cov_fpr).astype(jnp.int32)
+        thr_d, found_d = coverage_thresholds(
+            counts_d, valid_d, fp_allowed, params.max_cov_gradient
+        )
+        counts = np.asarray(counts_d)
+        valid = np.asarray(valid_d)
+        thr = np.array(thr_d)  # writable copies (pair sharing mutates)
+        found = np.array(found_d)
+
+        if pair_ids is not None:
+            # share min threshold within a pair; found only if sane
+            for pid in np.unique(pair_ids):
+                sel = pair_ids == pid
+                f = found[sel]
+                t = thr[sel]
+                if f.all():
+                    t_shared = t.min()
+                elif f.any():
+                    t_found = t[f].min()
+                    t_shared = t_found if t_found <= t[~f].min() else -1.0
+                else:
+                    t_shared = -1.0
+                thr[sel] = t_shared
+                found[sel] = t_shared >= params.min_cov_threshold
+        else:
+            found = found & (thr >= params.min_cov_threshold)
+
+        reads, positions = find_candidates(counts, valid, thr, found, k)
+        if len(reads) == 0:
+            break
+
+        # build variant windows: for candidate (b, p) and base v != cur,
+        # window = read[p-k+1 : p+k] with base p substituted
+        win_len = 2 * k - 1
+        wins, meta = [], []
+        for b, p in zip(reads, positions):
+            n = lengths[b]
+            w0 = max(p - k + 1, 0)
+            w1 = min(p + k, n)
+            cur = codes[b, p]
+            base_win = np.full(win_len, 4, np.uint8)
+            base_win[: w1 - w0] = codes[b, w0:w1]
+            rel = p - w0
+            cur_win = base_win.copy()
+            wins.append(cur_win)  # current window scores (for comparison)
+            meta.append((b, p, rel, w0, -1))
+            for v in range(4):
+                if v == cur:
+                    continue
+                wv = base_win.copy()
+                wv[rel] = v
+                wins.append(wv)
+                meta.append((b, p, rel, w0, v))
+
+        # pad the row count to a power of two to bound recompilation
+        M = len(wins)
+        Mp = 1 << max(6, (M - 1).bit_length())
+        wins_np = np.full((Mp, win_len), 4, np.uint8)
+        wins_np[:M] = np.stack(wins)
+        mn, med = _window_scores(graph, cfg, jnp.asarray(wins_np))
+        mn = np.asarray(mn)[:M]
+        med = np.asarray(med)[:M]
+
+        # group rows: first row of each candidate = current, then 3 variants
+        i = 0
+        applied = False
+        while i < len(meta):
+            b, p, rel, w0, _ = meta[i]
+            cur_med = med[i]
+            best_v, best_med = -1, cur_med
+            for j in range(i + 1, i + 4):
+                _, _, _, _, v = meta[j]
+                if mn[j] >= params.min_kmer_cov and med[j] > best_med:
+                    best_v, best_med = v, med[j]
+            if best_v >= 0:
+                codes[b, p] = best_v
+                changed[b] = True
+                applied = True
+            i += 4
+        if not applied:
+            break
+
+    return codes, changed
