@@ -1,0 +1,272 @@
+"""Stage 2 — fragment reconstruction from read pairs.
+
+TPU-native equivalent of FragmentAssembler (RNABloom.java:2038-2321) and the
+GraphUtils connect family (overlap :4898, overlapAndConnect :5065,
+connect :5092-5325, breakWithReadPairedKmers :4184-4311):
+
+  per batch of read pairs (right mate reverse-complemented to fragment
+  orientation):
+    1. error-correct both mates (shared PE threshold),
+    2. try a direct suffix-prefix overlap (vectorized exact-match scan),
+    3. otherwise bridge the gap with a bounded greedy graph walk from the
+       left mate, anchored by the right mate's leading k-mer,
+    4. validate with read-paired k-mers (consecutive supported (i, i+d)
+       pairs; the longest supported range survives),
+    5. score fragments by minimum k-mer coverage for stratified storage
+       (getCoverageOrderOfMagnitude, RNABloom.java:2353).
+
+Deviation (round 1): the reference's connect() walks both directions and
+meets in the middle with coverage-gradient tie-breaks; here the bridge walk
+runs left-to-right only.  Quality-split reads contribute their longest
+segment (connect(segments) :4836 re-joins splits through the graph).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph import dbg, traverse
+from ..graph.dbg import GraphConfig, GraphState
+from ..utils import seq as sequtils
+from . import correct
+
+
+@dataclass
+class FragmentParams:
+    min_overlap: int = 10
+    bound: int = 500  # max gap walk length
+    num_pairs_required: int = 1
+    min_fragment_length: int = 0  # defaults to 2k downstream
+    extend_fragments: bool = False
+    ec_params: correct.CorrectParams = None
+
+    def __post_init__(self):
+        if self.ec_params is None:
+            self.ec_params = correct.CorrectParams()
+
+
+@dataclass
+class Fragment:
+    codes: np.ndarray  # uint8, fragment sequence
+    min_cov: float
+    length: int
+    connected: bool  # overlap/bridge success (vs unconnected mates)
+
+
+def find_overlaps(
+    left: np.ndarray, left_len: np.ndarray, right: np.ndarray, right_len: np.ndarray,
+    min_overlap: int,
+) -> np.ndarray:
+    """Largest exact suffix(left)-prefix(right) overlap per pair (0 = none).
+
+    Vectorized over the batch: one equality scan per candidate overlap size,
+    longest first.
+    """
+    B, L = left.shape
+    best = np.zeros(B, dtype=np.int32)
+    max_o = int(min(left_len.max(initial=0), right_len.max(initial=0)))
+    for o in range(max_o, min_overlap - 1, -1):
+        undecided = best == 0
+        if not undecided.any():
+            break
+        ok = undecided & (left_len >= o) & (right_len >= o)
+        if not ok.any():
+            continue
+        rows = np.flatnonzero(ok)
+        # suffix of left vs prefix of right
+        for b in rows:
+            if np.array_equal(left[b, left_len[b] - o : left_len[b]], right[b, :o]):
+                best[b] = o
+    return best
+
+
+def _pair_support(
+    graph: GraphState, cfg: GraphConfig, codes: jnp.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(supported (B, P-d) bool, valid (B,P)) read-pair k-mer support."""
+    fh, rh, base, valid = dbg.seq_hashes(cfg, codes)
+    d = cfg.read_pair_distance
+    pair_base, np_ = dbg.pair_base_hashes(cfg, fh, rh, d)
+    sup = dbg.lookup_read_pair(graph, cfg, pair_base)
+    pv = jnp.logical_and(valid[..., :np_], valid[..., d:])
+    return np.asarray(jnp.logical_and(sup, pv)), np.asarray(valid)
+
+
+def pair_break_segments(
+    supported: np.ndarray, d: int, num_required: int, n_kmers: int
+) -> List[Tuple[int, int]]:
+    """Supported k-mer index ranges (breakWithReadPairedKmers :4184-4311)."""
+    segments: List[Tuple[int, int]] = []
+    start, end = -1, -1
+    streak = 0
+    for i in range(len(supported)):
+        if supported[i]:
+            streak += 1
+            if streak >= num_required:
+                if start < 0:
+                    start = i - num_required + 1
+                end = i + d
+        else:
+            if start >= 0 and i >= end:
+                segments.append((start, end + 1))
+                start, end = -1, -1
+            streak = 0
+    if start >= 0:
+        segments.append((start, min(end + 1, n_kmers)))
+    return segments
+
+
+def longest_supported_range(
+    graph: GraphState, cfg: GraphConfig, codes_batch: np.ndarray,
+    lengths: np.ndarray, num_required: int,
+) -> List[Optional[Tuple[int, int]]]:
+    """Per row: largest supported base range [s, e) or None."""
+    k, d = cfg.k, cfg.read_pair_distance
+    sup, valid = _pair_support(graph, cfg, jnp.asarray(codes_batch))
+    out: List[Optional[Tuple[int, int]]] = []
+    for b in range(codes_batch.shape[0]):
+        n_kmers = max(lengths[b] - k + 1, 0)
+        if n_kmers <= d:
+            out.append(None)
+            continue
+        segs = pair_break_segments(sup[b, : n_kmers - d], d, num_required, n_kmers)
+        if not segs:
+            out.append(None)
+            continue
+        s, e = max(segs, key=lambda se: se[1] - se[0])
+        out.append((s, e + k - 1))  # kmer range -> base range
+    return out
+
+
+def assemble_fragments_batch(
+    graph: GraphState,
+    cfg: GraphConfig,
+    left: np.ndarray,
+    left_len: np.ndarray,
+    right: np.ndarray,
+    right_len: np.ndarray,
+    params: FragmentParams,
+) -> List[Optional[Fragment]]:
+    """Assemble fragments for a batch of oriented read pairs.
+
+    left/right: (B, L) uint8 codes, right already reverse-complemented into
+    fragment orientation.  Returns one Fragment (or None) per pair.
+    """
+    k = cfg.k
+    B, L = left.shape
+
+    # 1. error correction with shared pair thresholds
+    both = np.concatenate([left, right], axis=0)
+    both_len = np.concatenate([left_len, right_len])
+    pair_ids = np.concatenate([np.arange(B), np.arange(B)])
+    both, _ = correct.correct_batch(graph, cfg, both, both_len, params.ec_params, pair_ids)
+    left, right = both[:B], both[B:]
+
+    # 2. direct overlap
+    overlaps = find_overlaps(left, left_len, right, right_len, params.min_overlap)
+
+    # 3. bridge unconnected pairs through the graph
+    need_bridge = np.flatnonzero((overlaps == 0) & (left_len >= k) & (right_len >= k))
+    bridges: dict = {}
+    if len(need_bridge) > 0:
+        seeds = np.stack([left[b, left_len[b] - k : left_len[b]] for b in need_bridge])
+        Wb = len(need_bridge)
+        wcfg = traverse.WalkConfig(max_len=k + params.bound)
+        st = traverse.make_walks(cfg, wcfg, seeds.astype(np.uint8))
+        st = traverse.extend_walks(st, graph, cfg, wcfg, 1.0, params.bound, mode="greedy")
+        buf, pos, status = traverse.harvest(st)
+        for j, b in enumerate(need_bridge):
+            ext = buf[j, k : pos[j]]  # bases appended beyond the seed
+            if len(ext) == 0:
+                continue
+            anchor = right[b, :k]
+            # find the right mate's leading k-mer inside seed+extension
+            walk = np.concatenate([left[b, left_len[b] - k : left_len[b]], ext])
+            idx = _find_subarray(walk, anchor)
+            if idx < 0:
+                continue
+            if idx >= k:
+                # gap bases between left mate end and right mate start
+                bridges[b] = walk[k:idx]
+            else:
+                # right mate overlaps the left mate's tail by k - idx bases
+                overlaps[b] = k - idx
+
+    # 4. build fragment sequences
+    frags_codes: List[Optional[np.ndarray]] = []
+    for b in range(B):
+        ll, rl = int(left_len[b]), int(right_len[b])
+        if overlaps[b] > 0:
+            seq = np.concatenate([left[b, :ll], right[b, overlaps[b] : rl]])
+        elif b in bridges:
+            seq = np.concatenate([left[b, :ll], bridges[b], right[b, :rl]])
+        else:
+            frags_codes.append(None)
+            continue
+        frags_codes.append(seq)
+
+    # 5. read-pair validation + min coverage, batched
+    connected_rows = [b for b, s in enumerate(frags_codes) if s is not None]
+    results: List[Optional[Fragment]] = [None] * B
+    if connected_rows:
+        maxlen = max(len(frags_codes[b]) for b in connected_rows)
+        pad_len = max(maxlen, k + cfg.read_pair_distance + 1)
+        batch = np.full((len(connected_rows), pad_len), 4, np.uint8)
+        lens = np.zeros(len(connected_rows), np.int32)
+        for i, b in enumerate(connected_rows):
+            s = frags_codes[b]
+            batch[i, : len(s)] = s
+            lens[i] = len(s)
+
+        ranges = longest_supported_range(
+            graph, cfg, batch, lens, params.num_pairs_required
+        )
+        counts, valid = dbg.count_step(graph, cfg, jnp.asarray(batch))
+        counts = np.asarray(counts)
+        valid = np.asarray(valid)
+
+        for i, b in enumerate(connected_rows):
+            r = ranges[i]
+            if r is None:
+                continue
+            s, e = r
+            seq = frags_codes[b][s:e]
+            ks, ke = s, e - k + 1
+            v = valid[i, ks:ke]
+            if not v.any():
+                continue
+            mc = float(counts[i, ks:ke][v].min())
+            results[b] = Fragment(
+                codes=seq, min_cov=mc, length=len(seq), connected=True
+            )
+    return results
+
+
+def _find_subarray(haystack: np.ndarray, needle: np.ndarray) -> int:
+    n, m = len(haystack), len(needle)
+    if m == 0 or n < m:
+        return -1
+    # vectorized sliding compare
+    windows = np.lib.stride_tricks.sliding_window_view(haystack, m)
+    hits = np.flatnonzero((windows == needle).all(axis=1))
+    return int(hits[0]) if len(hits) else -1
+
+
+def coverage_order_of_magnitude(c: float) -> int:
+    """E0..E5 stratification (RNABloom.getCoverageOrderOfMagnitude :2353)."""
+    if c >= 1e5:
+        return 5
+    if c >= 1e4:
+        return 4
+    if c >= 1e3:
+        return 3
+    if c >= 1e2:
+        return 2
+    if c >= 1e1:
+        return 1
+    return 0
