@@ -1,0 +1,249 @@
+"""End-to-end short-read assembly pipelines (bulk PE / SE).
+
+Orchestrates the three stages exactly as the reference driver does
+(RNABloom.main :5830-7533 for the PE path):
+
+  Stage 0  read-length sampling -> read-pair distance, tip length
+           (setReadLengthBasedParams :1011-1033)
+  Stage 1  graph build: cbf counters + read-paired-k-mer keys
+           (populateGraph2 :1290-1346)
+  Stage 2  fragment assembly in batches; fragment-length quartiles from the
+           first sample set the fragment pair distance
+           (Q1 - k - minNumKmerPairs) and walk bound (Q3 + 1.5 IQR)
+           (assembleFragmentsMultiThreaded :4465-4663)
+  Stage 2b fragment-graph rebuild: fresh counters + fpkbf from fragments
+           (populateGraphFromFragments :1541)
+  Stage 3  transcript extension per coverage stratum E5..E0, screening BF,
+           length-split FASTA output (assembleTranscriptsMultiThreaded
+           :4886, TranscriptWriter :1614-1780)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..bloom.filters import BloomConfig, CountingConfig, make_bloom
+from ..graph import dbg
+from ..io import fastx
+from ..utils import seq as sequtils
+from . import correct, fragments as fragmod, stage1, transcripts as txmod
+
+
+@dataclass
+class PipelineParams:
+    k: int = 25
+    stranded: bool = False
+    min_qual: int = 3
+    total_mem_bytes: int = 1 << 30
+    num_hash: int = 2
+    batch_size: int = 512  # read pairs per stage-2 batch
+    sample_size: int = 1000
+    min_num_kmer_pairs: int = 10
+    min_overlap: int = 10
+    bound: int = 500
+    min_transcript_length: int = 200
+    max_walk_len: int = 4096
+    min_fragment_cov: float = 0.0
+
+
+@dataclass
+class PipelineReport:
+    stage1: Optional[stage1.Stage1Stats] = None
+    num_pairs: int = 0
+    num_fragments: int = 0
+    num_transcripts: int = 0
+    num_short: int = 0
+    fragment_pair_distance: int = -1
+    elapsed_s: float = 0.0
+
+
+def _iter_pair_batches(
+    left_path: str,
+    right_path: str,
+    params: PipelineParams,
+    k: int,
+    revcomp_left: bool,
+    revcomp_right: bool,
+    L: int,
+):
+    """Yield (left_codes, left_len, right_codes, right_len) batches.
+
+    The right mate is flipped into fragment orientation (the reference's
+    FR convention: fragment = left .. rc(right) unless flags say otherwise).
+    """
+    B = params.batch_size
+    lbuf = np.full((B, L), 4, np.uint8)
+    rbuf = np.full((B, L), 4, np.uint8)
+    llen = np.zeros(B, np.int32)
+    rlen = np.zeros(B, np.int32)
+    n = 0
+    for (ln, ls, lq), (rn, rs, rq) in fastx.read_paired(left_path, right_path):
+        lcodes = sequtils.encode(ls)[:L]
+        rcodes = sequtils.encode(rs)[:L]
+        if revcomp_left:
+            lcodes = sequtils.revcomp_codes(lcodes)
+        if revcomp_right:
+            # FR layout: the right mate reads back toward the fragment start
+            rcodes = sequtils.revcomp_codes(rcodes)
+        if len(lcodes) < k or len(rcodes) < k:
+            continue
+        lbuf[n, : len(lcodes)] = lcodes
+        llen[n] = len(lcodes)
+        rbuf[n, : len(rcodes)] = rcodes
+        rlen[n] = len(rcodes)
+        n += 1
+        if n == B:
+            yield lbuf, llen, rbuf, rlen
+            lbuf = np.full((B, L), 4, np.uint8)
+            rbuf = np.full((B, L), 4, np.uint8)
+            llen = np.zeros(B, np.int32)
+            rlen = np.zeros(B, np.int32)
+            n = 0
+    if n:
+        yield lbuf[:n], llen[:n], rbuf[:n], rlen[:n]
+
+
+def assemble_pe(
+    left_path: str,
+    right_path: str,
+    outdir: str,
+    params: PipelineParams,
+    revcomp_left: bool = False,
+    revcomp_right: bool = True,
+) -> PipelineReport:
+    """Bulk paired-end assembly -> {outdir}/rnabloom.transcripts.fa."""
+    t0 = time.time()
+    os.makedirs(outdir, exist_ok=True)
+    report = PipelineReport()
+    k = params.k
+
+    # ---- stage 0: read length params
+    lengths = stage1.sample_read_lengths([left_path, right_path], params.sample_size)
+    d_read, max_tip = stage1.read_length_params(lengths, k, params.min_num_kmer_pairs)
+    read_L = int(max(lengths.max(initial=150), k + d_read + 1))
+
+    cfg = stage1.default_graph_config(
+        k, params.stranded, params.total_mem_bytes, params.num_hash, d_read
+    )
+
+    # ---- stage 1: graph build (right mates revcomp'd onto forward strand)
+    s1p = stage1.Stage1Params(
+        k=k, stranded=params.stranded, min_qual=params.min_qual,
+        max_seq_len=max(read_L, 2 * k),
+    )
+    state = dbg.make_graph(cfg, with_rpkbf=True)
+    state, s1_stats = stage1.build_graph(
+        [left_path, right_path], cfg, state, s1p,
+        revcomp_flags=[revcomp_left, revcomp_right],
+        add_read_pairs=True,
+    )
+    s1_stats.read_pair_distance = d_read
+    s1_stats.max_tip_length = max_tip
+    report.stage1 = s1_stats
+
+    # ---- stage 2: fragments
+    fparams = fragmod.FragmentParams(
+        min_overlap=params.min_overlap, bound=params.bound,
+    )
+    all_frags: List[fragmod.Fragment] = []
+    frag_lengths: List[int] = []
+    learned = False
+    for lb, ll, rb, rl in _iter_pair_batches(
+        left_path, right_path, params, k, revcomp_left, revcomp_right, read_L
+    ):
+        report.num_pairs += lb.shape[0]
+        outs = fragmod.assemble_fragments_batch(state, cfg, lb, ll, rb, rl, fparams)
+        for f in outs:
+            if f is not None and f.min_cov >= params.min_fragment_cov:
+                all_frags.append(f)
+                frag_lengths.append(f.length)
+        if not learned and len(frag_lengths) >= params.sample_size:
+            learned = True
+            q1, _, q3 = sequtils.quartiles(np.asarray(frag_lengths))
+            fparams.bound = int(q3 + (q3 - q1) * 3 // 2)
+
+    report.num_fragments = len(all_frags)
+    if not all_frags:
+        report.elapsed_s = time.time() - t0
+        return report
+
+    q1, _, q3 = sequtils.quartiles(np.asarray(frag_lengths))
+    d_frag = max(1, int(q1) - k - params.min_num_kmer_pairs)
+    report.fragment_pair_distance = d_frag
+    cfg = dbg.GraphConfig(
+        k=cfg.k, stranded=cfg.stranded, dbgbf=cfg.dbgbf, cbf=cfg.cbf,
+        pkbf=cfg.pkbf, read_pair_distance=cfg.read_pair_distance,
+        fragment_pair_distance=d_frag, exact_counts=cfg.exact_counts,
+    )
+
+    # ---- stage 2b: rebuild graph from fragments (fresh counters + fpkbf;
+    # rpkbf from reads is kept)
+    frag_L = int(min(max(f.length for f in all_frags), params.max_walk_len))
+    state = dbg.GraphState(
+        dbgbf=None,
+        cbf=jnp.zeros_like(state.cbf),
+        rpkbf=state.rpkbf,
+        fpkbf=make_bloom(cfg.pkbf),
+    )
+    frag_batch = np.full((len(all_frags), frag_L), 4, np.uint8)
+    frag_len = np.zeros(len(all_frags), np.int32)
+    for i, f in enumerate(all_frags):
+        n = min(f.length, frag_L)
+        frag_batch[i, :n] = f.codes[:n]
+        frag_len[i] = n
+    for s in range(0, len(all_frags), 1024):
+        chunk = jnp.asarray(frag_batch[s : s + 1024])
+        state = dbg.build_step(state, cfg, chunk, add_read_pairs=False)
+        fh, rh, _, valid = dbg.seq_hashes(cfg, chunk)
+        if frag_L - k + 1 > d_frag:
+            state = dbg.add_fragment_pair_kmers(state, cfg, fh, rh, valid)
+
+    # ---- stage 3: transcripts, largest coverage stratum first
+    scfg = BloomConfig(cfg.pkbf.size_log2, cfg.pkbf.num_hash)
+    screen = make_bloom(scfg)
+    tparams = txmod.TranscriptParams(
+        min_transcript_length=params.min_transcript_length,
+        max_walk_len=params.max_walk_len,
+    )
+    order = np.argsort(
+        [-(fragmod.coverage_order_of_magnitude(f.min_cov) * 1e9 + f.length) for f in all_frags]
+    )
+    tx_path = os.path.join(outdir, "rnabloom.transcripts.fa")
+    short_path = os.path.join(outdir, "rnabloom.transcripts.short.fa")
+    n_tx = 0
+    with fastx.FastaWriter(tx_path) as wtx, fastx.FastaWriter(short_path) as wsh:
+        for s in range(0, len(order), 256):
+            idx = order[s : s + 256]
+            txs, shorts, screen = txmod.assemble_transcripts_batch(
+                state, cfg, screen, scfg, frag_batch[idx], frag_len[idx], tparams
+            )
+            for t in txs:
+                wtx.write(f"rnabloom.{n_tx}", sequtils.decode(t.codes), f"l={t.length}")
+                n_tx += 1
+                report.num_transcripts += 1
+            for t in shorts:
+                wsh.write(f"rnabloom.s{report.num_short}", sequtils.decode(t.codes))
+                report.num_short += 1
+
+    report.elapsed_s = time.time() - t0
+    with open(os.path.join(outdir, "rnabloom.report.json"), "w") as f:
+        json.dump(
+            {
+                "num_pairs": report.num_pairs,
+                "num_fragments": report.num_fragments,
+                "num_transcripts": report.num_transcripts,
+                "num_short": report.num_short,
+                "fragment_pair_distance": report.fragment_pair_distance,
+                "elapsed_s": report.elapsed_s,
+            },
+            f,
+        )
+    return report

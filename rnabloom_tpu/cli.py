@@ -1,0 +1,92 @@
+"""Command-line driver — the reference's CLI surface, TPU-native backend.
+
+Mirrors the option names of the reference driver (RNABloom.java:5839-6410)
+for the paths implemented so far; unimplemented options are declared and
+rejected with a clear message rather than silently ignored.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="rnabloom-tpu",
+        description="TPU-native reference-free transcriptome assembly",
+    )
+    p.add_argument("-left", "--left", help="left read file (FASTQ/FASTA, gz ok)")
+    p.add_argument("-right", "--right", help="right read file")
+    p.add_argument("-sef", "--sef", help="single-end forward reads", nargs="*")
+    p.add_argument("-ser", "--ser", help="single-end reverse reads", nargs="*")
+    p.add_argument("-long", "--long", dest="long_reads", nargs="*", help="long reads (ONT)")
+    p.add_argument("-o", "--outdir", default="rnabloom_out", help="output directory")
+    p.add_argument("-k", "--kmer", type=int, default=25, help="k-mer size [25]")
+    p.add_argument("-q", "--qual", type=int, default=3, help="min base quality [3]")
+    p.add_argument("-stranded", "--stranded", action="store_true", help="strand-specific reads")
+    p.add_argument("-revcomp-left", action="store_true", help="reverse-complement left reads")
+    p.add_argument(
+        "-revcomp-right", action="store_true", default=True,
+        help="reverse-complement right reads [true]",
+    )
+    p.add_argument("-mem", "--mem", type=float, default=1.0, help="Bloom memory budget (GB) [1]")
+    p.add_argument("-length", "--length", type=int, default=200, help="min transcript length [200]")
+    p.add_argument("-overlap", "--overlap", type=int, default=10, help="min read overlap [10]")
+    p.add_argument("-bound", "--bound", type=int, default=500, help="max gap walk length [500]")
+    p.add_argument("-pair", "--pair", type=int, default=10, help="min k-mer pairs [10]")
+    p.add_argument("-hash", "--hash", type=int, default=2, help="hash functions per filter [2]")
+    p.add_argument("-batch", "--batch", type=int, default=512, help="stage-2 pair batch size")
+    p.add_argument("-t", "--threads", type=int, default=2, help="(accepted for compat; unused)")
+    p.add_argument("--version", action="version", version="rnabloom-tpu 0.1.0")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.long_reads:
+        print("error: the long-read (-long) path is not implemented yet", file=sys.stderr)
+        return 2
+    if args.sef or args.ser:
+        print("error: the single-end (-sef/-ser) path is not implemented yet", file=sys.stderr)
+        return 2
+    if not (args.left and args.right):
+        print("error: -left and -right are required for the PE path", file=sys.stderr)
+        return 2
+
+    from .assembly import pipeline
+
+    params = pipeline.PipelineParams(
+        k=args.kmer,
+        stranded=args.stranded,
+        min_qual=args.qual,
+        total_mem_bytes=int(args.mem * (1 << 30)),
+        num_hash=args.hash,
+        batch_size=args.batch,
+        min_num_kmer_pairs=args.pair,
+        min_overlap=args.overlap,
+        bound=args.bound,
+        min_transcript_length=args.length,
+    )
+    report = pipeline.assemble_pe(
+        args.left, args.right, args.outdir, params,
+        revcomp_left=args.revcomp_left, revcomp_right=args.revcomp_right,
+    )
+    print(
+        json.dumps(
+            {
+                "pairs": report.num_pairs,
+                "fragments": report.num_fragments,
+                "transcripts": report.num_transcripts,
+                "short": report.num_short,
+                "elapsed_s": round(report.elapsed_s, 2),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -71,6 +71,9 @@ class WalkConfig:
     left: bool = False  # walk is the reverse complement of the sequence
     use_terminators: bool = False
     term_cfg: Optional["filters.BloomConfig"] = None  # screening BF shape
+    # pair-scored branch resolution (extendPE semantics)
+    pair_ring: int = 0  # >0 enables the k-mer hash ring for pair lookups
+    pair_probe_depth: int = 24  # naive probe length per candidate at branches
 
 
 class WalkState(NamedTuple):
@@ -81,34 +84,79 @@ class WalkState(NamedTuple):
     hist: U64  # (W, cycle_window) recent query hashes (ring)
     status: jax.Array  # (W,) int32
     hops: jax.Array  # (W,) int32 total appended bases
+    path_min: jax.Array  # (W,) float32 running min coverage along the path
+    # ring of (fh, rh) of the k-mer ending at buffer position p, slot p % R
+    ring_fh: Optional[U64] = None  # (W, R)
+    ring_rh: Optional[U64] = None  # (W, R)
 
 
-def make_walks(cfg: GraphConfig, wcfg: WalkConfig, seeds: np.ndarray) -> WalkState:
-    """Initialize walks from seed k-mers.
+def make_walks(
+    cfg: GraphConfig,
+    wcfg: WalkConfig,
+    seeds: np.ndarray,
+    seed_lens: Optional[np.ndarray] = None,
+) -> WalkState:
+    """Initialize walks from seed sequences (k-mers or whole fragments).
 
-    seeds: (W, k) uint8 codes (callers pass revcomp'd seeds for left walks).
+    seeds: (W, Ls) uint8 codes, Ls >= k, padded with 4 beyond each row's
+    seed_lens (default: full rows).  Callers pass revcomp'd seeds for left
+    walks.  The walk continues from each seed's LAST k-mer; with
+    wcfg.pair_ring > 0 every seed k-mer's hashes pre-fill the pair ring.
     """
-    W, k = seeds.shape
-    assert k == cfg.k
+    W, Ls = seeds.shape
+    k = cfg.k
+    assert Ls >= k
+    if seed_lens is None:
+        seed_lens = np.full(W, Ls, np.int64)
+    seed_lens = np.asarray(seed_lens)
     seeds_j = jnp.asarray(seeds)
-    fh, rh, valid = nthash.rolling_hash(seeds_j, cfg.k, stranded=False)
-    fh = u64.reshape(fh, (W,))
-    rh = u64.reshape(rh, (W,))
-    buf = jnp.zeros((W, wcfg.max_len), dtype=jnp.uint8).at[:, :k].set(seeds_j)
+    fh_all, rh_all, valid_all = nthash.rolling_hash(seeds_j, k, stranded=False)
+    P = Ls - k + 1
+    rows = jnp.arange(W)
+    last = jnp.asarray(np.maximum(seed_lens - k, 0).astype(np.int32))
+    fh = u64.U64(fh_all.lo[rows, last], fh_all.hi[rows, last])
+    rh = u64.U64(rh_all.lo[rows, last], rh_all.hi[rows, last])
+    n_kmers = jnp.asarray((seed_lens - k + 1).astype(np.int32))
+    in_seed = np.arange(P)[None, :] < np.asarray(n_kmers)[:, None]
+    valid = jnp.all(jnp.where(jnp.asarray(in_seed), valid_all, True), axis=1) & (
+        n_kmers >= 1
+    )
+    buf = jnp.zeros((W, wcfg.max_len), dtype=jnp.uint8).at[:, :Ls].set(seeds_j)
     qh = _query_hash(cfg, wcfg, fh, rh)
     hist = u64.U64(
         jnp.zeros((W, wcfg.cycle_window), jnp.uint32).at[:, 0].set(qh.lo),
         jnp.zeros((W, wcfg.cycle_window), jnp.uint32).at[:, 0].set(qh.hi),
     )
     status = jnp.where(valid.reshape(W), ACTIVE, DEAD).astype(jnp.int32)
+    ring_fh = ring_rh = None
+    if wcfg.pair_ring > 0:
+        R = wcfg.pair_ring
+        # k-mer i of a seed ends at position i + k - 1; rows scatter only
+        # their real k-mers (others drop out of bounds)
+        slot = (np.arange(P)[None, :] + k - 1) % R
+        slot = np.where(in_seed, slot, R)
+        slot_j = jnp.asarray(slot.astype(np.int32))
+        rws = jnp.broadcast_to(rows[:, None], (W, P))
+        zeros = jnp.zeros((W, R), jnp.uint32)
+        ring_fh = u64.U64(
+            zeros.at[rws, slot_j].set(fh_all.lo, mode="drop"),
+            zeros.at[rws, slot_j].set(fh_all.hi, mode="drop"),
+        )
+        ring_rh = u64.U64(
+            zeros.at[rws, slot_j].set(rh_all.lo, mode="drop"),
+            zeros.at[rws, slot_j].set(rh_all.hi, mode="drop"),
+        )
     return WalkState(
         buf=buf,
-        pos=jnp.full((W,), k, jnp.int32),
+        pos=jnp.asarray(seed_lens.astype(np.int32)),
         fh=fh,
         rh=rh,
         hist=hist,
         status=status,
         hops=jnp.zeros((W,), jnp.int32),
+        path_min=jnp.full((W,), jnp.inf, jnp.float32),
+        ring_fh=ring_fh,
+        ring_rh=ring_rh,
     )
 
 
@@ -161,6 +209,7 @@ def _apply_advance(
     fh4: U64,
     rh4: U64,
     q4: U64,
+    counts4: Optional[jax.Array] = None,
 ) -> WalkState:
     W = state.pos.shape[0]
     rows = jnp.arange(W)
@@ -177,8 +226,32 @@ def _apply_advance(
     rh_out = u64.select(advance, rh_new, state.rh)
     hist_new = _push_hist(state.hist, q_new, state.hops, wcfg, advance)
     hops_new = jnp.where(advance, state.hops + 1, state.hops)
+    path_min = state.path_min
+    if counts4 is not None:
+        cnew = counts4[rows, ci]
+        path_min = jnp.where(advance, jnp.minimum(path_min, cnew), path_min)
+    ring_fh, ring_rh = state.ring_fh, state.ring_rh
+    if ring_fh is not None:
+        R = wcfg.pair_ring
+        slot = jnp.where(advance, state.pos % R, R)  # new k-mer ends at old pos
+        ring_fh = u64.U64(
+            ring_fh.lo.at[rows, slot].set(fh_new.lo, mode="drop"),
+            ring_fh.hi.at[rows, slot].set(fh_new.hi, mode="drop"),
+        )
+        ring_rh = u64.U64(
+            ring_rh.lo.at[rows, slot].set(rh_new.lo, mode="drop"),
+            ring_rh.hi.at[rows, slot].set(rh_new.hi, mode="drop"),
+        )
     return state._replace(
-        buf=buf_new, pos=pos_new, fh=fh_out, rh=rh_out, hist=hist_new, hops=hops_new
+        buf=buf_new,
+        pos=pos_new,
+        fh=fh_out,
+        rh=rh_out,
+        hist=hist_new,
+        hops=hops_new,
+        path_min=path_min,
+        ring_fh=ring_fh,
+        ring_rh=ring_rh,
     )
 
 
@@ -240,7 +313,7 @@ def walk_superstep(
                 ),
             ),
         )
-        st = _apply_advance(st, cfg, wcfg, advance, code, fh4, rh4, q4)
+        st = _apply_advance(st, cfg, wcfg, advance, code, fh4, rh4, q4, counts4=counts)
         return st._replace(status=new_status.astype(jnp.int32))
 
     def cond(st: WalkState) -> jax.Array:
@@ -355,6 +428,152 @@ def _tip_probe(
     return depth
 
 
+def _probe_with_hashes(
+    graph: GraphState,
+    cfg: GraphConfig,
+    wcfg: WalkConfig,
+    buf: jax.Array,
+    pos: jax.Array,
+    fh4: U64,
+    rh4: U64,
+    q4: U64,
+    min_cov: jax.Array,
+):
+    """Greedy naive descent of depth pair_probe_depth per candidate,
+    recording each probe k-mer's (fh, rh, count, alive).
+
+    Returns (fh_p, rh_p (W,4,D)), counts_p (W,4,D), alive_p (W,4,D).
+    Probe j=0 is the candidate itself.  Exact while probe depth < k (the
+    departing base comes from the walk buffer).
+    """
+    W = pos.shape[0]
+    D = wcfg.pair_probe_depth
+    assert D <= cfg.k - 1, "pair_probe_depth must stay below k"
+    counts0 = _counts_of(graph, cfg, q4)
+    alive0 = counts0 >= jnp.maximum(min_cov, 1.0)[:, None]
+
+    fh_c = u64.reshape(fh4, (W * 4,))
+    rh_c = u64.reshape(rh4, (W * 4,))
+    alive = alive0.reshape(W * 4)
+
+    fh_lo = [fh_c.lo]
+    fh_hi = [fh_c.hi]
+    rh_lo = [rh_c.lo]
+    rh_hi = [rh_c.hi]
+    cnts = [counts0.reshape(W * 4)]
+    alives = [alive]
+
+    mc = jnp.broadcast_to(jnp.maximum(min_cov, 1.0)[:, None], (W, 4)).reshape(W * 4)
+    for j in range(1, D):
+        off = jnp.minimum(pos - cfg.k + 1 + (j - 1), wcfg.max_len - 1)
+        outc = jnp.take_along_axis(buf, off[:, None], axis=1)[:, 0]
+        outc = jnp.broadcast_to(outc[:, None], (W, 4)).reshape(W * 4)
+        f4, r4 = nthash.successor_hashes(fh_c, outc, cfg.k, rh=rh_c)
+        qq = _query_hash(cfg, wcfg, f4, r4)
+        cc = _counts_of(graph, cfg, qq)  # (W*4, 4)
+        ok = cc >= mc[:, None]
+        best = jnp.argmax(jnp.where(ok, cc, -1.0), axis=1).astype(jnp.int32)
+        rows = jnp.arange(W * 4)
+        alive = alive & jnp.any(ok, axis=1)
+        fh_c = u64.select(alive, u64.U64(f4.lo[rows, best], f4.hi[rows, best]), fh_c)
+        rh_c = u64.select(alive, u64.U64(r4.lo[rows, best], r4.hi[rows, best]), rh_c)
+        fh_lo.append(fh_c.lo)
+        fh_hi.append(fh_c.hi)
+        rh_lo.append(rh_c.lo)
+        rh_hi.append(rh_c.hi)
+        cnts.append(jnp.where(alive, cc[rows, best], 0.0))
+        alives.append(alive)
+
+    shape = (W, 4, D)
+    fh_p = u64.U64(
+        jnp.stack(fh_lo, axis=-1).reshape(shape), jnp.stack(fh_hi, axis=-1).reshape(shape)
+    )
+    rh_p = u64.U64(
+        jnp.stack(rh_lo, axis=-1).reshape(shape), jnp.stack(rh_hi, axis=-1).reshape(shape)
+    )
+    counts_p = jnp.stack(cnts, axis=-1).reshape(shape)
+    alive_p = jnp.stack(alives, axis=-1).reshape(shape)
+    return fh_p, rh_p, counts_p, alive_p
+
+
+def _pair_scores(
+    state: WalkState,
+    graph: GraphState,
+    cfg: GraphConfig,
+    wcfg: WalkConfig,
+    fh_p: U64,
+    rh_p: U64,
+    counts_p: jax.Array,
+    alive_p: jax.Array,
+):
+    """extendRightPE candidate scores from read+fragment pair support.
+
+    score = min(path_min, median probe cov) * (n_read + n_frag) /
+    (last_supported + 1); a candidate is viable when every pair class with
+    reachable partners has at least one supporting pair
+    (GraphUtils.extendRightPE :6206-6309).
+    """
+    W, _, D = counts_p.shape
+    R = wcfg.pair_ring
+    j = jnp.arange(D)
+
+    def class_support(dist: int, pkbf_lanes):
+        # partner k-mer ends at buffer position pos - dist + j
+        end_pos = state.pos[:, None, None] - dist + j[None, None, :]
+        reachable = (end_pos >= cfg.k - 1) & (
+            state.pos[:, None, None] - end_pos <= R
+        )
+        slot = jnp.where(reachable, end_pos % R, 0).astype(jnp.int32)
+        rows = jnp.arange(W)[:, None, None]
+        pf = u64.U64(state.ring_fh.lo[rows, slot], state.ring_fh.hi[rows, slot])
+        pr = u64.U64(state.ring_rh.lo[rows, slot], state.ring_rh.hi[rows, slot])
+        if cfg.stranded:
+            ph = (
+                nthash.combine(rh_p, pr) if wcfg.left else nthash.combine(pf, fh_p)
+            )
+        else:
+            if wcfg.left:
+                ph = nthash.combine_canonical(rh_p, fh_p, pr, pf)
+            else:
+                ph = nthash.combine_canonical(pf, pr, fh_p, rh_p)
+        hp = nthash.multi_hash(ph, cfg.k, cfg.pkbf.num_hash)
+        sup = filters.bloom_lookup(pkbf_lanes, cfg.pkbf, hp)
+        sup = sup & reachable & alive_p
+        return sup, jnp.any(reachable & alive_p, axis=-1)
+
+    sup_r, reach_r = class_support(cfg.read_pair_distance, graph.rpkbf)
+    sup_f, reach_f = class_support(cfg.fragment_pair_distance, graph.fpkbf)
+    n_r = jnp.sum(sup_r.astype(jnp.int32), axis=-1)
+    n_f = jnp.sum(sup_f.astype(jnp.int32), axis=-1)
+    any_sup = sup_r | sup_f
+    last = jnp.max(jnp.where(any_sup, j[None, None, :], -1), axis=-1)
+
+    # median probe coverage over alive probe k-mers
+    big = jnp.where(alive_p, counts_p, jnp.inf)
+    s = jnp.sort(big, axis=-1)
+    nv = jnp.sum(alive_p.astype(jnp.int32), axis=-1)
+    half = jnp.maximum(nv // 2, 0)
+    lo_i = jnp.maximum(jnp.where(nv % 2 == 0, half - 1, half), 0)
+    med = (
+        jnp.take_along_axis(s, lo_i[..., None], axis=-1)[..., 0]
+        + jnp.take_along_axis(s, half[..., None], axis=-1)[..., 0]
+    ) / 2.0
+    med = jnp.where(nv > 0, med, 0.0)
+
+    ok = (
+        (last >= 0)
+        & (~reach_r | (n_r > 0))
+        & (~reach_f | (n_f > 0))
+        & (reach_r | reach_f)
+    )
+    score = (
+        jnp.minimum(state.path_min[:, None], med)
+        * (n_r + n_f).astype(jnp.float32)
+        / jnp.maximum(last + 1, 1).astype(jnp.float32)
+    )
+    return jnp.where(ok, score, -1.0), med, ok
+
+
 @partial(
     jax.jit,
     static_argnames=("cfg", "wcfg", "mode"),
@@ -375,6 +594,9 @@ def resolve_branches(
       reference's first-wins iteration order).  Lane resumes ACTIVE.
     mode="naive": candidates must reach tip_probe_depth; exactly one
       survivor resumes the walk, otherwise the lane stops (STOPPED_BRANCH).
+    mode="pair": extendPE semantics — candidates probed naively and scored
+      by read/fragment paired-k-mer support against the walk's pair ring;
+      no viable candidate stops the lane (requires wcfg.pair_ring > 0).
     """
     at_branch = state.status == BRANCH
     out_codes = _gather_out_codes(state.buf, state.pos, cfg.k)
@@ -394,6 +616,21 @@ def resolve_branches(
         ).astype(jnp.uint8)
         advance = at_branch
         new_status = jnp.where(at_branch, ACTIVE, state.status)
+    elif mode == "pair":
+        fh_p, rh_p, counts_p, alive_p = _probe_with_hashes(
+            graph, cfg, wcfg, state.buf, state.pos, fh4, rh4, q4, min_cov
+        )
+        scores, med, ok = _pair_scores(
+            state, graph, cfg, wcfg, fh_p, rh_p, counts_p, alive_p
+        )
+        scores = jnp.where(viable, scores, -1.0)
+        any_ok = jnp.any(scores >= 0.0, axis=1)
+        is_best = scores >= jnp.max(scores, axis=1, keepdims=True)
+        best = jnp.argmax(jnp.where(is_best, med, -1.0), axis=1).astype(jnp.uint8)
+        advance = at_branch & any_ok
+        new_status = jnp.where(
+            at_branch, jnp.where(any_ok, ACTIVE, STOPPED_BRANCH), state.status
+        )
     else:
         depth = _tip_probe(graph, cfg, wcfg, state.buf, state.pos, fh4, rh4, q4, min_cov)
         deep = depth >= wcfg.tip_probe_depth
@@ -415,7 +652,7 @@ def resolve_branches(
         at_branch & cyc, CYCLE, jnp.where(at_branch & full, FULL, new_status)
     )
 
-    st = _apply_advance(state, cfg, wcfg, advance, best, fh4, rh4, q4)
+    st = _apply_advance(state, cfg, wcfg, advance, best, fh4, rh4, q4, counts4=counts)
     return st._replace(status=new_status.astype(jnp.int32))
 
 

@@ -1,0 +1,77 @@
+"""End-to-end PE assembly on a simulated transcriptome."""
+
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from rnabloom_tpu.assembly import pipeline
+from rnabloom_tpu.io import fastx
+from rnabloom_tpu.utils import seq as sequtils
+
+RNG = np.random.default_rng(31337)
+
+
+def rand_seq(n):
+    return "".join(RNG.choice(list("ACGT"), size=n))
+
+
+def write_pe_fastq(transcripts, tmpdir, coverage=30, read_len=100, frag_len=250, n_min=50):
+    """Simulate error-free FR paired reads from transcripts."""
+    left = os.path.join(tmpdir, "reads_1.fq.gz")
+    right = os.path.join(tmpdir, "reads_2.fq.gz")
+    q = "I" * read_len
+    with gzip.open(left, "wt") as fl, gzip.open(right, "wt") as fr:
+        rid = 0
+        for t in transcripts:
+            n_frags = max(n_min, coverage * len(t) // (2 * read_len))
+            for _ in range(n_frags):
+                fl_len = min(frag_len, len(t))
+                s = RNG.integers(0, len(t) - fl_len + 1)
+                frag = t[s : s + fl_len]
+                l = frag[:read_len]
+                r = sequtils.revcomp(frag[-read_len:])  # FR orientation
+                fl.write(f"@r{rid}/1\n{l}\n+\n{q[:len(l)]}\n")
+                fr.write(f"@r{rid}/2\n{r}\n+\n{q[:len(r)]}\n")
+                rid += 1
+    return left, right
+
+
+@pytest.mark.slow
+def test_pe_assembly_recovers_transcripts(tmp_path):
+    transcripts = [rand_seq(500) for _ in range(5)]
+    left, right = write_pe_fastq(transcripts, str(tmp_path))
+
+    params = pipeline.PipelineParams(
+        total_mem_bytes=1 << 24, batch_size=256, sample_size=200
+    )
+    report = pipeline.assemble_pe(left, right, str(tmp_path / "out"), params)
+
+    assert report.num_fragments > 0
+    assert report.num_transcripts > 0
+
+    assembled = [
+        s for _, s in fastx.read_fasta(str(tmp_path / "out" / "rnabloom.transcripts.fa"))
+    ]
+    # every source transcript should be covered by some assembled sequence
+    # (>=90% of its length contained, allowing strand flips)
+    recovered = 0
+    for t in transcripts:
+        rc = sequtils.revcomp(t)
+        best = 0
+        for a in assembled:
+            for probe in (t, rc):
+                if probe in a:
+                    best = max(best, len(probe))
+                    continue
+                # longest prefix/suffix containment
+                for frac in (0.95, 0.9):
+                    m = int(len(probe) * frac)
+                    for off in range(0, len(probe) - m + 1, 25):
+                        if probe[off : off + m] in a:
+                            best = max(best, m)
+                            break
+        if best >= 0.9 * len(t):
+            recovered += 1
+    assert recovered >= 4, f"only {recovered}/5 transcripts recovered"
