@@ -61,6 +61,7 @@ class PipelineReport:
     num_fragments: int = 0
     num_transcripts: int = 0
     num_short: int = 0
+    num_nr: int = 0
     fragment_pair_distance: int = -1
     elapsed_s: float = 0.0
 
@@ -109,6 +110,149 @@ def _iter_pair_batches(
             n = 0
     if n:
         yield lbuf[:n], llen[:n], rbuf[:n], rlen[:n]
+
+
+def _run_stage3(
+    state: dbg.GraphState,
+    cfg: dbg.GraphConfig,
+    frag_batch: np.ndarray,
+    frag_len: np.ndarray,
+    covs: np.ndarray,
+    outdir: str,
+    params: PipelineParams,
+    report: "PipelineReport",
+) -> None:
+    """Shared stage-3: stratified transcript assembly + nr reduction."""
+    scfg = BloomConfig(cfg.pkbf.size_log2, cfg.pkbf.num_hash)
+    screen = make_bloom(scfg)
+    tparams = txmod.TranscriptParams(
+        min_transcript_length=params.min_transcript_length,
+        max_walk_len=params.max_walk_len,
+    )
+    order = np.argsort(
+        [
+            -(fragmod.coverage_order_of_magnitude(c) * 1e9 + l)
+            for c, l in zip(covs, frag_len)
+        ]
+    )
+    tx_path = os.path.join(outdir, "rnabloom.transcripts.fa")
+    short_path = os.path.join(outdir, "rnabloom.transcripts.short.fa")
+    n_tx = 0
+    emitted: List[np.ndarray] = []
+    with fastx.FastaWriter(tx_path) as wtx, fastx.FastaWriter(short_path) as wsh:
+        for s in range(0, len(order), 256):
+            idx = order[s : s + 256]
+            txs, shorts, screen = txmod.assemble_transcripts_batch(
+                state, cfg, screen, scfg, frag_batch[idx], frag_len[idx], tparams
+            )
+            for t in txs:
+                wtx.write(f"rnabloom.{n_tx}", sequtils.decode(t.codes), f"l={t.length}")
+                emitted.append(t.codes)
+                n_tx += 1
+                report.num_transcripts += 1
+            for t in shorts:
+                wsh.write(f"rnabloom.s{report.num_short}", sequtils.decode(t.codes))
+                report.num_short += 1
+
+    # nr reduction (reference: minimap2 overlap layout,
+    # OverlapLayoutConsensus.overlapLayout :878; here the length-sorted
+    # screening reduction of GraphUtils.reduceRedundancy)
+    if emitted:
+        keep = txmod.reduce_redundancy(state, cfg, scfg, emitted, tparams)
+        nr_path = os.path.join(outdir, "rnabloom.transcripts.nr.fa")
+        with fastx.FastaWriter(nr_path) as wnr:
+            for j, i in enumerate(keep):
+                wnr.write(f"rnabloom.nr.{j}", sequtils.decode(emitted[i]))
+        report.num_nr = len(keep)
+
+
+def assemble_se(
+    se_paths: Sequence[str],
+    outdir: str,
+    params: PipelineParams,
+    revcomp_flags: Optional[Sequence[bool]] = None,
+) -> "PipelineReport":
+    """Single-end assembly (-sef/-ser): corrected reads become unconnected
+    fragments; transcripts extend with read-pair support only
+    (SingleEndReadExtractor :1935-2036, extendSE :6454)."""
+    t0 = time.time()
+    os.makedirs(outdir, exist_ok=True)
+    report = PipelineReport()
+    k = params.k
+    if revcomp_flags is None:
+        revcomp_flags = [False] * len(se_paths)
+
+    lengths = stage1.sample_read_lengths(se_paths, params.sample_size)
+    d_read, max_tip = stage1.read_length_params(lengths, k, params.min_num_kmer_pairs)
+    read_L = int(max(lengths.max(initial=150), k + d_read + 1))
+
+    cfg = stage1.default_graph_config(
+        k, params.stranded, params.total_mem_bytes, params.num_hash, d_read
+    )
+    s1p = stage1.Stage1Params(
+        k=k, stranded=params.stranded, min_qual=params.min_qual,
+        max_seq_len=max(read_L, 2 * k),
+    )
+    state = dbg.make_graph(cfg, with_rpkbf=True)
+    state, s1_stats = stage1.build_graph(
+        se_paths, cfg, state, s1p, revcomp_flags=revcomp_flags, add_read_pairs=True
+    )
+    report.stage1 = s1_stats
+
+    # stage 2: error-correct reads; each becomes an unconnected fragment
+    ecp = correct.CorrectParams()
+    frag_rows: List[np.ndarray] = []
+    B = params.batch_size
+    buf = np.full((B, read_L), 4, np.uint8)
+    lens = np.zeros(B, np.int32)
+    n = 0
+
+    def flush():
+        nonlocal n
+        if n == 0:
+            return
+        fixed, _ = correct.correct_batch(state, cfg, buf[:n], lens[:n], ecp)
+        for i in range(n):
+            frag_rows.append(fixed[i, : lens[i]].copy())
+        n = 0
+
+    for path, rc in zip(se_paths, revcomp_flags):
+        for _, s, _ in fastx.read_seqs(path):
+            codes = sequtils.encode(s)[:read_L]
+            if rc:
+                codes = sequtils.revcomp_codes(codes)
+            if len(codes) < k:
+                continue
+            buf[n, : len(codes)] = codes
+            buf[n, len(codes):] = 4
+            lens[n] = len(codes)
+            n += 1
+            report.num_pairs += 1
+            if n == B:
+                flush()
+    flush()
+    report.num_fragments = len(frag_rows)
+    if not frag_rows:
+        report.elapsed_s = time.time() - t0
+        return report
+
+    # stage 2b: rebuild counters from corrected reads (no fpkbf)
+    frag_L = read_L
+    state = dbg.GraphState(
+        dbgbf=None, cbf=jnp.zeros_like(state.cbf), rpkbf=state.rpkbf, fpkbf=None
+    )
+    frag_batch = np.full((len(frag_rows), frag_L), 4, np.uint8)
+    frag_len = np.zeros(len(frag_rows), np.int32)
+    for i, r in enumerate(frag_rows):
+        frag_batch[i, : len(r)] = r
+        frag_len[i] = len(r)
+    for s in range(0, len(frag_rows), 1024):
+        state = dbg.build_step(state, cfg, jnp.asarray(frag_batch[s : s + 1024]))
+
+    covs = np.ones(len(frag_rows), np.float32)
+    _run_stage3(state, cfg, frag_batch, frag_len, covs, outdir, params, report)
+    report.elapsed_s = time.time() - t0
+    return report
 
 
 def assemble_pe(
@@ -207,31 +351,8 @@ def assemble_pe(
             state = dbg.add_fragment_pair_kmers(state, cfg, fh, rh, valid)
 
     # ---- stage 3: transcripts, largest coverage stratum first
-    scfg = BloomConfig(cfg.pkbf.size_log2, cfg.pkbf.num_hash)
-    screen = make_bloom(scfg)
-    tparams = txmod.TranscriptParams(
-        min_transcript_length=params.min_transcript_length,
-        max_walk_len=params.max_walk_len,
-    )
-    order = np.argsort(
-        [-(fragmod.coverage_order_of_magnitude(f.min_cov) * 1e9 + f.length) for f in all_frags]
-    )
-    tx_path = os.path.join(outdir, "rnabloom.transcripts.fa")
-    short_path = os.path.join(outdir, "rnabloom.transcripts.short.fa")
-    n_tx = 0
-    with fastx.FastaWriter(tx_path) as wtx, fastx.FastaWriter(short_path) as wsh:
-        for s in range(0, len(order), 256):
-            idx = order[s : s + 256]
-            txs, shorts, screen = txmod.assemble_transcripts_batch(
-                state, cfg, screen, scfg, frag_batch[idx], frag_len[idx], tparams
-            )
-            for t in txs:
-                wtx.write(f"rnabloom.{n_tx}", sequtils.decode(t.codes), f"l={t.length}")
-                n_tx += 1
-                report.num_transcripts += 1
-            for t in shorts:
-                wsh.write(f"rnabloom.s{report.num_short}", sequtils.decode(t.codes))
-                report.num_short += 1
+    covs = np.asarray([f.min_cov for f in all_frags])
+    _run_stage3(state, cfg, frag_batch, frag_len, covs, outdir, params, report)
 
     report.elapsed_s = time.time() - t0
     with open(os.path.join(outdir, "rnabloom.report.json"), "w") as f:

@@ -124,6 +124,38 @@ def screen_represented(
     return out
 
 
+def reduce_redundancy(
+    graph: GraphState,
+    cfg: GraphConfig,
+    scfg: BloomConfig,
+    seqs: List[np.ndarray],
+    params: TranscriptParams,
+    batch: int = 256,
+) -> List[int]:
+    """Length-sorted redundancy reduction (GraphUtils.reduceRedundancy
+    :652-699): longest-first re-screen against a fresh screening filter.
+
+    Returns indices of ``seqs`` that survive (the nr set).
+    """
+    order = sorted(range(len(seqs)), key=lambda i: -len(seqs[i]))
+    screen = filters.make_bloom(scfg)
+    keep: List[int] = []
+    L = max((len(s) for s in seqs), default=0)
+    Lp = 1 << max(8, (max(L, cfg.k) - 1).bit_length())
+    for s0 in range(0, len(order), batch):
+        idx = order[s0 : s0 + batch]
+        codes = np.full((len(idx), Lp), 4, np.uint8)
+        lens = np.zeros(len(idx), np.int32)
+        for j, i in enumerate(idx):
+            codes[j, : len(seqs[i])] = seqs[i]
+            lens[j] = len(seqs[i])
+        rep = screen_represented(screen, scfg, cfg, codes, lens, params)
+        commit = np.where(~rep[:, None], codes, np.uint8(4))
+        screen = screen_add(screen, scfg, cfg, jnp.asarray(commit))
+        keep.extend(i for j, i in enumerate(idx) if not rep[j])
+    return sorted(keep)
+
+
 # ---------------------------------------------------------------------------
 # extendPE — bidirectional pair-guided extension
 # ---------------------------------------------------------------------------

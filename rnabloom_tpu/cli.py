@@ -49,13 +49,6 @@ def main(argv=None) -> int:
     if args.long_reads:
         print("error: the long-read (-long) path is not implemented yet", file=sys.stderr)
         return 2
-    if args.sef or args.ser:
-        print("error: the single-end (-sef/-ser) path is not implemented yet", file=sys.stderr)
-        return 2
-    if not (args.left and args.right):
-        print("error: -left and -right are required for the PE path", file=sys.stderr)
-        return 2
-
     from .assembly import pipeline
 
     params = pipeline.PipelineParams(
@@ -70,10 +63,18 @@ def main(argv=None) -> int:
         bound=args.bound,
         min_transcript_length=args.length,
     )
-    report = pipeline.assemble_pe(
-        args.left, args.right, args.outdir, params,
-        revcomp_left=args.revcomp_left, revcomp_right=args.revcomp_right,
-    )
+    if args.sef or args.ser:
+        paths = list(args.sef or []) + list(args.ser or [])
+        flags = [False] * len(args.sef or []) + [True] * len(args.ser or [])
+        report = pipeline.assemble_se(paths, args.outdir, params, revcomp_flags=flags)
+    elif args.left and args.right:
+        report = pipeline.assemble_pe(
+            args.left, args.right, args.outdir, params,
+            revcomp_left=args.revcomp_left, revcomp_right=args.revcomp_right,
+        )
+    else:
+        print("error: provide -left/-right (PE) or -sef/-ser (SE)", file=sys.stderr)
+        return 2
     print(
         json.dumps(
             {

@@ -541,8 +541,15 @@ def _pair_scores(
         sup = sup & reachable & alive_p
         return sup, jnp.any(reachable & alive_p, axis=-1)
 
-    sup_r, reach_r = class_support(cfg.read_pair_distance, graph.rpkbf)
-    sup_f, reach_f = class_support(cfg.fragment_pair_distance, graph.fpkbf)
+    zero_sup = jnp.zeros(counts_p.shape, bool)
+    if graph.rpkbf is not None and cfg.read_pair_distance > 0:
+        sup_r, reach_r = class_support(cfg.read_pair_distance, graph.rpkbf)
+    else:
+        sup_r, reach_r = zero_sup, jnp.zeros(counts_p.shape[:2], bool)
+    if graph.fpkbf is not None and cfg.fragment_pair_distance > 0:
+        sup_f, reach_f = class_support(cfg.fragment_pair_distance, graph.fpkbf)
+    else:
+        sup_f, reach_f = zero_sup, jnp.zeros(counts_p.shape[:2], bool)
     n_r = jnp.sum(sup_r.astype(jnp.int32), axis=-1)
     n_f = jnp.sum(sup_f.astype(jnp.int32), axis=-1)
     any_sup = sup_r | sup_f

@@ -75,3 +75,42 @@ def test_pe_assembly_recovers_transcripts(tmp_path):
         if best >= 0.9 * len(t):
             recovered += 1
     assert recovered >= 4, f"only {recovered}/5 transcripts recovered"
+
+
+@pytest.mark.slow
+def test_se_assembly(tmp_path):
+    transcripts = [rand_seq(400) for _ in range(3)]
+    path = os.path.join(str(tmp_path), "reads.fq.gz")
+    read_len = 100
+    q = "I" * read_len
+    with gzip.open(path, "wt") as f:
+        rid = 0
+        for t in transcripts:
+            for _ in range(120):
+                s = RNG.integers(0, len(t) - read_len + 1)
+                f.write(f"@r{rid}\n{t[s:s+read_len]}\n+\n{q}\n")
+                rid += 1
+
+    from rnabloom_tpu.assembly import pipeline as pl
+
+    params = pl.PipelineParams(total_mem_bytes=1 << 24, batch_size=256)
+    report = pl.assemble_se([path], str(tmp_path / "out"), params)
+    assert report.num_fragments > 0
+    assert report.num_transcripts > 0
+    assembled = [
+        s for _, s in fastx.read_fasta(str(tmp_path / "out" / "rnabloom.transcripts.fa"))
+    ]
+    recovered = 0
+    for t in transcripts:
+        rc = sequtils.revcomp(t)
+        m = int(len(t) * 0.8)
+        hit = any(
+            t[off : off + m] in a or rc[off : off + m] in a
+            for a in assembled
+            for off in range(0, len(t) - m + 1, 50)
+        )
+        recovered += hit
+    assert recovered >= 2, f"only {recovered}/3 recovered"
+    # nr output exists and is non-empty
+    nr = list(fastx.read_fasta(str(tmp_path / "out" / "rnabloom.transcripts.nr.fa")))
+    assert len(nr) >= 1
