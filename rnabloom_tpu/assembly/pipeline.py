@@ -33,7 +33,7 @@ import numpy as np
 from ..bloom.filters import BloomConfig, CountingConfig, make_bloom
 from ..graph import dbg
 from ..io import fastx
-from ..utils import seq as sequtils
+from ..utils import polya, seq as sequtils
 from . import correct, fragments as fragmod, stage1, transcripts as txmod
 
 
@@ -146,7 +146,17 @@ def _run_stage3(
                 state, cfg, screen, scfg, frag_batch[idx], frag_len[idx], tparams
             )
             for t in txs:
-                wtx.write(f"rnabloom.{n_tx}", sequtils.decode(t.codes), f"l={t.length}")
+                seq = sequtils.decode(t.codes)
+                comment = f"l={t.length}"
+                # poly-A annotation: PAS positions in the header, tail
+                # lowercase-masked (TranscriptWriter :1752-1766)
+                tail = polya.find_polya_tail(t.codes)
+                if tail is not None:
+                    pas = polya.find_pas_positions(seq, tail[0])
+                    if pas:
+                        comment += " pas=" + ",".join(map(str, pas))
+                    seq = seq[: tail[0]] + seq[tail[0] :].lower()
+                wtx.write(f"rnabloom.{n_tx}", seq, comment)
                 emitted.append(t.codes)
                 n_tx += 1
                 report.num_transcripts += 1

@@ -328,6 +328,8 @@ def assemble_transcripts_batch(
     )
     ranges = break_check(graph, cfg, ext, ext_len, orig_s, orig_e, params)
 
+    from . import artifacts
+
     final = np.full((len(keep), params.max_walk_len), 4, np.uint8)
     final_len = np.zeros(len(keep), np.int32)
     for i, r in enumerate(ranges):
@@ -337,8 +339,11 @@ def assemble_transcripts_batch(
         e = min(e, int(ext_len[i]))
         if e - s < cfg.k:
             continue
-        final[i, : e - s] = ext[i, s:e]
-        final_len[i] = e - s
+        seq = artifacts.trim_rc_artifact(ext[i, s:e])
+        if len(seq) < cfg.k:
+            continue
+        final[i, : len(seq)] = seq
+        final_len[i] = len(seq)
 
     # final redundancy re-check (vs earlier batches; the reference's writer
     # also serializes within a batch — here same-batch duplicates are
