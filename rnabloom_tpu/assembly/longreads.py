@@ -1,0 +1,216 @@
+"""Long-read (ONT/PacBio) correction and subsampling.
+
+Stage-2 equivalent of LongReadCorrectionWorker / correctLongSequenceWindowed
+(RNABloom.java:3671-3868, GraphUtils.java:3021-3186): long reads are noisy,
+so their k-mers split into "solid" runs (count >= threshold in the graph
+built from all long reads) separated by error gaps.  Per read:
+
+  1. poly-A/T orientation onto the sense strand (PolyATailFinder),
+  2. low-complexity region splitting,
+  3. solid-segment extraction + graph bridging of short gaps (bounded greedy
+     walk from the left segment anchored by the right segment's first solid
+     k-mer — the windowed re-assembly of correctLongSequenceWindowed),
+  4. zero-coverage splits (assembleValidKmers / findGaps) where bridging
+     fails, emitting the corrected segments.
+
+Also: k-mer-based subsampling (SeqSubsampler.kmerBased :120) — keep a read
+iff any of its k-mers has been seen fewer than ``max_multiplicity`` times,
+tracked in a scratch counting sketch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..bloom import filters
+from ..bloom.filters import CountingConfig
+from ..graph import dbg, traverse
+from ..graph.dbg import GraphConfig, GraphState
+from ..utils import polya, seq as sequtils
+from . import artifacts
+
+
+@dataclass
+class LongReadParams:
+    min_kmer_cov: float = 2.0  # solid k-mer threshold
+    max_gap: int = 200  # bridgeable error gap (bases)
+    min_segment_kmers: int = 5  # min solid run to anchor on
+    min_seq_len: int = 200
+    window: int = 500  # correction window (parity with the reference)
+    batch_size: int = 64
+    orient: bool = True
+
+
+def _solid_runs(solid: np.ndarray, min_run: int) -> List[Tuple[int, int]]:
+    padded = np.concatenate(([False], solid, [False]))
+    d = np.diff(padded.astype(np.int8))
+    starts = np.flatnonzero(d == 1)
+    ends = np.flatnonzero(d == -1)
+    return [(s, e) for s, e in zip(starts, ends) if e - s >= min_run]
+
+
+def correct_batch(
+    graph: GraphState,
+    cfg: GraphConfig,
+    reads: List[np.ndarray],
+    params: LongReadParams,
+) -> List[List[np.ndarray]]:
+    """Correct a batch of long reads; returns corrected segments per read."""
+    k = cfg.k
+    L = max((len(r) for r in reads), default=0)
+    L = max(L, k + 1)
+    B = len(reads)
+    codes = np.full((B, L), 4, np.uint8)
+    for i, r in enumerate(reads):
+        codes[i, : len(r)] = r
+    counts_d, valid_d = dbg.count_step(graph, cfg, jnp.asarray(codes))
+    counts = np.asarray(counts_d)
+    valid = np.asarray(valid_d)
+
+    # collect bridge jobs: (read, left_run_end, right_run_start)
+    per_read_runs: List[List[Tuple[int, int]]] = []
+    bridge_jobs: List[Tuple[int, int, int]] = []
+    for b, r in enumerate(reads):
+        n = max(len(r) - k + 1, 0)
+        solid = (counts[b, :n] >= params.min_kmer_cov) & valid[b, :n]
+        runs = _solid_runs(solid, params.min_segment_kmers)
+        per_read_runs.append(runs)
+        for j in range(len(runs) - 1):
+            gap = runs[j + 1][0] - runs[j][1]
+            if 0 < gap <= params.max_gap:
+                bridge_jobs.append((b, j, j + 1))
+
+    # batched bridge walks (left run tail -> right run head anchor)
+    bridges: dict = {}
+    if bridge_jobs:
+        seeds = np.zeros((len(bridge_jobs), k), np.uint8)
+        anchors = []
+        for i, (b, jl, jr) in enumerate(bridge_jobs):
+            le = per_read_runs[b][jl][1]  # left run end (kmer idx, excl)
+            seeds[i] = reads[b][le - 1 : le - 1 + k]
+            rs = per_read_runs[b][jr][0]
+            anchors.append(reads[b][rs : rs + k])
+        wcfg = traverse.WalkConfig(max_len=k + params.max_gap + k)
+        st = traverse.make_walks(cfg, wcfg, seeds)
+        st = traverse.extend_walks(
+            st, graph, cfg, wcfg, params.min_kmer_cov, params.max_gap + k, mode="greedy"
+        )
+        buf, pos, _ = traverse.harvest(st)
+        for i, (b, jl, jr) in enumerate(bridge_jobs):
+            walk = buf[i, : pos[i]]
+            hit = _find(walk, anchors[i])
+            if hit >= k:
+                bridges[(b, jl)] = ("gap", walk[k:hit])
+            elif hit >= 0:
+                # anchor overlaps the seed tail: trim the right run's head
+                bridges[(b, jl)] = ("overlap", k - hit)
+
+    # stitch per read
+    out: List[List[np.ndarray]] = []
+    for b, r in enumerate(reads):
+        runs = per_read_runs[b]
+        if not runs:
+            out.append([])
+            continue
+        segments: List[np.ndarray] = []
+        cur = [r[runs[0][0] : runs[0][1] + k - 1]]
+        for j in range(len(runs) - 1):
+            nxt = r[runs[j + 1][0] : runs[j + 1][1] + k - 1]
+            fix = bridges.get((b, j))
+            if fix is None:
+                segments.append(np.concatenate(cur))
+                cur = [nxt]
+            elif fix[0] == "gap":
+                cur.append(fix[1])
+                cur.append(nxt)
+            else:  # overlap: drop the duplicated head of the right run
+                trim = fix[1]
+                cur.append(nxt[trim:] if trim < len(nxt) else nxt[:0])
+        segments.append(np.concatenate(cur))
+        out.append([s for s in segments if len(s) >= k])
+    return out
+
+
+def _find(haystack: np.ndarray, needle: np.ndarray) -> int:
+    n, m = len(haystack), len(needle)
+    if m == 0 or n < m:
+        return -1
+    win = np.lib.stride_tricks.sliding_window_view(haystack, m)
+    hits = np.flatnonzero((win == needle).all(axis=1))
+    return int(hits[0]) if len(hits) else -1
+
+
+def correct_long_reads(
+    graph: GraphState,
+    cfg: GraphConfig,
+    reads: List[np.ndarray],
+    params: LongReadParams,
+) -> Tuple[List[np.ndarray], List[bool]]:
+    """Full long-read stage 2 over all reads.
+
+    Returns (corrected sequences, has_polya flags); reads are oriented,
+    low-complexity-split, graph-corrected, and rc-artifact-trimmed.
+    """
+    oriented: List[np.ndarray] = []
+    polya_flags: List[bool] = []
+    for r in reads:
+        if params.orient:
+            r, has_tail, _ = polya.orient_long_read(r)
+        else:
+            has_tail = False
+        for s, e in artifacts.extract_non_low_complexity_segments(
+            r, min_len=params.min_seq_len
+        ):
+            oriented.append(r[s:e])
+            polya_flags.append(has_tail)
+
+    corrected: List[np.ndarray] = []
+    flags: List[bool] = []
+    B = params.batch_size
+    for s in range(0, len(oriented), B):
+        chunk = oriented[s : s + B]
+        segs = correct_batch(graph, cfg, chunk, params)
+        for i, seglist in enumerate(segs):
+            for seg in seglist:
+                seg = artifacts.trim_rc_artifact(seg)
+                if len(seg) >= params.min_seq_len:
+                    corrected.append(seg)
+                    flags.append(polya_flags[s + i])
+    return corrected, flags
+
+
+def subsample_kmer_based(
+    cfg: GraphConfig,
+    reads: List[np.ndarray],
+    max_multiplicity: int = 5,
+    sketch_log2: int = 24,
+) -> List[int]:
+    """Indices of reads kept by k-mer novelty (SeqSubsampler.kmerBased).
+
+    Reads are visited longest-first; a read is kept iff any of its k-mers
+    has been counted < max_multiplicity times, then its k-mers are counted.
+    """
+    from ..ops import nthash
+
+    ccfg = CountingConfig(size_log2=sketch_log2, num_hash=2, scratch_log2=16)
+    counts = filters.make_counting(ccfg)
+    order = sorted(range(len(reads)), key=lambda i: -len(reads[i]))
+    keep: List[int] = []
+    for i in order:
+        r = reads[i]
+        if len(r) < cfg.k:
+            continue
+        codes = jnp.asarray(r[None, :])
+        fh, rh, valid = nthash.rolling_hash(codes, cfg.k, cfg.stranded)
+        base = nthash.canonical(fh, rh)
+        h = nthash.multi_hash(base, cfg.k, ccfg.num_hash)
+        c = np.asarray(filters.counting_count(counts, ccfg, h))[0]
+        v = np.asarray(valid)[0]
+        if (c[v] < max_multiplicity).any():
+            keep.append(i)
+            counts = filters.counting_increment_cm(counts, ccfg, h, valid=valid)
+    return sorted(keep)

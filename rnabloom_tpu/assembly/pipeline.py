@@ -265,6 +265,103 @@ def assemble_se(
     return report
 
 
+def assemble_long(
+    long_paths: Sequence[str],
+    outdir: str,
+    params: PipelineParams,
+    lr_min_cov: float = 2.0,
+    subsample_multiplicity: int = 0,
+) -> "PipelineReport":
+    """Long-read (ONT/PacBio cDNA) assembly (-long path).
+
+    Stages mirror RNABloom.main :7323-7470: graph build over long reads,
+    windowed correction (LongReadCorrectionWorker), optional k-mer-based
+    subsampling, then overlap-layout with the internal minimizer engine in
+    place of the external minimap2/racon pipeline (uniqueOLC,
+    olc/OverlapLayoutConsensus.java:1129-1228).
+    """
+    from ..olc import layout as olc_layout, overlap as olc_overlap
+    from . import longreads as lrmod
+
+    t0 = time.time()
+    os.makedirs(outdir, exist_ok=True)
+    report = PipelineReport()
+    k = params.k
+
+    cfg = stage1.default_graph_config(
+        k, params.stranded, params.total_mem_bytes, params.num_hash, -1, with_pkbf=True
+    )
+    s1p = stage1.Stage1Params(
+        k=k, stranded=params.stranded, min_qual=params.min_qual, max_seq_len=512
+    )
+    state = dbg.make_graph(cfg)
+    state, s1_stats = stage1.build_graph(long_paths, cfg, state, s1p)
+    report.stage1 = s1_stats
+
+    # stage 2: correction
+    raw: List[np.ndarray] = []
+    for path in long_paths:
+        for _, s, _ in fastx.read_seqs(path):
+            codes = sequtils.encode(s)
+            if len(codes) >= k:
+                raw.append(codes)
+    report.num_pairs = len(raw)
+    lrp = lrmod.LongReadParams(min_kmer_cov=lr_min_cov)
+    corrected, polya_flags = lrmod.correct_long_reads(state, cfg, raw, lrp)
+    report.num_fragments = len(corrected)
+    corrected_path = os.path.join(outdir, "rnabloom.longreads.corrected.fa")
+    with fastx.FastaWriter(corrected_path) as w:
+        for i, c in enumerate(corrected):
+            tag = " polya" if polya_flags[i] else ""
+            w.write(f"lr.{i}", sequtils.decode(c), f"l={len(c)}{tag}")
+    if not corrected:
+        report.elapsed_s = time.time() - t0
+        return report
+
+    if subsample_multiplicity > 0:
+        keep = lrmod.subsample_kmer_based(cfg, corrected, subsample_multiplicity)
+        corrected = [corrected[i] for i in keep]
+
+    # stage 3: internal overlap-layout
+    op = olc_overlap.OverlapParams()
+    L = max(len(c) for c in corrected)
+    codes = np.full((len(corrected), L), 4, np.uint8)
+    lens = np.zeros(len(corrected), np.int32)
+    for i, c in enumerate(corrected):
+        codes[i, : len(c)] = c
+        lens[i] = len(c)
+    mins = olc_overlap.extract_minimizers(codes, lens, k, op.w)
+    overlaps = olc_overlap.find_overlaps(mins, lens, op)
+    res = olc_layout.layout_greedy(overlaps, lens, op)
+
+    assembled: List[np.ndarray] = []
+    for path in res.paths:
+        assembled.append(olc_layout.stitch_path(path, corrected))
+    for i in res.singletons:
+        assembled.append(corrected[i])
+
+    # redundancy reduction + length split
+    scfg = BloomConfig(cfg.pkbf.size_log2, cfg.pkbf.num_hash)
+    tparams = txmod.TranscriptParams(
+        min_transcript_length=params.min_transcript_length
+    )
+    keep = txmod.reduce_redundancy(state, cfg, scfg, assembled, tparams)
+    tx_path = os.path.join(outdir, "rnabloom.transcripts.fa")
+    short_path = os.path.join(outdir, "rnabloom.transcripts.short.fa")
+    with fastx.FastaWriter(tx_path) as wtx, fastx.FastaWriter(short_path) as wsh:
+        for j, i in enumerate(keep):
+            seq = sequtils.decode(assembled[i])
+            if len(seq) >= params.min_transcript_length:
+                wtx.write(f"rnabloom.{report.num_transcripts}", seq, f"l={len(seq)}")
+                report.num_transcripts += 1
+            else:
+                wsh.write(f"rnabloom.s{report.num_short}", seq)
+                report.num_short += 1
+
+    report.elapsed_s = time.time() - t0
+    return report
+
+
 def assemble_pe(
     left_path: str,
     right_path: str,

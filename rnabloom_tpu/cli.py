@@ -46,9 +46,6 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
-    if args.long_reads:
-        print("error: the long-read (-long) path is not implemented yet", file=sys.stderr)
-        return 2
     from .assembly import pipeline
 
     params = pipeline.PipelineParams(
@@ -63,7 +60,9 @@ def main(argv=None) -> int:
         bound=args.bound,
         min_transcript_length=args.length,
     )
-    if args.sef or args.ser:
+    if args.long_reads:
+        report = pipeline.assemble_long(args.long_reads, args.outdir, params)
+    elif args.sef or args.ser:
         paths = list(args.sef or []) + list(args.ser or [])
         flags = [False] * len(args.sef or []) + [True] * len(args.ser or [])
         report = pipeline.assemble_se(paths, args.outdir, params, revcomp_flags=flags)

@@ -1,0 +1,147 @@
+"""Long-read correction, subsampling, OLC, and the -long pipeline."""
+
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from rnabloom_tpu.utils import seq as sequtils
+
+RNG = np.random.default_rng(55)
+
+
+def rand_seq(n):
+    return "".join(RNG.choice(list("ACGT"), size=n))
+
+
+def add_noise(seq, rate):
+    out = []
+    for c in seq:
+        r = RNG.random()
+        if r < rate * 0.5:  # substitution
+            out.append("ACGT"[RNG.integers(4)])
+        elif r < rate * 0.75:  # deletion
+            continue
+        else:
+            out.append(c)
+            if r > 1 - rate * 0.25:  # insertion
+                out.append("ACGT"[RNG.integers(4)])
+    return "".join(out)
+
+
+def test_correction_bridges_error_gaps():
+    import jax.numpy as jnp
+
+    from rnabloom_tpu.assembly import longreads as lrmod
+    from rnabloom_tpu.bloom.filters import BloomConfig, CountingConfig
+    from rnabloom_tpu.graph import dbg
+
+    t = rand_seq(1000)
+    cfg = dbg.GraphConfig(
+        k=25, stranded=False,
+        dbgbf=BloomConfig(20, 2),
+        cbf=CountingConfig(20, 2, 18),
+        pkbf=BloomConfig(20, 2),
+    )
+    state = dbg.make_graph(cfg)
+    # clean coverage so the graph holds the truth
+    frags = [t[i : i + 200] for i in range(0, 801, 40)] * 3
+    arr = np.full((len(frags), 200), 4, np.uint8)
+    for i, f in enumerate(frags):
+        arr[i, : len(f)] = sequtils.encode(f)
+    state = dbg.build_step(state, cfg, jnp.asarray(arr))
+
+    # a noisy read: clean flanks with an error patch in the middle
+    noisy = t[100:300] + add_noise(t[300:340], 0.3) + t[340:600]
+    segs = lrmod.correct_batch(
+        state, cfg, [sequtils.encode(noisy)], lrmod.LongReadParams(min_kmer_cov=2)
+    )[0]
+    assert len(segs) >= 1
+    best = max(segs, key=len)
+    # the corrected segment must match the true sequence
+    assert sequtils.decode(best) in t
+    assert len(best) >= 450
+
+
+def test_subsampler_keeps_novel_reads():
+    from rnabloom_tpu.assembly import longreads as lrmod
+    from rnabloom_tpu.bloom.filters import BloomConfig, CountingConfig
+    from rnabloom_tpu.graph import dbg
+
+    cfg = dbg.GraphConfig(
+        k=25, stranded=False,
+        dbgbf=BloomConfig(16, 2), cbf=CountingConfig(16, 2, 14), pkbf=BloomConfig(16, 2),
+    )
+    a, b = rand_seq(400), rand_seq(400)
+    reads = [sequtils.encode(a)] * 10 + [sequtils.encode(b)]
+    keep = lrmod.subsample_kmer_based(cfg, reads, max_multiplicity=3)
+    assert 10 in keep  # the unique read survives
+    assert len(keep) <= 5  # redundant copies dropped
+
+
+def test_overlap_and_layout():
+    from rnabloom_tpu.olc import layout as olc_layout, overlap as olc_overlap
+
+    t = rand_seq(1200)
+    # tiling reads with 300bp overlap
+    reads = [sequtils.encode(t[s : s + 500]) for s in range(0, 701, 200)]
+    # plus one contained read
+    reads.append(sequtils.encode(t[250:550]))
+    L = max(len(r) for r in reads)
+    codes = np.full((len(reads), L), 4, np.uint8)
+    lens = np.zeros(len(reads), np.int32)
+    for i, r in enumerate(reads):
+        codes[i, : len(r)] = r
+        lens[i] = len(r)
+    op = olc_overlap.OverlapParams()
+    mins = olc_overlap.extract_minimizers(codes, lens, 15, op.w)
+    overlaps = olc_overlap.find_overlaps(mins, lens, op)
+    assert len(overlaps) >= 4
+    res = olc_layout.layout_greedy(overlaps, lens, op)
+    assert len(res.contained) >= 1
+    # the main path should cover most reads
+    assert max(len(p) for p in res.paths) >= 3
+    seq = sequtils.decode(olc_layout.stitch_path(max(res.paths, key=len), reads))
+    assert len(seq) >= 900
+    assert seq in t
+
+
+@pytest.mark.slow
+def test_long_pipeline_e2e(tmp_path):
+    from rnabloom_tpu.assembly import pipeline as pl
+    from rnabloom_tpu.io import fastx
+
+    transcripts = [rand_seq(900) + "A" * 15, rand_seq(700)]
+    path = os.path.join(str(tmp_path), "long.fa.gz")
+    with gzip.open(path, "wt") as f:
+        rid = 0
+        for t in transcripts:
+            for _ in range(25):
+                s = RNG.integers(0, max(len(t) - 600, 1))
+                e = min(len(t), s + 600 + RNG.integers(0, 200))
+                read = add_noise(t[s:e], 0.06)
+                if RNG.random() < 0.5:
+                    read = sequtils.revcomp(read)
+                f.write(f">lr{rid}\n{read}\n")
+                rid += 1
+
+    params = pl.PipelineParams(total_mem_bytes=1 << 24, min_transcript_length=200)
+    report = pl.assemble_long([path], str(tmp_path / "out"), params)
+    assert report.num_fragments > 0
+    assert report.num_transcripts > 0
+    assembled = [
+        s.upper() for _, s in fastx.read_fasta(str(tmp_path / "out" / "rnabloom.transcripts.fa"))
+    ]
+    # each transcript should have a long exact match in some assembly
+    rec = 0
+    for t in transcripts:
+        rc = sequtils.revcomp(t)
+        m = 300
+        hit = any(
+            t[off : off + m] in a or rc[off : off + m] in a
+            for a in assembled
+            for off in range(0, len(t) - m + 1, 100)
+        )
+        rec += hit
+    assert rec >= 1, "no transcript recovered from long reads"
