@@ -265,6 +265,131 @@ def assemble_se(
     return report
 
 
+def parse_pool_list(path: str) -> List[Tuple[str, str, str]]:
+    """Parse a -pool READSLIST: '<name> <left> <right>' per line
+    (getPooledReadPaths, RNABloom.java:5066-5224; the sef/ser columns of the
+    reference's table are not yet supported)."""
+    out = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split()
+            if len(parts) < 3:
+                raise ValueError(f"pool list line needs '<name> <left> <right>': {line!r}")
+            out.append((parts[0], parts[1], parts[2]))
+    return out
+
+
+def assemble_pool(
+    readslist_path: str,
+    outdir: str,
+    params: PipelineParams,
+    revcomp_left: bool = False,
+    revcomp_right: bool = True,
+) -> dict:
+    """Pooled multi-sample assembly (-pool): ONE shared graph built from all
+    samples' reads, then per-sample fragment + transcript stages into
+    {outdir}/{sample}/ (RNABloom.main :7203-7322).  Samples are processed in
+    sorted name order, as the reference does."""
+    t0 = time.time()
+    os.makedirs(outdir, exist_ok=True)
+    samples = sorted(parse_pool_list(readslist_path))
+    k = params.k
+
+    all_paths = [p for _, l, r in samples for p in (l, r)]
+    lengths = stage1.sample_read_lengths(all_paths, params.sample_size)
+    d_read, _ = stage1.read_length_params(lengths, k, params.min_num_kmer_pairs)
+    read_L = int(max(lengths.max(initial=150), k + d_read + 1))
+
+    cfg = stage1.default_graph_config(
+        k, params.stranded, params.total_mem_bytes, params.num_hash, d_read
+    )
+    s1p = stage1.Stage1Params(
+        k=k, stranded=params.stranded, min_qual=params.min_qual,
+        max_seq_len=max(read_L, 2 * k),
+    )
+    shared = dbg.make_graph(cfg, with_rpkbf=True)
+    flags = []
+    paths = []
+    for _, l, r in samples:
+        paths += [l, r]
+        flags += [revcomp_left, revcomp_right]
+    shared, s1_stats = stage1.build_graph(
+        paths, cfg, shared, s1p, revcomp_flags=flags, add_read_pairs=True
+    )
+
+    reports = {}
+    fparams = fragmod.FragmentParams(
+        min_overlap=params.min_overlap, bound=params.bound
+    )
+    for name, left, right in samples:
+        sample_dir = os.path.join(outdir, name)
+        os.makedirs(sample_dir, exist_ok=True)
+        report = PipelineReport()
+        report.stage1 = s1_stats
+
+        all_frags: List[fragmod.Fragment] = []
+        frag_lengths: List[int] = []
+        for lb, ll, rb, rl in _iter_pair_batches(
+            left, right, params, k, revcomp_left, revcomp_right, read_L
+        ):
+            report.num_pairs += lb.shape[0]
+            outs = fragmod.assemble_fragments_batch(shared, cfg, lb, ll, rb, rl, fparams)
+            for f in outs:
+                if f is not None:
+                    all_frags.append(f)
+                    frag_lengths.append(f.length)
+        report.num_fragments = len(all_frags)
+        if not all_frags:
+            reports[name] = report
+            continue
+
+        q1, _, q3 = sequtils.quartiles(np.asarray(frag_lengths))
+        d_frag = max(1, int(q1) - k - params.min_num_kmer_pairs)
+        report.fragment_pair_distance = d_frag
+        sample_cfg = dbg.GraphConfig(
+            k=cfg.k, stranded=cfg.stranded, dbgbf=cfg.dbgbf, cbf=cfg.cbf,
+            pkbf=cfg.pkbf, read_pair_distance=cfg.read_pair_distance,
+            fragment_pair_distance=d_frag, exact_counts=cfg.exact_counts,
+        )
+        # per-sample fragment graph: fresh counters + fpkbf; the pooled
+        # rpkbf is shared across samples (copied — build_step donates its
+        # input buffers, and the shared array must survive for later samples)
+        frag_L = int(min(max(f.length for f in all_frags), params.max_walk_len))
+        sample_state = dbg.GraphState(
+            dbgbf=None,
+            cbf=jnp.zeros_like(shared.cbf),
+            rpkbf=jnp.array(shared.rpkbf, copy=True),
+            fpkbf=make_bloom(cfg.pkbf),
+        )
+        frag_batch = np.full((len(all_frags), frag_L), 4, np.uint8)
+        frag_len = np.zeros(len(all_frags), np.int32)
+        for i, f in enumerate(all_frags):
+            n = min(f.length, frag_L)
+            frag_batch[i, :n] = f.codes[:n]
+            frag_len[i] = n
+        for s in range(0, len(all_frags), 1024):
+            chunk = jnp.asarray(frag_batch[s : s + 1024])
+            sample_state = dbg.build_step(sample_state, sample_cfg, chunk)
+            fh, rh, _, valid = dbg.seq_hashes(sample_cfg, chunk)
+            if frag_L - k + 1 > d_frag:
+                sample_state = dbg.add_fragment_pair_kmers(
+                    sample_state, sample_cfg, fh, rh, valid
+                )
+
+        covs = np.asarray([f.min_cov for f in all_frags])
+        _run_stage3(
+            sample_state, sample_cfg, frag_batch, frag_len, covs, sample_dir,
+            params, report,
+        )
+        report.elapsed_s = time.time() - t0
+        reports[name] = report
+
+    return reports
+
+
 def assemble_long(
     long_paths: Sequence[str],
     outdir: str,

@@ -22,6 +22,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-sef", "--sef", help="single-end forward reads", nargs="*")
     p.add_argument("-ser", "--ser", help="single-end reverse reads", nargs="*")
     p.add_argument("-long", "--long", dest="long_reads", nargs="*", help="long reads (ONT)")
+    p.add_argument("-pool", "--pool", help="pooled multi-sample READSLIST file")
     p.add_argument("-o", "--outdir", default="rnabloom_out", help="output directory")
     p.add_argument("-k", "--kmer", type=int, default=25, help="k-mer size [25]")
     p.add_argument("-q", "--qual", type=int, default=3, help="min base quality [3]")
@@ -60,6 +61,14 @@ def main(argv=None) -> int:
         bound=args.bound,
         min_transcript_length=args.length,
     )
+    if args.pool:
+        reports = pipeline.assemble_pool(args.pool, args.outdir, params)
+        print(json.dumps({
+            name: {"pairs": r.num_pairs, "fragments": r.num_fragments,
+                   "transcripts": r.num_transcripts}
+            for name, r in reports.items()
+        }))
+        return 0
     if args.long_reads:
         report = pipeline.assemble_long(args.long_reads, args.outdir, params)
     elif args.sef or args.ser:

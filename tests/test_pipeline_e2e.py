@@ -114,3 +114,33 @@ def test_se_assembly(tmp_path):
     # nr output exists and is non-empty
     nr = list(fastx.read_fasta(str(tmp_path / "out" / "rnabloom.transcripts.nr.fa")))
     assert len(nr) >= 1
+
+
+@pytest.mark.slow
+def test_pooled_assembly(tmp_path):
+    from rnabloom_tpu.assembly import pipeline as pl
+
+    t_shared = rand_seq(450)
+    t_a = rand_seq(450)
+    t_b = rand_seq(450)
+    la, ra = write_pe_fastq([t_shared, t_a], str(tmp_path), n_min=60)
+    os.rename(la, str(tmp_path / "a_1.fq.gz"))
+    os.rename(ra, str(tmp_path / "a_2.fq.gz"))
+    lb, rb = write_pe_fastq([t_shared, t_b], str(tmp_path), n_min=60)
+    os.rename(lb, str(tmp_path / "b_1.fq.gz"))
+    os.rename(rb, str(tmp_path / "b_2.fq.gz"))
+
+    pool = tmp_path / "pool.txt"
+    pool.write_text(
+        f"sampleA {tmp_path}/a_1.fq.gz {tmp_path}/a_2.fq.gz\n"
+        f"sampleB {tmp_path}/b_1.fq.gz {tmp_path}/b_2.fq.gz\n"
+    )
+    params = pl.PipelineParams(total_mem_bytes=1 << 24, batch_size=256, sample_size=100)
+    reports = pl.assemble_pool(str(pool), str(tmp_path / "out"), params)
+    assert set(reports) == {"sampleA", "sampleB"}
+    for name in ("sampleA", "sampleB"):
+        assert reports[name].num_transcripts > 0
+        fa = tmp_path / "out" / name / "rnabloom.transcripts.fa"
+        assert fa.exists()
+        seqs = [s for _, s in fastx.read_fasta(str(fa))]
+        assert len(seqs) >= 1
