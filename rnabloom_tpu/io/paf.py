@@ -1,0 +1,101 @@
+"""PAF (pairwise mapping format) reader/writer.
+
+Maps io/PafReader.java / PafRecord.java / ExtendedPafRecord.java: minimal
+12-column records plus the cg:Z cigar tag used for indel checks.  The
+internal OLC engine emits OverlapRecords; this module provides interop with
+external mappers when present and round-trips the layout's own overlaps.
+"""
+
+from __future__ import annotations
+
+import gzip
+import re
+from dataclasses import dataclass, field
+from typing import Iterator, List, Optional
+
+_CIGAR_RE = re.compile(r"(\d+)([MIDNSHP=X])")
+
+
+@dataclass
+class PafRecord:
+    qname: str
+    qlen: int
+    qstart: int
+    qend: int
+    strand: str  # '+' or '-'
+    tname: str
+    tlen: int
+    tstart: int
+    tend: int
+    num_match: int
+    block_len: int
+    mapq: int
+    tags: dict = field(default_factory=dict)
+
+    @property
+    def cigar(self) -> Optional[str]:
+        return self.tags.get("cg")
+
+    def max_indel(self) -> int:
+        """Largest I/D run in the cigar (PafUtils.hasGoodAlignment :79-104)."""
+        cg = self.cigar
+        if not cg:
+            return 0
+        return max(
+            (int(n) for n, op in _CIGAR_RE.findall(cg) if op in "ID"), default=0
+        )
+
+
+def _open(path: str):
+    if path.endswith(".gz"):
+        return gzip.open(path, "rt")
+    return open(path, "rt")
+
+
+def read_paf(path: str) -> Iterator[PafRecord]:
+    with _open(path) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            yield parse_paf_line(line)
+
+
+def parse_paf_line(line: str) -> PafRecord:
+    parts = line.split("\t")
+    tags = {}
+    for tag in parts[12:]:
+        try:
+            key, typ, val = tag.split(":", 2)
+            tags[key] = val
+        except ValueError:
+            continue
+    return PafRecord(
+        qname=parts[0], qlen=int(parts[1]), qstart=int(parts[2]), qend=int(parts[3]),
+        strand=parts[4], tname=parts[5], tlen=int(parts[6]), tstart=int(parts[7]),
+        tend=int(parts[8]), num_match=int(parts[9]), block_len=int(parts[10]),
+        mapq=int(parts[11]), tags=tags,
+    )
+
+
+def write_paf(path: str, records) -> None:
+    with open(path, "w") as f:
+        for r in records:
+            fields = [
+                r.qname, r.qlen, r.qstart, r.qend, r.strand, r.tname, r.tlen,
+                r.tstart, r.tend, r.num_match, r.block_len, r.mapq,
+            ]
+            line = "\t".join(str(x) for x in fields)
+            for k, v in r.tags.items():
+                typ = "Z" if not str(v).isdigit() else "i"
+                line += f"\t{k}:{typ}:{v}"
+            f.write(line + "\n")
+
+
+def has_good_overlap(r: PafRecord, min_identity: float) -> bool:
+    """PafUtils.hasGoodOverlap: alignment identity over the block."""
+    return r.block_len > 0 and r.num_match / r.block_len >= min_identity
+
+
+def has_good_alignment(r: PafRecord, max_indel: int, min_identity: float) -> bool:
+    return has_good_overlap(r, min_identity) and r.max_indel() <= max_indel

@@ -1,0 +1,119 @@
+"""Sequence/alignment utilities and IO round trips."""
+
+import numpy as np
+
+from rnabloom_tpu.io import fastx, nbits, paf
+from rnabloom_tpu.utils import align, seq as sequtils
+
+RNG = np.random.default_rng(4)
+
+
+def rand_seq(n):
+    return "".join(RNG.choice(list("ACGT"), size=n))
+
+
+def test_banded_edit_distance():
+    a = sequtils.encode("ACGTACGTAC")
+    assert align.banded_edit_distance(a, a) == 0
+    b = sequtils.encode("ACGAACGTAC")  # 1 substitution
+    assert align.banded_edit_distance(a, b) == 1
+    c = sequtils.encode("ACGTACGTACG")  # 1 insertion
+    assert align.banded_edit_distance(a, c) == 1
+    d = sequtils.encode("ACGACGTAC")  # 1 deletion
+    assert align.banded_edit_distance(a, d) == 1
+
+
+def test_percent_identity():
+    s = rand_seq(200)
+    a = sequtils.encode(s)
+    assert align.percent_identity(a, a) == 1.0
+    mutated = list(s)
+    for i in range(0, 200, 20):
+        mutated[i] = "ACGT"[(("ACGT".index(mutated[i])) + 1) % 4]
+    b = sequtils.encode("".join(mutated))
+    pid = align.percent_identity(a, b)
+    assert 0.93 <= pid <= 0.96
+
+
+def test_homopolymer_compress():
+    a = sequtils.encode("AAACCCGGGTTTA")
+    assert sequtils.decode(align.homopolymer_compress(a)) == "ACGTA"
+
+
+def test_intervals():
+    assert align.overlap_size((0, 10), (5, 20)) == 5
+    assert align.merge_intervals([(0, 5), (3, 8), (10, 12)]) == [(0, 8), (10, 12)]
+    assert align.is_dovetail((50, 100), 100, (0, 50), 200, 10)
+
+
+def test_fastq_fasta_roundtrip(tmp_path):
+    fq = str(tmp_path / "x.fq.gz")
+    import gzip
+
+    with gzip.open(fq, "wt") as f:
+        f.write("@r1 extra\nACGTACGT\n+\nIIIIIIII\n@r2\nGGGGCCCC\n+\nIIIIIIII\n")
+    recs = list(fastx.read_fastq(fq))
+    assert recs == [("r1", "ACGTACGT", "IIIIIIII"), ("r2", "GGGGCCCC", "IIIIIIII")]
+    assert fastx.sniff_format(fq) == "fastq"
+
+    fa = str(tmp_path / "y.fa")
+    with fastx.FastaWriter(fa, wrap=4) as w:
+        w.write("a", "ACGTACGTA", "c=1")
+    assert list(fastx.read_fasta(fa)) == [("a", "ACGTACGTA")]
+
+
+def test_nbits_roundtrip(tmp_path):
+    path = str(tmp_path / "f.nbits")
+    seqs = [rand_seq(n) for n in (1, 4, 5, 100)]
+    with nbits.NbitsWriter(path) as w:
+        for s in seqs:
+            w.write(s)
+    assert list(nbits.read_nbits(path)) == seqs
+
+
+def test_paf_roundtrip(tmp_path):
+    rec = paf.PafRecord(
+        qname="q", qlen=100, qstart=0, qend=90, strand="+", tname="t",
+        tlen=120, tstart=10, tend=100, num_match=85, block_len=90, mapq=60,
+        tags={"cg": "40M2D50M"},
+    )
+    path = str(tmp_path / "o.paf")
+    paf.write_paf(path, [rec])
+    back = list(paf.read_paf(path))[0]
+    assert back.qname == "q" and back.tend == 100
+    assert back.max_indel() == 2
+    assert paf.has_good_overlap(back, 0.9)
+    assert paf.has_good_alignment(back, 5, 0.9)
+    assert not paf.has_good_alignment(back, 1, 0.9)
+
+
+def test_banded_vs_full_dp():
+    def full_dp(a, b):
+        n, m = len(a), len(b)
+        D = np.zeros((n + 1, m + 1), np.int32)
+        D[:, 0] = np.arange(n + 1)
+        D[0, :] = np.arange(m + 1)
+        for i in range(1, n + 1):
+            for j in range(1, m + 1):
+                D[i, j] = min(
+                    D[i - 1, j - 1] + (a[i - 1] != b[j - 1]),
+                    D[i - 1, j] + 1,
+                    D[i, j - 1] + 1,
+                )
+        return int(D[n, m])
+
+    for _ in range(30):
+        n = int(RNG.integers(1, 40))
+        a = RNG.integers(0, 4, n).astype(np.uint8)
+        b = a.copy().tolist()
+        for _ in range(int(RNG.integers(0, 5))):
+            op = RNG.integers(3)
+            p = int(RNG.integers(0, max(len(b), 1)))
+            if op == 0 and b:
+                b[p % len(b)] = int(RNG.integers(4))
+            elif op == 1:
+                b.insert(p, int(RNG.integers(4)))
+            elif b:
+                del b[p % len(b)]
+        b = np.asarray(b, np.uint8)
+        assert align.banded_edit_distance(a, b, band=12) == full_dp(a, b)
