@@ -113,7 +113,32 @@ def build_graph(
     if revcomp_flags is None:
         revcomp_flags = [False] * len(paths)
 
+    from ..io import native
+
+    use_native = native.available()
     for path, rc in zip(paths, revcomp_flags):
+        if use_native:
+            # native parse + segment + encode; batches come pre-chunked
+            parsed = 0
+            for codes, lens, parsed in native.read_code_batches(
+                path, B, L, params.min_qual, k
+            ):
+                if rc:
+                    for i in range(codes.shape[0]):
+                        codes[i, : lens[i]] = sequtils.revcomp_codes(codes[i, : lens[i]])
+                        codes[i, lens[i] :] = 4
+                stats.num_segments += codes.shape[0]
+                stats.num_bases += int(lens.sum())
+                if codes.shape[0] < B:
+                    codes = np.concatenate(
+                        [codes, np.full((B - codes.shape[0], L), 4, np.uint8)]
+                    )
+                state = dbg.build_step(
+                    state, cfg, jax.numpy.asarray(codes), add_read_pairs=add_read_pairs
+                )
+                stats.num_batches += 1
+            stats.num_reads += parsed
+            continue
         for is_new_read, seg in _segments_from_file(path, params, rc):
             stats.num_reads += is_new_read
             if seg is None:

@@ -1,0 +1,74 @@
+"""Native C++ reader vs the Python reference reader."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from rnabloom_tpu.io import fastx, native
+from rnabloom_tpu.utils import seq as sequtils
+
+RNG = np.random.default_rng(66)
+
+
+def rand_seq(n):
+    return "".join(RNG.choice(list("ACGT"), size=n))
+
+
+@pytest.fixture(scope="module")
+def have_native():
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+
+
+def test_fastq_parity_with_python(tmp_path, have_native):
+    path = str(tmp_path / "r.fq.gz")
+    reads = []
+    with gzip.open(path, "wt") as f:
+        for i in range(100):
+            n = int(RNG.integers(50, 150))
+            s = rand_seq(n)
+            # random low-quality positions + an occasional N
+            q = list(chr(33 + int(x)) for x in RNG.integers(2, 40, n))
+            s = list(s)
+            if i % 7 == 0:
+                s[n // 2] = "N"
+            s = "".join(s)
+            reads.append((s, "".join(q)))
+            f.write(f"@r{i}\n{s}\n+\n{''.join(q)}\n")
+
+    k, min_qual, L = 25, 3, 96
+    # python reference: segment + chunk
+    expect = []
+    for s, q in reads:
+        codes = sequtils.encode(s)
+        quals = np.frombuffer(q.encode(), np.uint8)
+        for seg in sequtils.segment_read(codes, quals, min_qual, k):
+            for chunk in sequtils.chunk_segments([seg], L, k - 1):
+                expect.append(chunk)
+
+    got = []
+    for codes, lens, parsed in native.read_code_batches(path, 32, L, min_qual, k):
+        for i in range(codes.shape[0]):
+            got.append(codes[i, : lens[i]].copy())
+    assert parsed == 100
+    assert len(got) == len(expect)
+    for g, e in zip(got, expect):
+        np.testing.assert_array_equal(g, e)
+
+
+def test_fasta_multiline(tmp_path, have_native):
+    path = str(tmp_path / "x.fa")
+    s = rand_seq(300)
+    with open(path, "w") as f:
+        f.write(">a desc\n")
+        for i in range(0, 300, 60):
+            f.write(s[i : i + 60] + "\n")
+        f.write(">b\n" + rand_seq(40) + "\n")
+    rows = []
+    for codes, lens, parsed in native.read_code_batches(path, 16, 512, 3, 25):
+        for i in range(codes.shape[0]):
+            rows.append(sequtils.decode(codes[i, : lens[i]]))
+    assert rows[0] == s
+    assert len(rows) == 2
+    assert parsed == 2
