@@ -183,6 +183,43 @@ def correct_long_reads(
     return corrected, flags
 
 
+def subsample_strobemer_based(
+    cfg: GraphConfig,
+    reads: List[np.ndarray],
+    max_multiplicity: int = 5,
+    n: int = 3,
+    w_min: int = 11,
+    w_max: int = 50,
+    sketch_log2: int = 24,
+) -> List[int]:
+    """Strobemer-novelty subsampling (SeqSubsampler.strobemerBased :339):
+    like the k-mer variant but keyed by randstrobe hashes, which tolerate
+    long-read indels between strobes."""
+    from ..ops import nthash, strobemer
+
+    ccfg = CountingConfig(size_log2=sketch_log2, num_hash=2, scratch_log2=16)
+    counts = filters.make_counting(ccfg)
+    order = sorted(range(len(reads)), key=lambda i: -len(reads[i]))
+    keep: List[int] = []
+    min_len = cfg.k + w_max * (n - 2) + w_min
+    for i in order:
+        r = reads[i]
+        if len(r) <= min_len:
+            continue
+        base, ok = strobemer.strobemer_hashes(
+            jnp.asarray(r[None, :]), cfg.k, n, w_min, w_max, stranded=cfg.stranded
+        )
+        h = nthash.multi_hash(base, cfg.k, ccfg.num_hash)
+        c = np.asarray(filters.counting_count(counts, ccfg, h))[0]
+        v = np.asarray(ok)[0]
+        if not v.any():
+            continue
+        if (c[v] < max_multiplicity).any():
+            keep.append(i)
+            counts = filters.counting_increment_cm(counts, ccfg, h, valid=ok)
+    return sorted(keep)
+
+
 def subsample_kmer_based(
     cfg: GraphConfig,
     reads: List[np.ndarray],

@@ -265,6 +265,35 @@ def assemble_se(
     return report
 
 
+def merge_pool(outdir: str, sample_names: Sequence[str], params: PipelineParams) -> int:
+    """-mergepool: concatenate per-sample nr assemblies and reduce redundancy
+    into one merged FASTA (mergePooledAssemblies, RNABloom.java:5473)."""
+    from ..bloom.filters import BloomConfig, CountingConfig
+
+    seqs: List[np.ndarray] = []
+    for name in sample_names:
+        for fname in ("rnabloom.transcripts.nr.fa", "rnabloom.transcripts.fa"):
+            path = os.path.join(outdir, name, fname)
+            if os.path.exists(path):
+                for _, s in fastx.read_fasta(path):
+                    seqs.append(sequtils.encode(s.upper()))
+                break
+    if not seqs:
+        return 0
+    cfg = stage1.default_graph_config(
+        params.k, params.stranded, params.total_mem_bytes, params.num_hash, -1
+    )
+    state = dbg.make_graph(cfg)
+    scfg = BloomConfig(cfg.pkbf.size_log2, cfg.pkbf.num_hash)
+    tparams = txmod.TranscriptParams(min_transcript_length=params.min_transcript_length)
+    keep = txmod.reduce_redundancy(state, cfg, scfg, seqs, tparams)
+    merged = os.path.join(outdir, "rnabloom.transcripts.merged.fa")
+    with fastx.FastaWriter(merged) as w:
+        for j, i in enumerate(keep):
+            w.write(f"rnabloom.merged.{j}", sequtils.decode(seqs[i]))
+    return len(keep)
+
+
 def parse_pool_list(path: str) -> List[Tuple[str, str, str]]:
     """Parse a -pool READSLIST: '<name> <left> <right>' per line
     (getPooledReadPaths, RNABloom.java:5066-5224; the sef/ser columns of the

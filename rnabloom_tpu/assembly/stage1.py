@@ -158,6 +158,40 @@ def build_graph(
     return state, stats
 
 
+def build_graph_autosized(
+    paths: Sequence[str],
+    cfg: dbg.GraphConfig,
+    params: Stage1Params,
+    max_fpr: float = 0.01,
+    max_retries: int = 2,
+    **kwargs,
+) -> Tuple[dbg.GraphState, Stage1Stats, dbg.GraphConfig]:
+    """Stage-1 build with the reference's FPR check / resize / repopulate
+    loop (RNABloom.java:7142-7180): if any filter breaches ``max_fpr``,
+    double every filter and rebuild from the input files."""
+    from ..bloom.filters import BloomConfig, CountingConfig
+    from dataclasses import replace as _replace
+
+    for attempt in range(max_retries + 1):
+        state = dbg.make_graph(cfg, with_rpkbf=kwargs.get("add_read_pairs", False))
+        state, stats = build_graph(paths, cfg, state, params, **kwargs)
+        worst = max(stats.fprs.values()) if stats.fprs else 0.0
+        if worst <= max_fpr or attempt == max_retries:
+            return state, stats, cfg
+        del state
+        cfg = _replace(
+            cfg,
+            dbgbf=BloomConfig(cfg.dbgbf.size_log2 + 1, cfg.dbgbf.num_hash),
+            cbf=CountingConfig(
+                cfg.cbf.size_log2 + 1, cfg.cbf.num_hash, cfg.cbf.scratch_log2
+            ),
+            pkbf=BloomConfig(cfg.pkbf.size_log2 + 1, cfg.pkbf.num_hash)
+            if cfg.pkbf
+            else None,
+        )
+    return state, stats, cfg
+
+
 def default_graph_config(
     k: int,
     stranded: bool,

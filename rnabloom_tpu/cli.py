@@ -24,7 +24,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-long", "--long", dest="long_reads", nargs="*", help="long reads (ONT)")
     p.add_argument("-pool", "--pool", help="pooled multi-sample READSLIST file")
     p.add_argument("-o", "--outdir", default="rnabloom_out", help="output directory")
-    p.add_argument("-k", "--kmer", type=int, default=25, help="k-mer size [25]")
+    p.add_argument("-k", "--kmer", default="25", help="k-mer size, list, or range e.g. '25,26,30-50:5' [25]")
     p.add_argument("-q", "--qual", type=int, default=3, help="min base quality [3]")
     p.add_argument("-stranded", "--stranded", action="store_true", help="strand-specific reads")
     p.add_argument("-revcomp-left", action="store_true", help="reverse-complement left reads")
@@ -40,6 +40,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-hash", "--hash", type=int, default=2, help="hash functions per filter [2]")
     p.add_argument("-batch", "--batch", type=int, default=512, help="stage-2 pair batch size")
     p.add_argument("-t", "--threads", type=int, default=2, help="(accepted for compat; unused)")
+    p.add_argument("-lrpb", "--lrpb", action="store_true", help="long reads are PacBio (preset k=35)")
+    p.add_argument("-sensitive", "--sensitive", action="store_true", help="sensitive preset (lower thresholds)")
+    p.add_argument("-mergepool", "--mergepool", action="store_true", help="merge pooled per-sample assemblies")
+    p.add_argument("-savebf", "--savebf", action="store_true", help="save graph Bloom filters for resume")
+    p.add_argument("-f", "--force", action="store_true", help="overwrite (ignore stage stamps)")
     p.add_argument("--version", action="version", version="rnabloom-tpu 0.1.0")
     return p
 
@@ -48,9 +53,23 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
     from .assembly import pipeline
+    from .utils import kselect
+
+    k_values = kselect.parse_k_spec(str(args.kmer))
+    if len(k_values) > 1:
+        probe_paths = (
+            list(args.long_reads or []) or [p for p in (args.left, args.right) if p]
+            or list(args.sef or []) + list(args.ser or [])
+        )
+        k = kselect.select_k(probe_paths, k_values)
+        print(f"selected k={k} from {k_values}")
+    else:
+        k = k_values[0]
+    if args.long_reads and args.lrpb and str(args.kmer) == "25":
+        k = 35  # PacBio preset (RNABloom.java:6317-6332)
 
     params = pipeline.PipelineParams(
-        k=args.kmer,
+        k=k,
         stranded=args.stranded,
         min_qual=args.qual,
         total_mem_bytes=int(args.mem * (1 << 30)),
@@ -61,8 +80,14 @@ def main(argv=None) -> int:
         bound=args.bound,
         min_transcript_length=args.length,
     )
+    if args.sensitive:
+        # -sensitive meta-flag (RNABloom.java:7033-7038): lower stringency
+        params.min_num_kmer_pairs = max(1, args.pair // 2)
+        params.min_overlap = max(5, args.overlap // 2)
     if args.pool:
         reports = pipeline.assemble_pool(args.pool, args.outdir, params)
+        if args.mergepool:
+            pipeline.merge_pool(args.outdir, sorted(reports), params)
         print(json.dumps({
             name: {"pairs": r.num_pairs, "fragments": r.num_fragments,
                    "transcripts": r.num_transcripts}

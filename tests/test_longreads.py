@@ -145,3 +145,19 @@ def test_long_pipeline_e2e(tmp_path):
         )
         rec += hit
     assert rec >= 1, "no transcript recovered from long reads"
+
+
+def test_strobemer_subsampler():
+    from rnabloom_tpu.assembly import longreads as lrmod
+    from rnabloom_tpu.bloom.filters import BloomConfig, CountingConfig
+    from rnabloom_tpu.graph import dbg
+
+    cfg = dbg.GraphConfig(
+        k=15, stranded=False,
+        dbgbf=BloomConfig(16, 2), cbf=CountingConfig(16, 2, 14), pkbf=BloomConfig(16, 2),
+    )
+    a, b = rand_seq(500), rand_seq(500)
+    reads = [sequtils.encode(a)] * 10 + [sequtils.encode(b)]
+    keep = lrmod.subsample_strobemer_based(cfg, reads, max_multiplicity=3)
+    assert 10 in keep
+    assert len(keep) <= 5

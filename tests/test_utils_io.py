@@ -117,3 +117,25 @@ def test_banded_vs_full_dp():
                 del b[p % len(b)]
         b = np.asarray(b, np.uint8)
         assert align.banded_edit_distance(a, b, band=12) == full_dp(a, b)
+
+
+def test_k_spec_parsing():
+    from rnabloom_tpu.utils import kselect
+
+    assert kselect.parse_k_spec("25") == [25]
+    assert kselect.parse_k_spec("25,26,30-50:5") == [25, 26, 30, 35, 40, 45, 50]
+    assert kselect.parse_k_spec("17-21") == [17, 18, 19, 20, 21]
+
+
+def test_k_selection(tmp_path):
+    from rnabloom_tpu.utils import kselect
+
+    # high-coverage reads: larger k keeps more non-singletons than tiny k?
+    # sanity: selection returns one of the candidates and runs end to end
+    path = str(tmp_path / "r.fa")
+    with open(path, "w") as f:
+        t = rand_seq(500)
+        for i in range(20):
+            f.write(f">r{i}\n{t[i*10:i*10+200]}\n")
+    k = kselect.select_k([path], [17, 25, 33], sample_size=100)
+    assert k in (17, 25, 33)
