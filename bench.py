@@ -29,7 +29,7 @@ def main() -> None:
 
     read_len = 150
     k = 25
-    batch = 8192
+    batch = 16384
     cfg = dbg.GraphConfig(
         k=k,
         stranded=False,
@@ -58,7 +58,7 @@ def main() -> None:
     # timed region ends with a device reduction + host readback so that any
     # runtime-side async completion cannot flatter the number
     t0 = time.time()
-    iters = 128
+    iters = 64
     for i in range(iters):
         state = dbg.build_step(state, cfg, batches[i % len(batches)], add_read_pairs=True)
     popcount = nonzero_cells(state.cbf)

@@ -516,6 +516,86 @@ def assemble_long(
     return report
 
 
+def _finish_pe_stage3(
+    state: dbg.GraphState,
+    cfg: dbg.GraphConfig,
+    all_frags: List["fragmod.Fragment"],
+    outdir: str,
+    params: PipelineParams,
+    report: "PipelineReport",
+) -> None:
+    """Stage 2b (fragment-graph rebuild) + stage 3 for the PE path."""
+    from ..utils import checkpoint as ckpt
+
+    k = cfg.k
+    d_frag = cfg.fragment_pair_distance
+    frag_L = int(min(max(f.length for f in all_frags), params.max_walk_len))
+    state = dbg.GraphState(
+        dbgbf=None,
+        cbf=jnp.zeros_like(state.cbf),
+        rpkbf=state.rpkbf,
+        fpkbf=make_bloom(cfg.pkbf),
+    )
+    frag_batch = np.full((len(all_frags), frag_L), 4, np.uint8)
+    frag_len = np.zeros(len(all_frags), np.int32)
+    for i, f in enumerate(all_frags):
+        n = min(f.length, frag_L)
+        frag_batch[i, :n] = f.codes[:n]
+        frag_len[i] = n
+    for s in range(0, len(all_frags), 1024):
+        chunk = jnp.asarray(frag_batch[s : s + 1024])
+        state = dbg.build_step(state, cfg, chunk, add_read_pairs=False)
+        fh, rh, _, valid = dbg.seq_hashes(cfg, chunk)
+        if frag_L - k + 1 > d_frag:
+            state = dbg.add_fragment_pair_kmers(state, cfg, fh, rh, valid)
+
+    covs = np.asarray([f.min_cov for f in all_frags])
+    _run_stage3(state, cfg, frag_batch, frag_len, covs, outdir, params, report)
+    ckpt.touch_stamp(outdir, ckpt.STAMP_TRANSCRIPTS_DONE)
+    ckpt.touch_stamp(outdir, ckpt.STAMP_TRANSCRIPTS_NR_DONE)
+
+
+def _save_fragments(outdir: str, frags: List["fragmod.Fragment"]) -> None:
+    """Persist stage-2 fragments, stratified by coverage magnitude
+    (FragmentWriterWorker's E0..E5 .nbits files, RNABloom.java:4214-4301)."""
+    from ..io import nbits
+
+    frag_dir = os.path.join(outdir, "fragments")
+    os.makedirs(frag_dir, exist_ok=True)
+    by_mag: dict = {}
+    for f in frags:
+        by_mag.setdefault(fragmod.coverage_order_of_magnitude(f.min_cov), []).append(f)
+    meta = {}
+    for mag, fl in by_mag.items():
+        path = os.path.join(frag_dir, f"fragments.E{mag}.nbits")
+        with nbits.NbitsWriter(path) as w:
+            for f in fl:
+                w.write(sequtils.decode(f.codes))
+        meta[f"E{mag}"] = {"count": len(fl), "min_covs": [f.min_cov for f in fl]}
+    with open(os.path.join(frag_dir, "fragments.meta.json"), "w") as fh:
+        json.dump(meta, fh)
+
+
+def _load_fragments(outdir: str) -> Optional[List["fragmod.Fragment"]]:
+    from ..io import nbits
+
+    frag_dir = os.path.join(outdir, "fragments")
+    meta_path = os.path.join(frag_dir, "fragments.meta.json")
+    if not os.path.exists(meta_path):
+        return None
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    out: List[fragmod.Fragment] = []
+    for key, info in meta.items():
+        path = os.path.join(frag_dir, f"fragments.{key}.nbits")
+        for seq, mc in zip(nbits.read_nbits(path), info["min_covs"]):
+            codes = sequtils.encode(seq)
+            out.append(
+                fragmod.Fragment(codes=codes, min_cov=mc, length=len(codes), connected=True)
+            )
+    return out
+
+
 def assemble_pe(
     left_path: str,
     right_path: str,
@@ -523,12 +603,40 @@ def assemble_pe(
     params: PipelineParams,
     revcomp_left: bool = False,
     revcomp_right: bool = True,
+    save_graph: bool = False,
+    force: bool = False,
 ) -> PipelineReport:
-    """Bulk paired-end assembly -> {outdir}/rnabloom.transcripts.fa."""
+    """Bulk paired-end assembly -> {outdir}/rnabloom.transcripts.fa.
+
+    With ``save_graph`` the stage-1 filters are checkpointed and reruns
+    resume from stage stamps (the reference's -savebf + stamp protocol,
+    RNABloom.java:7060-7080); ``force`` ignores existing stamps.
+    """
+    from ..utils import checkpoint as ckpt
+
     t0 = time.time()
     os.makedirs(outdir, exist_ok=True)
+    if force:
+        ckpt.clear_stamps(outdir)
+    ckpt.touch_stamp(outdir, ckpt.STAMP_STARTED)
+    graph_prefix = os.path.join(outdir, "rnabloom.graph")
     report = PipelineReport()
     k = params.k
+
+    # resume: stage 1 + 2 complete with a saved graph -> jump to stage 3
+    if (
+        not force
+        and ckpt.has_stamp(outdir, ckpt.STAMP_FRAGMENTS_DONE)
+        and os.path.exists(graph_prefix + ".graph.json")
+    ):
+        frags = _load_fragments(outdir)
+        if frags:
+            state, cfg = ckpt.load_graph(graph_prefix)
+            report.num_fragments = len(frags)
+            report.fragment_pair_distance = cfg.fragment_pair_distance
+            _finish_pe_stage3(state, cfg, frags, outdir, params, report)
+            report.elapsed_s = time.time() - t0
+            return report
 
     # ---- stage 0: read length params
     lengths = stage1.sample_read_lengths([left_path, right_path], params.sample_size)
@@ -589,32 +697,15 @@ def assemble_pe(
         fragment_pair_distance=d_frag, exact_counts=cfg.exact_counts,
     )
 
-    # ---- stage 2b: rebuild graph from fragments (fresh counters + fpkbf;
-    # rpkbf from reads is kept)
-    frag_L = int(min(max(f.length for f in all_frags), params.max_walk_len))
-    state = dbg.GraphState(
-        dbgbf=None,
-        cbf=jnp.zeros_like(state.cbf),
-        rpkbf=state.rpkbf,
-        fpkbf=make_bloom(cfg.pkbf),
-    )
-    frag_batch = np.full((len(all_frags), frag_L), 4, np.uint8)
-    frag_len = np.zeros(len(all_frags), np.int32)
-    for i, f in enumerate(all_frags):
-        n = min(f.length, frag_L)
-        frag_batch[i, :n] = f.codes[:n]
-        frag_len[i] = n
-    for s in range(0, len(all_frags), 1024):
-        chunk = jnp.asarray(frag_batch[s : s + 1024])
-        state = dbg.build_step(state, cfg, chunk, add_read_pairs=False)
-        fh, rh, _, valid = dbg.seq_hashes(cfg, chunk)
-        if frag_L - k + 1 > d_frag:
-            state = dbg.add_fragment_pair_kmers(state, cfg, fh, rh, valid)
+    from ..utils import checkpoint as ckpt
 
-    # ---- stage 3: transcripts, largest coverage stratum first
-    covs = np.asarray([f.min_cov for f in all_frags])
-    _run_stage3(state, cfg, frag_batch, frag_len, covs, outdir, params, report)
+    _save_fragments(outdir, all_frags)
+    if save_graph:
+        ckpt.save_graph(graph_prefix, state, cfg)
+        ckpt.update_fragment_distance(graph_prefix, d_frag)
+    ckpt.touch_stamp(outdir, ckpt.STAMP_FRAGMENTS_DONE)
 
+    _finish_pe_stage3(state, cfg, all_frags, outdir, params, report)
     report.elapsed_s = time.time() - t0
     with open(os.path.join(outdir, "rnabloom.report.json"), "w") as f:
         json.dump(

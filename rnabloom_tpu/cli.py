@@ -104,6 +104,7 @@ def main(argv=None) -> int:
         report = pipeline.assemble_pe(
             args.left, args.right, args.outdir, params,
             revcomp_left=args.revcomp_left, revcomp_right=args.revcomp_right,
+            save_graph=args.savebf, force=args.force,
         )
     else:
         print("error: provide -left/-right (PE) or -sef/-ser (SE)", file=sys.stderr)

@@ -144,3 +144,24 @@ def test_pooled_assembly(tmp_path):
         assert fa.exists()
         seqs = [s for _, s in fastx.read_fasta(str(fa))]
         assert len(seqs) >= 1
+
+
+@pytest.mark.slow
+def test_pe_resume_from_stamps(tmp_path):
+    from rnabloom_tpu.assembly import pipeline as pl
+    from rnabloom_tpu.utils import checkpoint as ckpt
+
+    transcripts = [rand_seq(450) for _ in range(3)]
+    left, right = write_pe_fastq(transcripts, str(tmp_path), n_min=60)
+    out = str(tmp_path / "out")
+    params = pl.PipelineParams(total_mem_bytes=1 << 24, batch_size=256, sample_size=100)
+    r1 = pl.assemble_pe(left, right, out, params, save_graph=True)
+    assert r1.num_transcripts > 0
+    assert ckpt.has_stamp(out, ckpt.STAMP_FRAGMENTS_DONE)
+    assert ckpt.has_stamp(out, ckpt.STAMP_TRANSCRIPTS_DONE)
+
+    # resume: stage 1/2 skipped (num_pairs stays 0), same transcript count
+    r2 = pl.assemble_pe(left, right, out, params)
+    assert r2.num_pairs == 0
+    assert r2.num_fragments == r1.num_fragments
+    assert r2.num_transcripts > 0
