@@ -34,6 +34,7 @@ from ..bloom.filters import BloomConfig, CountingConfig, make_bloom
 from ..graph import dbg
 from ..io import fastx
 from ..utils import polya, seq as sequtils
+from ..utils.timer import Timer
 from . import correct, fragments as fragmod, stage1, transcripts as txmod
 
 
@@ -52,6 +53,7 @@ class PipelineParams:
     min_transcript_length: int = 200
     max_walk_len: int = 4096
     min_fragment_cov: float = 0.0
+    verbose: bool = False
 
 
 @dataclass
@@ -621,6 +623,7 @@ def assemble_pe(
     ckpt.touch_stamp(outdir, ckpt.STAMP_STARTED)
     graph_prefix = os.path.join(outdir, "rnabloom.graph")
     report = PipelineReport()
+    timer = Timer(quiet=not params.verbose)
     k = params.k
 
     # resume: stage 1 + 2 complete with a saved graph -> jump to stage 3
@@ -648,6 +651,7 @@ def assemble_pe(
     )
 
     # ---- stage 1: graph build (right mates revcomp'd onto forward strand)
+    timer.start("stage 1: de Bruijn graph construction")
     s1p = stage1.Stage1Params(
         k=k, stranded=params.stranded, min_qual=params.min_qual,
         max_seq_len=max(read_L, 2 * k),
@@ -661,8 +665,13 @@ def assemble_pe(
     s1_stats.read_pair_distance = d_read
     s1_stats.max_tip_length = max_tip
     report.stage1 = s1_stats
+    timer.done(
+        "graph built",
+        f"{s1_stats.num_segments} segments, FPRs {s1_stats.fprs}",
+    )
 
     # ---- stage 2: fragments
+    timer.start("stage 2: fragment assembly")
     fparams = fragmod.FragmentParams(
         min_overlap=params.min_overlap, bound=params.bound,
     )
@@ -697,6 +706,7 @@ def assemble_pe(
         fragment_pair_distance=d_frag, exact_counts=cfg.exact_counts,
     )
 
+    timer.done("fragments assembled", f"{len(all_frags)}/{report.num_pairs} pairs connected")
     from ..utils import checkpoint as ckpt
 
     _save_fragments(outdir, all_frags)
@@ -705,7 +715,9 @@ def assemble_pe(
         ckpt.update_fragment_distance(graph_prefix, d_frag)
     ckpt.touch_stamp(outdir, ckpt.STAMP_FRAGMENTS_DONE)
 
+    timer.start("stage 3: transcript assembly")
     _finish_pe_stage3(state, cfg, all_frags, outdir, params, report)
+    timer.done("transcripts assembled", f"{report.num_transcripts} transcripts, {report.num_nr} nr")
     report.elapsed_s = time.time() - t0
     with open(os.path.join(outdir, "rnabloom.report.json"), "w") as f:
         json.dump(

@@ -80,6 +80,7 @@ def main(argv=None) -> int:
         bound=args.bound,
         min_transcript_length=args.length,
     )
+    params.verbose = True
     if args.sensitive:
         # -sensitive meta-flag (RNABloom.java:7033-7038): lower stringency
         params.min_num_kmer_pairs = max(1, args.pair // 2)

@@ -520,8 +520,10 @@ def _pair_scores(
     def class_support(dist: int, pkbf_lanes):
         # partner k-mer ends at buffer position pos - dist + j
         end_pos = state.pos[:, None, None] - dist + j[None, None, :]
+        # a ring slot is live only for the last R-1 written positions
+        # (distance exactly R aliases the newest entry)
         reachable = (end_pos >= cfg.k - 1) & (
-            state.pos[:, None, None] - end_pos <= R
+            state.pos[:, None, None] - end_pos < R
         )
         slot = jnp.where(reachable, end_pos % R, 0).astype(jnp.int32)
         rows = jnp.arange(W)[:, None, None]
