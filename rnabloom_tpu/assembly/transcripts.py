@@ -86,6 +86,7 @@ def screen_represented(
     codes: np.ndarray,
     lengths: np.ndarray,
     params: TranscriptParams,
+    chimera_out: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Per row: already represented by previously assembled sequence?
 
@@ -93,7 +94,13 @@ def screen_represented(
     redundant when >= screen_min_frac of its k-mers are in the screening
     filter and no unseen run exceeds screen_max_gap (the reference re-walks
     gaps through the graph with a percent-identity check).
+
+    When ``chimera_out`` is given, rows whose seen-profile matches the
+    chimera signature (two fully assembled arms joined by a short
+    unsupported junction, isChimera :7674) are flagged there.
     """
+    from . import artifacts
+
     seen, valid = _screen_lookup(screen, scfg, cfg, jnp.asarray(codes))
     seen = np.asarray(seen)
     valid = np.asarray(valid)
@@ -101,6 +108,10 @@ def screen_represented(
     gap_max = params.screen_max_gap or k
     out = np.zeros(codes.shape[0], bool)
     for b in range(codes.shape[0]):
+        if chimera_out is not None:
+            n0 = max(int(lengths[b]) - k + 1, 0)
+            if n0 > 0 and artifacts.is_chimera(seen[b, :n0], valid[b, :n0], k):
+                chimera_out[b] = True
         n = max(int(lengths[b]) - k + 1, 0)
         if n == 0:
             out[b] = True
@@ -314,8 +325,9 @@ def assemble_transcripts_batch(
 ) -> Tuple[List[Transcript], List[Transcript], jax.Array]:
     """Returns (transcripts, short_transcripts, updated screening filter)."""
     B, L = frags.shape
-    rep = screen_represented(screen, scfg, cfg, frags, lens, params)
-    keep = np.flatnonzero(~rep)
+    chimera = np.zeros(B, bool)
+    rep = screen_represented(screen, scfg, cfg, frags, lens, params, chimera_out=chimera)
+    keep = np.flatnonzero(~rep & ~chimera)
     transcripts: List[Transcript] = []
     shorts: List[Transcript] = []
     if len(keep) == 0:
