@@ -607,12 +607,18 @@ def assemble_pe(
     revcomp_right: bool = True,
     save_graph: bool = False,
     force: bool = False,
+    sef_paths: Sequence[str] = (),
+    ser_paths: Sequence[str] = (),
 ) -> PipelineReport:
     """Bulk paired-end assembly -> {outdir}/rnabloom.transcripts.fa.
 
     With ``save_graph`` the stage-1 filters are checkpointed and reruns
     resume from stage stamps (the reference's -savebf + stamp protocol,
     RNABloom.java:7060-7080); ``force`` ignores existing stamps.
+    ``sef_paths``/``ser_paths`` mix unpaired reads into the run: they join
+    the stage-1 graph and contribute error-corrected unconnected fragments
+    (the reference's -sef/-ser alongside -left/-right,
+    SingleEndReadExtractor :1935-2036).
     """
     from ..utils import checkpoint as ckpt
 
@@ -658,8 +664,10 @@ def assemble_pe(
     )
     state = dbg.make_graph(cfg, with_rpkbf=True)
     state, s1_stats = stage1.build_graph(
-        [left_path, right_path], cfg, state, s1p,
-        revcomp_flags=[revcomp_left, revcomp_right],
+        [left_path, right_path] + list(sef_paths) + list(ser_paths), cfg, state, s1p,
+        revcomp_flags=[revcomp_left, revcomp_right]
+        + [False] * len(sef_paths)
+        + [True] * len(ser_paths),
         add_read_pairs=True,
     )
     s1_stats.read_pair_distance = d_read
@@ -705,6 +713,52 @@ def assemble_pe(
         pkbf=cfg.pkbf, read_pair_distance=cfg.read_pair_distance,
         fragment_pair_distance=d_frag, exact_counts=cfg.exact_counts,
     )
+
+    # mixed input: unpaired reads become error-corrected unconnected fragments
+    if sef_paths or ser_paths:
+        ecp = correct.CorrectParams()
+        for path, rc in [(p, False) for p in sef_paths] + [(p, True) for p in ser_paths]:
+            buf = np.full((params.batch_size, read_L), 4, np.uint8)
+            lens = np.zeros(params.batch_size, np.int32)
+            n = 0
+
+            def flush_se(n):
+                if n == 0:
+                    return
+                fixed, _ = correct.correct_batch(state, cfg, buf[:n], lens[:n], ecp)
+                counts_d, valid_d = dbg.count_step(state, cfg, jnp.asarray(fixed))
+                counts_np = np.asarray(counts_d)
+                valid_np = np.asarray(valid_d)
+                for i in range(n):
+                    nk = lens[i] - k + 1
+                    v = valid_np[i, :nk]
+                    if nk <= 0 or not v.any():
+                        continue
+                    mc = float(counts_np[i, :nk][v].min())
+                    all_frags.append(
+                        fragmod.Fragment(
+                            codes=fixed[i, : lens[i]].copy(), min_cov=mc,
+                            length=int(lens[i]), connected=False,
+                        )
+                    )
+                    frag_lengths.append(int(lens[i]))
+
+            for _, rs, _ in fastx.read_seqs(path):
+                codes_r = sequtils.encode(rs)[:read_L]
+                if rc:
+                    codes_r = sequtils.revcomp_codes(codes_r)
+                if len(codes_r) < k:
+                    continue
+                buf[n, : len(codes_r)] = codes_r
+                buf[n, len(codes_r) :] = 4
+                lens[n] = len(codes_r)
+                n += 1
+                report.num_pairs += 1
+                if n == params.batch_size:
+                    flush_se(n)
+                    n = 0
+            flush_se(n)
+        report.num_fragments = len(all_frags)
 
     timer.done("fragments assembled", f"{len(all_frags)}/{report.num_pairs} pairs connected")
     from ..utils import checkpoint as ckpt

@@ -97,16 +97,17 @@ def main(argv=None) -> int:
         return 0
     if args.long_reads:
         report = pipeline.assemble_long(args.long_reads, args.outdir, params)
-    elif args.sef or args.ser:
-        paths = list(args.sef or []) + list(args.ser or [])
-        flags = [False] * len(args.sef or []) + [True] * len(args.ser or [])
-        report = pipeline.assemble_se(paths, args.outdir, params, revcomp_flags=flags)
     elif args.left and args.right:
         report = pipeline.assemble_pe(
             args.left, args.right, args.outdir, params,
             revcomp_left=args.revcomp_left, revcomp_right=args.revcomp_right,
             save_graph=args.savebf, force=args.force,
+            sef_paths=args.sef or [], ser_paths=args.ser or [],
         )
+    elif args.sef or args.ser:
+        paths = list(args.sef or []) + list(args.ser or [])
+        flags = [False] * len(args.sef or []) + [True] * len(args.ser or [])
+        report = pipeline.assemble_se(paths, args.outdir, params, revcomp_flags=flags)
     else:
         print("error: provide -left/-right (PE) or -sef/-ser (SE)", file=sys.stderr)
         return 2

@@ -165,3 +165,40 @@ def test_pe_resume_from_stamps(tmp_path):
     assert r2.num_pairs == 0
     assert r2.num_fragments == r1.num_fragments
     assert r2.num_transcripts > 0
+
+
+@pytest.mark.slow
+def test_mixed_pe_se_assembly(tmp_path):
+    from rnabloom_tpu.assembly import pipeline as pl
+
+    t_pe = rand_seq(450)
+    t_se = rand_seq(450)
+    left, right = write_pe_fastq([t_pe], str(tmp_path), n_min=80)
+    se = str(tmp_path / "se.fq.gz")
+    q = "I" * 100
+    with gzip.open(se, "wt") as f:
+        for i in range(150):
+            s = RNG.integers(0, len(t_se) - 100 + 1)
+            f.write(f"@se{i}\n{t_se[s:s+100]}\n+\n{q}\n")
+
+    params = pl.PipelineParams(total_mem_bytes=1 << 24, batch_size=256, sample_size=100)
+    report = pl.assemble_pe(
+        left, right, str(tmp_path / "out"), params, sef_paths=[se]
+    )
+    assert report.num_transcripts > 0
+    # SE reads contribute unconnected fragments (on top of the PE pairs)
+    assert report.num_fragments > 80
+    assembled = [
+        s.upper() for _, s in fastx.read_fasta(str(tmp_path / "out" / "rnabloom.transcripts.fa"))
+    ]
+    # the PE transcript must be recovered; SE-only regions lack fragment-pair
+    # support and are dropped by the break check in a PE run — the
+    # reference's breakWithFragPairedKmers does the same
+    # (RNABloom.java:1857-1880)
+    rc = sequtils.revcomp(t_pe)
+    m = int(len(t_pe) * 0.7)
+    assert any(
+        t_pe[off : off + m] in a or rc[off : off + m] in a
+        for a in assembled
+        for off in range(0, len(t_pe) - m + 1, 50)
+    ), "PE transcript not recovered in mixed run"
