@@ -43,6 +43,7 @@ class PipelineParams:
     k: int = 25
     stranded: bool = False
     min_qual: int = 3
+    min_avg_qual: int = 0  # -Q/qual-avg: whole-read average quality gate
     total_mem_bytes: int = 1 << 30
     num_hash: int = 2
     batch_size: int = 512  # read pairs per stage-2 batch
@@ -68,6 +69,15 @@ class PipelineReport:
     elapsed_s: float = 0.0
 
 
+def _avg_qual_ok(qual: Optional[str], min_avg: int) -> bool:
+    """Whole-read average base quality gate (-Q/qual-avg,
+    FastqFilteredReader's min-avg-qual check)."""
+    if qual is None or not qual:
+        return True
+    q = np.frombuffer(qual.encode("ascii"), np.uint8)
+    return float(q.mean()) - 33.0 >= min_avg
+
+
 def _iter_pair_batches(
     left_path: str,
     right_path: str,
@@ -89,6 +99,10 @@ def _iter_pair_batches(
     rlen = np.zeros(B, np.int32)
     n = 0
     for (ln, ls, lq), (rn, rs, rq) in fastx.read_paired(left_path, right_path):
+        if params.min_avg_qual > 0 and not (
+            _avg_qual_ok(lq, params.min_avg_qual) and _avg_qual_ok(rq, params.min_avg_qual)
+        ):
+            continue
         lcodes = sequtils.encode(ls)[:L]
         rcodes = sequtils.encode(rs)[:L]
         if revcomp_left:
@@ -525,8 +539,13 @@ def _finish_pe_stage3(
     outdir: str,
     params: PipelineParams,
     report: "PipelineReport",
+    ref_paths: Sequence[str] = (),
 ) -> None:
-    """Stage 2b (fragment-graph rebuild) + stage 3 for the PE path."""
+    """Stage 2b (fragment-graph rebuild) + stage 3 for the PE path.
+
+    ``ref_paths``: reference transcript FASTAs whose k-mers and fragment
+    pairs augment the fragment graph (-ref, populateGraphFromFragments
+    refFastas branch, RNABloom.java:1553-1560)."""
     from ..utils import checkpoint as ckpt
 
     k = cfg.k
@@ -550,6 +569,22 @@ def _finish_pe_stage3(
         fh, rh, _, valid = dbg.seq_hashes(cfg, chunk)
         if frag_L - k + 1 > d_frag:
             state = dbg.add_fragment_pair_kmers(state, cfg, fh, rh, valid)
+
+    # -ref augmentation: add reference transcript k-mers + fragment pairs
+    for rp in ref_paths:
+        for _, rseq in fastx.read_fasta(rp):
+            codes_r = sequtils.encode(rseq.upper())
+            if len(codes_r) < k:
+                continue
+            for s0 in range(0, len(codes_r), params.max_walk_len - k + 1):
+                chunk_np = np.full((1, params.max_walk_len), 4, np.uint8)
+                piece = codes_r[s0 : s0 + params.max_walk_len]
+                chunk_np[0, : len(piece)] = piece
+                chunk = jnp.asarray(chunk_np)
+                state = dbg.build_step(state, cfg, chunk)
+                fh, rh, _, valid = dbg.seq_hashes(cfg, chunk)
+                if params.max_walk_len - k + 1 > d_frag:
+                    state = dbg.add_fragment_pair_kmers(state, cfg, fh, rh, valid)
 
     covs = np.asarray([f.min_cov for f in all_frags])
     _run_stage3(state, cfg, frag_batch, frag_len, covs, outdir, params, report)
@@ -609,6 +644,7 @@ def assemble_pe(
     force: bool = False,
     sef_paths: Sequence[str] = (),
     ser_paths: Sequence[str] = (),
+    ref_paths: Sequence[str] = (),
 ) -> PipelineReport:
     """Bulk paired-end assembly -> {outdir}/rnabloom.transcripts.fa.
 
@@ -770,7 +806,7 @@ def assemble_pe(
     ckpt.touch_stamp(outdir, ckpt.STAMP_FRAGMENTS_DONE)
 
     timer.start("stage 3: transcript assembly")
-    _finish_pe_stage3(state, cfg, all_frags, outdir, params, report)
+    _finish_pe_stage3(state, cfg, all_frags, outdir, params, report, ref_paths=ref_paths)
     timer.done("transcripts assembled", f"{report.num_transcripts} transcripts, {report.num_nr} nr")
     report.elapsed_s = time.time() - t0
     with open(os.path.join(outdir, "rnabloom.report.json"), "w") as f:

@@ -23,9 +23,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-ser", "--ser", help="single-end reverse reads", nargs="*")
     p.add_argument("-long", "--long", dest="long_reads", nargs="*", help="long reads (ONT)")
     p.add_argument("-pool", "--pool", help="pooled multi-sample READSLIST file")
+    p.add_argument("-ref", "--ref", nargs="*", help="reference transcripts to augment the graph")
     p.add_argument("-o", "--outdir", default="rnabloom_out", help="output directory")
     p.add_argument("-k", "--kmer", default="25", help="k-mer size, list, or range e.g. '25,26,30-50:5' [25]")
     p.add_argument("-q", "--qual", type=int, default=3, help="min base quality [3]")
+    p.add_argument("-Q", "--qual-avg", dest="qual_avg", type=int, default=0, help="min average read quality [0]")
     p.add_argument("-stranded", "--stranded", action="store_true", help="strand-specific reads")
     p.add_argument("-revcomp-left", action="store_true", help="reverse-complement left reads")
     p.add_argument(
@@ -72,6 +74,7 @@ def main(argv=None) -> int:
         k=k,
         stranded=args.stranded,
         min_qual=args.qual,
+        min_avg_qual=args.qual_avg,
         total_mem_bytes=int(args.mem * (1 << 30)),
         num_hash=args.hash,
         batch_size=args.batch,
@@ -103,6 +106,7 @@ def main(argv=None) -> int:
             revcomp_left=args.revcomp_left, revcomp_right=args.revcomp_right,
             save_graph=args.savebf, force=args.force,
             sef_paths=args.sef or [], ser_paths=args.ser or [],
+            ref_paths=args.ref or [],
         )
     elif args.sef or args.ser:
         paths = list(args.sef or []) + list(args.ser or [])
