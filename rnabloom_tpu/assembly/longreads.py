@@ -183,6 +183,80 @@ def correct_long_reads(
     return corrected, flags
 
 
+def subsample_minimizer_based(
+    cfg: GraphConfig,
+    reads: List[np.ndarray],
+    max_multiplicity: int = 5,
+    w: int = 10,
+    sketch_log2: int = 24,
+) -> List[int]:
+    """Minimizer-novelty subsampling (SeqSubsampler.minimizerBased :50):
+    a read is kept iff any of its window minimizers has been seen fewer
+    than max_multiplicity times."""
+    from ..olc import overlap as olc_overlap
+    from ..ops import nthash
+
+    ccfg = CountingConfig(size_log2=sketch_log2, num_hash=2, scratch_log2=16)
+    counts = filters.make_counting(ccfg)
+    order = sorted(range(len(reads)), key=lambda i: -len(reads[i]))
+    keep: List[int] = []
+    for i in order:
+        r = reads[i]
+        if len(r) < cfg.k + w:
+            continue
+        mins = olc_overlap.extract_minimizers(
+            r[None, :], np.asarray([len(r)]), cfg.k, w
+        )[0]
+        if not mins:
+            continue
+        vals = np.asarray([m[0] for m in mins], np.uint64)
+        base = u64_from_np(vals)
+        h = nthash.multi_hash(base, cfg.k, ccfg.num_hash)
+        c = np.asarray(filters.counting_count(counts, ccfg, h))
+        if (c < max_multiplicity).any():
+            keep.append(i)
+            counts = filters.counting_increment_cm(counts, ccfg, h)
+    return sorted(keep)
+
+
+def u64_from_np(vals: np.ndarray):
+    from ..ops import u64 as u64mod
+
+    return u64mod.U64(
+        jnp.asarray((vals & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+        jnp.asarray((vals >> np.uint64(32)).astype(np.uint32)),
+    )
+
+
+def minimal_set(
+    cfg: GraphConfig, reads: List[np.ndarray], sketch_log2: int = 24
+) -> List[int]:
+    """Greedy minimal covering set (SeqSubsampler.minimalSet :483): visit
+    reads longest-first, keep a read only if it contributes at least one
+    unseen k-mer."""
+    from ..ops import nthash
+
+    from ..bloom.filters import BloomConfig
+
+    bcfg = BloomConfig(size_log2=sketch_log2, num_hash=2)
+    bits = filters.make_bloom(bcfg)
+    order = sorted(range(len(reads)), key=lambda i: -len(reads[i]))
+    keep: List[int] = []
+    for i in order:
+        r = reads[i]
+        if len(r) < cfg.k:
+            continue
+        fh, rh, valid = nthash.rolling_hash(jnp.asarray(r[None, :]), cfg.k, cfg.stranded)
+        base = nthash.canonical(fh, rh)
+        h = nthash.multi_hash(base, cfg.k, bcfg.num_hash)
+        seen = np.asarray(filters.bloom_lookup(bits, bcfg, h))[0]
+        v = np.asarray(valid)[0]
+        if (~seen[v]).any():
+            keep.append(i)
+            bits = filters.bloom_add(bits, bcfg, h, valid)
+    return sorted(keep)
+
+
 def subsample_strobemer_based(
     cfg: GraphConfig,
     reads: List[np.ndarray],

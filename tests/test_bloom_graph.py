@@ -210,3 +210,33 @@ def test_fpr_reporting():
     assert 0 < out["dbgbf"] < 0.05
     assert 0 < out["cbf"] < 0.05
     assert out["rpkbf"] > 0
+
+
+def test_cascading_filter():
+    from rnabloom_tpu.bloom import variants
+
+    cfg = variants.CascadingConfig(size_log2=14, num_hash=2, num_levels=3)
+    levels = variants.make_cascading(cfg)
+    b = rand_bases(50)
+    h = nthash.multi_hash(mk_u64(b), K, cfg.num_hash)
+    # two passes: nothing reaches level 3 yet
+    levels = variants.cascading_add(levels, cfg, h)
+    levels = variants.cascading_add(levels, cfg, h)
+    assert not np.asarray(variants.cascading_lookup(levels, cfg, h)).any()
+    # third pass: all reach the top level
+    levels = variants.cascading_add(levels, cfg, h)
+    assert np.asarray(variants.cascading_lookup(levels, cfg, h)).all()
+
+
+def test_partitioned_pair_filter():
+    from rnabloom_tpu.bloom import variants
+
+    cfg = variants.PartitionedPairConfig(size_log2=14, num_hash=2)
+    st = variants.PartitionedPairState(cfg)
+    hl = nthash.multi_hash(mk_u64(rand_bases(40)), K, 2)
+    hr = nthash.multi_hash(mk_u64(rand_bases(40)), K, 2)
+    hp = nthash.multi_hash(mk_u64(rand_bases(40)), K, 2)
+    st.add(hl, hr, hp)
+    assert np.asarray(st.lookup(hl, hr, hp)).all()
+    other = nthash.multi_hash(mk_u64(rand_bases(40)), K, 2)
+    assert (~np.asarray(st.lookup(other, hr, hp))).mean() > 0.9

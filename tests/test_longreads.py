@@ -161,3 +161,22 @@ def test_strobemer_subsampler():
     keep = lrmod.subsample_strobemer_based(cfg, reads, max_multiplicity=3)
     assert 10 in keep
     assert len(keep) <= 5
+
+
+def test_minimizer_subsampler_and_minimal_set():
+    from rnabloom_tpu.assembly import longreads as lrmod
+    from rnabloom_tpu.bloom.filters import BloomConfig, CountingConfig
+    from rnabloom_tpu.graph import dbg
+
+    cfg = dbg.GraphConfig(
+        k=15, stranded=False,
+        dbgbf=BloomConfig(16, 2), cbf=CountingConfig(16, 2, 14), pkbf=BloomConfig(16, 2),
+    )
+    a, b = rand_seq(400), rand_seq(400)
+    reads = [sequtils.encode(a)] * 8 + [sequtils.encode(b)]
+    keep = lrmod.subsample_minimizer_based(cfg, reads, max_multiplicity=3)
+    assert 8 in keep and len(keep) <= 5
+
+    # minimal set: duplicates contribute nothing new
+    keep2 = lrmod.minimal_set(cfg, reads)
+    assert keep2 == [0, 8] or (8 in keep2 and len(keep2) == 2)
