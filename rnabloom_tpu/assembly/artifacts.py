@@ -84,6 +84,49 @@ def is_chimera(seen: np.ndarray, valid: np.ndarray, k: int, min_arm: int = 10) -
     return lo >= min_arm and (len(s) - hi - 1) >= min_arm
 
 
+def is_blunt_end_artifact(
+    seen: np.ndarray,
+    valid: np.ndarray,
+    counts: np.ndarray,
+    d: int,
+    max_depth: int,
+) -> bool:
+    """Blunt-end artifact signature (isBluntEndArtifact :8535-8585).
+
+    A mostly previously-assembled sequence with a short (< read-pair
+    distance) unassembled, lower-coverage stub at one end.  The reference
+    additionally verifies the stub is a graph dead end while an assembled
+    alternate continuation exists (hasDepth probes) — omitted here, with the
+    short-stub requirement making the check conservative.
+    """
+    idx = np.flatnonzero(valid)
+    if len(idx) < 3 or max_depth <= 0:
+        return False
+    s = seen[idx]
+    c = counts[idx]
+    n = len(s)
+    edge = min(max_depth, n)
+    left_cov = c[:edge].min()
+    right_cov = c[-edge:].min()
+
+    def med(x):
+        return float(np.median(x)) if len(x) else 0.0
+
+    if s[0] and (not s[-1] or left_cov > right_cov):
+        i = int(np.flatnonzero(~s)[0]) if not s.all() else n
+        if i == n or i < n - d:
+            return False
+        return med(c[:i]) > med(c[i:])
+    if s[-1] and (not s[0] or left_cov < right_cov):
+        if s.all():
+            return False
+        j = int(np.flatnonzero(~s)[-1])
+        if j > d:
+            return False
+        return med(c[j + 1 :]) > med(c[: j + 1])
+    return False
+
+
 def is_low_complexity(codes: np.ndarray, max_frac: float = 0.8) -> bool:
     """Dominated by one base, one 2-mer pattern, or one 3-mer pattern."""
     n = len(codes)

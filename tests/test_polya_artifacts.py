@@ -84,3 +84,26 @@ def test_low_complexity():
     assert artifacts.is_low_complexity(sequtils.encode("ATATATATATATATATATAT"))
     assert artifacts.is_low_complexity(sequtils.encode("ACGACGACGACGACGACGACG"))
     assert not artifacts.is_low_complexity(sequtils.encode(rand_seq(100)))
+
+
+def test_blunt_end_artifact():
+    n, d = 100, 40
+    valid = np.ones(n, bool)
+    # left-assembled with a short low-cov unassembled tail
+    seen = np.ones(n, bool)
+    seen[85:] = False
+    counts = np.full(n, 10.0)
+    counts[85:] = 2.0
+    assert artifacts.is_blunt_end_artifact(seen, valid, counts, d, 20)
+    # long novel tail (> d) is NOT an artifact
+    seen2 = np.ones(n, bool)
+    seen2[40:] = False
+    assert not artifacts.is_blunt_end_artifact(seen2, valid, counts, d, 20)
+    # fully assembled: not an artifact
+    assert not artifacts.is_blunt_end_artifact(np.ones(n, bool), valid, counts, d, 20)
+    # mirrored case (right-assembled, short head stub)
+    seen3 = np.ones(n, bool)
+    seen3[:12] = False
+    counts3 = np.full(n, 10.0)
+    counts3[:12] = 2.0
+    assert artifacts.is_blunt_end_artifact(seen3, valid, counts3, d, 20)
