@@ -47,6 +47,7 @@ class TranscriptParams:
     pair_ring: int = 1024
     screen_min_frac: float = 0.95
     screen_max_gap: Optional[int] = None  # default k
+    max_edge_clip: int = 0  # >0 enables the blunt-end artifact filter
 
 
 @dataclass
@@ -324,10 +325,26 @@ def assemble_transcripts_batch(
     params: TranscriptParams,
 ) -> Tuple[List[Transcript], List[Transcript], jax.Array]:
     """Returns (transcripts, short_transcripts, updated screening filter)."""
+    from . import artifacts
+
     B, L = frags.shape
     chimera = np.zeros(B, bool)
     rep = screen_represented(screen, scfg, cfg, frags, lens, params, chimera_out=chimera)
-    keep = np.flatnonzero(~rep & ~chimera)
+    blunt = np.zeros(B, bool)
+    if params.max_edge_clip > 0 and cfg.read_pair_distance > 0:
+        seen_d, _ = _screen_lookup(screen, scfg, cfg, jnp.asarray(frags))
+        counts_d, valid_d = dbg.count_step(graph, cfg, jnp.asarray(frags))
+        seen_np = np.asarray(seen_d)
+        counts_np = np.asarray(counts_d)
+        valid_np = np.asarray(valid_d)
+        for b in range(B):
+            nk = max(int(lens[b]) - cfg.k + 1, 0)
+            if nk:
+                blunt[b] = artifacts.is_blunt_end_artifact(
+                    seen_np[b, :nk], valid_np[b, :nk], counts_np[b, :nk],
+                    cfg.read_pair_distance, params.max_edge_clip,
+                )
+    keep = np.flatnonzero(~rep & ~chimera & ~blunt)
     transcripts: List[Transcript] = []
     shorts: List[Transcript] = []
     if len(keep) == 0:
