@@ -45,8 +45,6 @@ def from_py(value: int, shape=()) -> U64:
 
 def to_py(x: U64):
     """Materialize to host Python ints (scalar) or list (1-D)."""
-    import numpy as np
-
     lo = np.asarray(x.lo, dtype=np.uint64)
     hi = np.asarray(x.hi, dtype=np.uint64)
     out = (hi << np.uint64(32)) | lo
@@ -118,15 +116,6 @@ def rotr1(a: U64) -> U64:
     lo = (a.lo >> 1) | (a.hi << 31)
     hi = (a.hi >> 1) | (a.lo << 31)
     return U64(lo, hi)
-
-
-def _shl32_dyn(x: jax.Array, s: jax.Array) -> jax.Array:
-    """x << s for dynamic s in [0, 32]; returns 0 when s == 32."""
-    return jnp.where(s >= 32, np.uint32(0), x << jnp.minimum(s, np.uint32(31)))
-
-
-def _shr32_dyn(x: jax.Array, s: jax.Array) -> jax.Array:
-    return jnp.where(s >= 32, np.uint32(0), x >> jnp.minimum(s, np.uint32(31)))
 
 
 def rotl_dyn(a: U64, s: jax.Array) -> U64:
@@ -209,11 +198,6 @@ def min_signed(a: U64, b: U64) -> U64:
 
 def select(pred: jax.Array, a: U64, b: U64) -> U64:
     return U64(jnp.where(pred, a.lo, b.lo), jnp.where(pred, a.hi, b.hi))
-
-
-def where_keep(pred: jax.Array, a: U64, fill: int = 0) -> U64:
-    f = from_py(fill)
-    return U64(jnp.where(pred, a.lo, f.lo), jnp.where(pred, a.hi, f.hi))
 
 
 def zeros(shape) -> U64:
