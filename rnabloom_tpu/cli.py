@@ -47,6 +47,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-mergepool", "--mergepool", action="store_true", help="merge pooled per-sample assemblies")
     p.add_argument("-savebf", "--savebf", action="store_true", help="save graph Bloom filters for resume")
     p.add_argument("-f", "--force", action="store_true", help="overwrite (ignore stage stamps)")
+    p.add_argument("--profile", metavar="DIR", help="capture a JAX profiler trace into DIR")
     p.add_argument("--version", action="version", version="rnabloom-tpu 0.1.0")
     return p
 
@@ -84,6 +85,10 @@ def main(argv=None) -> int:
         min_transcript_length=args.length,
     )
     params.verbose = True
+    if args.profile:
+        import jax
+
+        jax.profiler.start_trace(args.profile)
     if args.sensitive:
         # -sensitive meta-flag (RNABloom.java:7033-7038): lower stringency
         params.min_num_kmer_pairs = max(1, args.pair // 2)
@@ -115,6 +120,10 @@ def main(argv=None) -> int:
     else:
         print("error: provide -left/-right (PE) or -sef/-ser (SE)", file=sys.stderr)
         return 2
+    if args.profile:
+        import jax
+
+        jax.profiler.stop_trace()
     print(
         json.dumps(
             {
