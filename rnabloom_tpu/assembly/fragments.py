@@ -215,9 +215,11 @@ def assemble_fragments_batch(
     results: List[Optional[Fragment]] = [None] * B
     if connected_rows:
         maxlen = max(len(frags_codes[b]) for b in connected_rows)
-        pad_len = max(maxlen, k + cfg.read_pair_distance + 1)
-        batch = np.full((len(connected_rows), pad_len), 4, np.uint8)
-        lens = np.zeros(len(connected_rows), np.int32)
+        # pow2-pad both dims: distinct shapes recompile the device kernels
+        pad_len = 1 << max(8, (max(maxlen, k + cfg.read_pair_distance + 1) - 1).bit_length())
+        n_rows = 1 << max(6, (len(connected_rows) - 1).bit_length())
+        batch = np.full((n_rows, pad_len), 4, np.uint8)
+        lens = np.zeros(n_rows, np.int32)
         for i, b in enumerate(connected_rows):
             s = frags_codes[b]
             batch[i, : len(s)] = s

@@ -125,7 +125,9 @@ def _iter_pair_batches(
             rlen = np.zeros(B, np.int32)
             n = 0
     if n:
-        yield lbuf[:n], llen[:n], rbuf[:n], rlen[:n]
+        # keep the full (B, L) shape — a different batch size would trigger
+        # fresh TPU compilations of every downstream kernel
+        yield lbuf, llen, rbuf, rlen
 
 
 def _run_stage3(
@@ -158,8 +160,16 @@ def _run_stage3(
     with fastx.FastaWriter(tx_path) as wtx, fastx.FastaWriter(short_path) as wsh:
         for s in range(0, len(order), 256):
             idx = order[s : s + 256]
+            sel = frag_batch[idx]
+            sel_len = frag_len[idx]
+            if len(idx) < 256:  # fixed batch shape avoids recompiles
+                pad = 256 - len(idx)
+                sel = np.concatenate(
+                    [sel, np.full((pad, sel.shape[1]), 4, np.uint8)]
+                )
+                sel_len = np.concatenate([sel_len, np.zeros(pad, np.int32)])
             txs, shorts, screen = txmod.assemble_transcripts_batch(
-                state, cfg, screen, scfg, frag_batch[idx], frag_len[idx], tparams
+                state, cfg, screen, scfg, sel, sel_len, tparams
             )
             for t in txs:
                 seq = sequtils.decode(t.codes)

@@ -350,17 +350,20 @@ def assemble_transcripts_batch(
     if len(keep) == 0:
         return transcripts, shorts, screen
 
-    sel = frags[keep]
-    sel_lens = lens[keep]
+    K0 = len(keep)
+    Kp = 1 << max(6, (K0 - 1).bit_length())  # pow2 rows: stable kernel shapes
+    sel = np.full((Kp, L), 4, np.uint8)
+    sel[:K0] = frags[keep]
+    sel_lens = np.zeros(Kp, lens.dtype)
+    sel_lens[:K0] = lens[keep]
     ext, ext_len, orig_s, orig_e = extend_fragments_pair(
         graph, cfg, sel, sel_lens, params
     )
     ranges = break_check(graph, cfg, ext, ext_len, orig_s, orig_e, params)
+    ranges = ranges[:K0]
 
-    from . import artifacts
-
-    final = np.full((len(keep), params.max_walk_len), 4, np.uint8)
-    final_len = np.zeros(len(keep), np.int32)
+    final = np.full((Kp, params.max_walk_len), 4, np.uint8)
+    final_len = np.zeros(Kp, np.int32)
     for i, r in enumerate(ranges):
         if r is None:
             continue
@@ -378,7 +381,7 @@ def assemble_transcripts_batch(
     # also serializes within a batch — here same-batch duplicates are
     # tolerated and cleaned up by the nr step)
     rep2 = screen_represented(screen, scfg, cfg, final, final_len, params)
-    emitted = np.zeros(len(keep), bool)
+    emitted = np.zeros(Kp, bool)
     for i in range(len(keep)):
         n = int(final_len[i])
         if n < cfg.k or rep2[i]:

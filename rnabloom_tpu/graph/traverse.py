@@ -103,12 +103,21 @@ def make_walks(
     walks.  The walk continues from each seed's LAST k-mer; with
     wcfg.pair_ring > 0 every seed k-mer's hashes pre-fill the pair ring.
     """
-    W, Ls = seeds.shape
+    W0, Ls = seeds.shape
     k = cfg.k
     assert Ls >= k
     if seed_lens is None:
-        seed_lens = np.full(W, Ls, np.int64)
+        seed_lens = np.full(W0, Ls, np.int64)
     seed_lens = np.asarray(seed_lens)
+    # pad the walk count to a power of two: every distinct W is a fresh TPU
+    # compilation of the walk kernels, and callers' batch sizes vary freely.
+    # Padded lanes get zero-length seeds and start DEAD.
+    W = 1 << max(6, (W0 - 1).bit_length())
+    if W != W0:
+        seeds = np.concatenate(
+            [seeds, np.full((W - W0, Ls), 4, seeds.dtype)], axis=0
+        )
+        seed_lens = np.concatenate([seed_lens, np.full(W - W0, k, np.int64)])
     seeds_j = jnp.asarray(seeds)
     fh_all, rh_all, valid_all = nthash.rolling_hash(seeds_j, k, stranded=False)
     P = Ls - k + 1
