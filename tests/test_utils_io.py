@@ -139,3 +139,27 @@ def test_k_selection(tmp_path):
             f.write(f">r{i}\n{t[i*10:i*10+200]}\n")
     k = kselect.select_k([path], [17, 25, 33], sample_size=100)
     assert k in (17, 25, 33)
+
+
+def test_cli_parser():
+    from rnabloom_tpu.cli import build_parser
+
+    p = build_parser()
+    a = p.parse_args(
+        ["-left", "l.fq", "-right", "r.fq", "-k", "25,31", "-mem", "0.5",
+         "-sensitive", "-savebf", "-Q", "20"]
+    )
+    assert a.left == "l.fq" and a.kmer == "25,31"
+    assert a.sensitive and a.savebf and a.qual_avg == 20
+    a2 = p.parse_args(["-long", "x.fa", "y.fa", "-lrpb"])
+    assert a2.long_reads == ["x.fa", "y.fa"] and a2.lrpb
+
+
+def test_pool_list_parsing(tmp_path):
+    from rnabloom_tpu.assembly.pipeline import parse_pool_list
+
+    f = tmp_path / "pool.txt"
+    f.write_text("# comment\nA a_1.fq a_2.fq\n\nB b_1.fq b_2.fq\n")
+    assert parse_pool_list(str(f)) == [
+        ("A", "a_1.fq", "a_2.fq"), ("B", "b_1.fq", "b_2.fq")
+    ]
