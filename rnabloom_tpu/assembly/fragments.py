@@ -70,6 +70,7 @@ def find_overlaps(
     B, L = left.shape
     best = np.zeros(B, dtype=np.int32)
     max_o = int(min(left_len.max(initial=0), right_len.max(initial=0)))
+    rows_all = np.arange(B)
     for o in range(max_o, min_overlap - 1, -1):
         undecided = best == 0
         if not undecided.any():
@@ -78,10 +79,12 @@ def find_overlaps(
         if not ok.any():
             continue
         rows = np.flatnonzero(ok)
-        # suffix of left vs prefix of right
-        for b in rows:
-            if np.array_equal(left[b, left_len[b] - o : left_len[b]], right[b, :o]):
-                best[b] = o
+        # gather each row's length-o suffix of left and compare to right's
+        # prefix in one vectorized equality
+        cols = (left_len[rows, None] - o) + np.arange(o)[None, :]
+        suffix = left[rows[:, None], cols]
+        match = (suffix == right[rows, :o]).all(axis=1)
+        best[rows[match]] = o
     return best
 
 

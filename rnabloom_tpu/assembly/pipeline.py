@@ -702,6 +702,17 @@ def assemble_pe(
         k, params.stranded, params.total_mem_bytes, params.num_hash, d_read
     )
 
+    if params.verbose:
+        # memory plan table (RNABloom.java:5769-5784)
+        cbf_mb = (cfg.cbf.size * 4) >> 20
+        pk_mb = (cfg.pkbf.size * 1) >> 20 if cfg.pkbf else 0
+        print(
+            f"Mem plan: cbf {cbf_mb} MB (2^{cfg.cbf.size_log2} x int32), "
+            f"rpkbf {pk_mb} MB, fpkbf {pk_mb} MB, sbf {pk_mb} MB; "
+            f"k={k} d_read={d_read} hash={cfg.cbf.num_hash}",
+            flush=True,
+        )
+
     # ---- stage 1: graph build (right mates revcomp'd onto forward strand)
     timer.start("stage 1: de Bruijn graph construction")
     s1p = stage1.Stage1Params(
