@@ -72,3 +72,39 @@ def test_fasta_multiline(tmp_path, have_native):
     assert rows[0] == s
     assert len(rows) == 2
     assert parsed == 2
+
+
+def test_python_fallback_path_matches_native(tmp_path, have_native, monkeypatch):
+    """stage1.build_graph must produce identical filters via either reader."""
+    import gzip
+
+    import jax.numpy as jnp
+
+    from rnabloom_tpu.assembly import stage1
+    from rnabloom_tpu.bloom.filters import BloomConfig, CountingConfig
+    from rnabloom_tpu.graph import dbg
+    from rnabloom_tpu.io import native as native_mod
+
+    path = str(tmp_path / "reads.fq.gz")
+    with gzip.open(path, "wt") as f:
+        for i in range(60):
+            s = rand_seq(90)
+            q = "".join(chr(33 + int(x)) for x in RNG.integers(2, 40, 90))
+            f.write(f"@r{i}\n{s}\n+\n{q}\n")
+
+    cfg = dbg.GraphConfig(
+        k=25, stranded=False,
+        dbgbf=BloomConfig(16, 2), cbf=CountingConfig(16, 2, 14), pkbf=BloomConfig(16, 2),
+        read_pair_distance=30,
+    )
+    params = stage1.Stage1Params(k=25, max_seq_len=96, batch_size=64)
+
+    s_nat = dbg.make_graph(cfg, with_rpkbf=True)
+    s_nat, _ = stage1.build_graph([path], cfg, s_nat, params, add_read_pairs=True)
+
+    monkeypatch.setattr(native_mod, "available", lambda: False)
+    s_py = dbg.make_graph(cfg, with_rpkbf=True)
+    s_py, _ = stage1.build_graph([path], cfg, s_py, params, add_read_pairs=True)
+
+    np.testing.assert_array_equal(np.asarray(s_nat.cbf), np.asarray(s_py.cbf))
+    np.testing.assert_array_equal(np.asarray(s_nat.rpkbf), np.asarray(s_py.rpkbf))
