@@ -136,6 +136,61 @@ def screen_represented(
     return out
 
 
+def _base_hashes_np(cfg: GraphConfig, codes: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(hashes (B, P) uint64, valid) — canonical k-mer hashes on host."""
+    _, _, base, valid = dbg.seq_hashes(cfg, jnp.asarray(codes))
+    h = (np.asarray(base.hi).astype(np.uint64) << np.uint64(32)) | np.asarray(
+        base.lo
+    ).astype(np.uint64)
+    return h, np.asarray(valid)
+
+
+def sequential_dedup(
+    cfg: GraphConfig,
+    codes: np.ndarray,
+    lengths: np.ndarray,
+    params: TranscriptParams,
+    seen: Optional[set] = None,
+) -> Tuple[np.ndarray, set]:
+    """Within-batch sequential redundancy screen.
+
+    The reference's writer serializes every candidate against all previously
+    written sequences (TranscriptWriter :1639); batched device screening
+    only sees earlier *batches*, so rows of one batch are re-checked here in
+    order against a host-side set of accepted k-mer hashes.  Returns
+    (represented mask, updated seen-set).
+    """
+    if seen is None:
+        seen = set()
+    h, valid = _base_hashes_np(cfg, codes)
+    k = cfg.k
+    gap_max = params.screen_max_gap or k
+    rep = np.zeros(codes.shape[0], bool)
+    for b in range(codes.shape[0]):
+        n = max(int(lengths[b]) - k + 1, 0)
+        if n == 0:
+            rep[b] = True
+            continue
+        row = h[b, :n]
+        v = valid[b, :n]
+        nv = int(v.sum())
+        if nv == 0:
+            rep[b] = True
+            continue
+        hits = np.fromiter((x in seen for x in row), bool, n)
+        frac = hits[v].sum() / nv
+        unseen = (~hits) & v
+        run = max_run = 0
+        for x in unseen:
+            run = run + 1 if x else 0
+            max_run = max(max_run, run)
+        if frac >= params.screen_min_frac and max_run <= gap_max:
+            rep[b] = True
+        else:
+            seen.update(row[v].tolist())
+    return rep, seen
+
+
 def reduce_redundancy(
     graph: GraphState,
     cfg: GraphConfig,
@@ -162,6 +217,10 @@ def reduce_redundancy(
             codes[j, : len(seqs[i])] = seqs[i]
             lens[j] = len(seqs[i])
         rep = screen_represented(screen, scfg, cfg, codes, lens, params)
+        # within-batch serialization (cross-batch handled by the screen)
+        seq_lens = np.where(rep, 0, lens)
+        rep2, _ = sequential_dedup(cfg, codes, seq_lens, params)
+        rep = rep | rep2
         commit = np.where(~rep[:, None], codes, np.uint8(4))
         screen = screen_add(screen, scfg, cfg, jnp.asarray(commit))
         keep.extend(i for j, i in enumerate(idx) if not rep[j])
@@ -381,10 +440,14 @@ def assemble_transcripts_batch(
     # also serializes within a batch — here same-batch duplicates are
     # tolerated and cleaned up by the nr step)
     rep2 = screen_represented(screen, scfg, cfg, final, final_len, params)
+    # serialize within the batch: mask rows already dead, then screen each
+    # survivor against the k-mers accepted earlier in this batch
+    seq_lens = np.where(rep2 | (final_len < cfg.k), 0, final_len)
+    rep3, _ = sequential_dedup(cfg, final, seq_lens, params)
     emitted = np.zeros(Kp, bool)
     for i in range(len(keep)):
         n = int(final_len[i])
-        if n < cfg.k or rep2[i]:
+        if n < cfg.k or rep2[i] or rep3[i]:
             continue
         emitted[i] = True
         t = Transcript(codes=final[i, :n].copy(), length=n)
