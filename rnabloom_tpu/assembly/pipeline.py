@@ -746,7 +746,7 @@ def assemble_pe(
     for lb, ll, rb, rl in _iter_pair_batches(
         left_path, right_path, params, k, revcomp_left, revcomp_right, read_L
     ):
-        report.num_pairs += lb.shape[0]
+        report.num_pairs += int((ll > 0).sum())
         outs = fragmod.assemble_fragments_batch(state, cfg, lb, ll, rb, rl, fparams)
         for f in outs:
             if f is not None and f.min_cov >= params.min_fragment_cov:
