@@ -465,16 +465,12 @@ def _probe_with_hashes(
     rh_c = u64.reshape(rh4, (W * 4,))
     alive = alive0.reshape(W * 4)
 
-    fh_lo = [fh_c.lo]
-    fh_hi = [fh_c.hi]
-    rh_lo = [rh_c.lo]
-    rh_hi = [rh_c.hi]
-    cnts = [counts0.reshape(W * 4)]
-    alives = [alive]
-
     mc = jnp.broadcast_to(jnp.maximum(min_cov, 1.0)[:, None], (W, 4)).reshape(W * 4)
-    for j in range(1, D):
-        off = jnp.minimum(pos - cfg.k + 1 + (j - 1), wcfg.max_len - 1)
+    rows = np.arange(W * 4)
+
+    def step(carry, j):
+        fh_c, rh_c, alive = carry
+        off = jnp.minimum(pos - cfg.k + j, wcfg.max_len - 1)
         outc = jnp.take_along_axis(buf, off[:, None], axis=1)[:, 0]
         outc = jnp.broadcast_to(outc[:, None], (W, 4)).reshape(W * 4)
         f4, r4 = nthash.successor_hashes(fh_c, outc, cfg.k, rh=rh_c)
@@ -482,26 +478,35 @@ def _probe_with_hashes(
         cc = _counts_of(graph, cfg, qq)  # (W*4, 4)
         ok = cc >= mc[:, None]
         best = jnp.argmax(jnp.where(ok, cc, -1.0), axis=1).astype(jnp.int32)
-        rows = jnp.arange(W * 4)
-        alive = alive & jnp.any(ok, axis=1)
-        fh_c = u64.select(alive, u64.U64(f4.lo[rows, best], f4.hi[rows, best]), fh_c)
-        rh_c = u64.select(alive, u64.U64(r4.lo[rows, best], r4.hi[rows, best]), rh_c)
-        fh_lo.append(fh_c.lo)
-        fh_hi.append(fh_c.hi)
-        rh_lo.append(rh_c.lo)
-        rh_hi.append(rh_c.hi)
-        cnts.append(jnp.where(alive, cc[rows, best], 0.0))
-        alives.append(alive)
+        alive_n = alive & jnp.any(ok, axis=1)
+        fh_n = u64.select(alive_n, u64.U64(f4.lo[rows, best], f4.hi[rows, best]), fh_c)
+        rh_n = u64.select(alive_n, u64.U64(r4.lo[rows, best], r4.hi[rows, best]), rh_c)
+        cnt_n = jnp.where(alive_n, cc[rows, best], 0.0)
+        return (fh_n, rh_n, alive_n), (fh_n.lo, fh_n.hi, rh_n.lo, rh_n.hi, cnt_n, alive_n)
 
-    shape = (W, 4, D)
+    # scan keeps the compiled graph small (the unrolled form took minutes on
+    # the remote TPU compiler); probe step j's departing base is buf[pos-k+j]
+    (_, _, _), ys = jax.lax.scan(
+        step, (fh_c, rh_c, alive), np.arange(1, D, dtype=np.int32)
+    )
+    fl, fhi, rl, rhi, cs, al = ys  # each (D-1, W*4)
+
+    def with_first(first, rest):
+        return jnp.concatenate([first[None], rest], axis=0)
+
+    shape = (D, W, 4)
     fh_p = u64.U64(
-        jnp.stack(fh_lo, axis=-1).reshape(shape), jnp.stack(fh_hi, axis=-1).reshape(shape)
+        jnp.transpose(with_first(fh_c.lo, fl).reshape(shape), (1, 2, 0)),
+        jnp.transpose(with_first(fh_c.hi, fhi).reshape(shape), (1, 2, 0)),
     )
     rh_p = u64.U64(
-        jnp.stack(rh_lo, axis=-1).reshape(shape), jnp.stack(rh_hi, axis=-1).reshape(shape)
+        jnp.transpose(with_first(rh_c.lo, rl).reshape(shape), (1, 2, 0)),
+        jnp.transpose(with_first(rh_c.hi, rhi).reshape(shape), (1, 2, 0)),
     )
-    counts_p = jnp.stack(cnts, axis=-1).reshape(shape)
-    alive_p = jnp.stack(alives, axis=-1).reshape(shape)
+    counts_p = jnp.transpose(
+        with_first(counts0.reshape(W * 4), cs).reshape(shape), (1, 2, 0)
+    )
+    alive_p = jnp.transpose(with_first(alive, al).reshape(shape), (1, 2, 0))
     return fh_p, rh_p, counts_p, alive_p
 
 
