@@ -88,16 +88,25 @@ def find_overlaps(
     return best
 
 
-def _pair_support(
-    graph: GraphState, cfg: GraphConfig, codes: jnp.ndarray
-) -> Tuple[np.ndarray, np.ndarray]:
-    """(supported (B, P-d) bool, valid (B,P)) read-pair k-mer support."""
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _pair_support_jit(graph: GraphState, cfg: GraphConfig, codes: jnp.ndarray):
     fh, rh, base, valid = dbg.seq_hashes(cfg, codes)
     d = cfg.read_pair_distance
     pair_base, np_ = dbg.pair_base_hashes(cfg, fh, rh, d)
     sup = dbg.lookup_read_pair(graph, cfg, pair_base)
     pv = jnp.logical_and(valid[..., :np_], valid[..., d:])
-    return np.asarray(jnp.logical_and(sup, pv)), np.asarray(valid)
+    return jnp.logical_and(sup, pv), valid
+
+
+def _pair_support(
+    graph: GraphState, cfg: GraphConfig, codes: jnp.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(supported (B, P-d) bool, valid (B,P)) read-pair k-mer support."""
+    sup, valid = _pair_support_jit(graph, cfg, codes)
+    return np.asarray(sup), np.asarray(valid)
 
 
 def pair_break_segments(

@@ -425,14 +425,14 @@ def assemble_pool(
             n = min(f.length, frag_L)
             frag_batch[i, :n] = f.codes[:n]
             frag_len[i] = n
-        for s in range(0, len(all_frags), 1024):
-            chunk = jnp.asarray(frag_batch[s : s + 1024])
-            sample_state = dbg.build_step(sample_state, sample_cfg, chunk)
-            fh, rh, _, valid = dbg.seq_hashes(sample_cfg, chunk)
-            if frag_L - k + 1 > d_frag:
-                sample_state = dbg.add_fragment_pair_kmers(
-                    sample_state, sample_cfg, fh, rh, valid
-                )
+        n_chunks = (len(all_frags) + 1023) // 1024
+        padded = np.full((n_chunks * 1024, frag_L), 4, np.uint8)
+        padded[: len(all_frags)] = frag_batch
+        for s in range(0, n_chunks * 1024, 1024):
+            sample_state = dbg.rebuild_step(
+                sample_state, sample_cfg, jnp.asarray(padded[s : s + 1024]),
+                add_frag_pairs=frag_L - k + 1 > d_frag,
+            )
 
         covs = np.asarray([f.min_cov for f in all_frags])
         _run_stage3(
@@ -573,12 +573,14 @@ def _finish_pe_stage3(
         n = min(f.length, frag_L)
         frag_batch[i, :n] = f.codes[:n]
         frag_len[i] = n
-    for s in range(0, len(all_frags), 1024):
-        chunk = jnp.asarray(frag_batch[s : s + 1024])
-        state = dbg.build_step(state, cfg, chunk, add_read_pairs=False)
-        fh, rh, _, valid = dbg.seq_hashes(cfg, chunk)
-        if frag_L - k + 1 > d_frag:
-            state = dbg.add_fragment_pair_kmers(state, cfg, fh, rh, valid)
+    n_chunks = (len(all_frags) + 1023) // 1024
+    padded = np.full((n_chunks * 1024, frag_L), 4, np.uint8)
+    padded[: len(all_frags)] = frag_batch
+    for s in range(0, n_chunks * 1024, 1024):
+        state = dbg.rebuild_step(
+            state, cfg, jnp.asarray(padded[s : s + 1024]),
+            add_frag_pairs=frag_L - k + 1 > d_frag,
+        )
 
     # -ref augmentation: add reference transcript k-mers + fragment pairs
     for rp in ref_paths:
@@ -590,11 +592,10 @@ def _finish_pe_stage3(
                 chunk_np = np.full((1, params.max_walk_len), 4, np.uint8)
                 piece = codes_r[s0 : s0 + params.max_walk_len]
                 chunk_np[0, : len(piece)] = piece
-                chunk = jnp.asarray(chunk_np)
-                state = dbg.build_step(state, cfg, chunk)
-                fh, rh, _, valid = dbg.seq_hashes(cfg, chunk)
-                if params.max_walk_len - k + 1 > d_frag:
-                    state = dbg.add_fragment_pair_kmers(state, cfg, fh, rh, valid)
+                state = dbg.rebuild_step(
+                    state, cfg, jnp.asarray(chunk_np),
+                    add_frag_pairs=params.max_walk_len - k + 1 > d_frag,
+                )
 
     covs = np.asarray([f.min_cov for f in all_frags])
     _run_stage3(state, cfg, frag_batch, frag_len, covs, outdir, params, report)

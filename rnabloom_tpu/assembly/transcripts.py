@@ -80,6 +80,15 @@ def screen_add(
     return filters.bloom_add(screen, scfg, h, valid)
 
 
+def _max_true_run(mask: np.ndarray) -> int:
+    """Length of the longest True run (vectorized)."""
+    if not mask.any():
+        return 0
+    padded = np.concatenate(([False], mask, [False]))
+    d = np.diff(padded.astype(np.int8))
+    return int((np.flatnonzero(d == -1) - np.flatnonzero(d == 1)).max())
+
+
 def screen_represented(
     screen: jax.Array,
     scfg: BloomConfig,
@@ -126,22 +135,22 @@ def screen_represented(
         frac = s[v].sum() / nv
         if frac < params.screen_min_frac:
             continue
-        # longest unseen run among valid positions
-        unseen = (~s) & v
-        run, max_run = 0, 0
-        for x in unseen:
-            run = run + 1 if x else 0
-            max_run = max(max_run, run)
-        out[b] = max_run <= gap_max
+        out[b] = _max_true_run((~s) & v) <= gap_max
     return out
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _base_hashes_jit(cfg: GraphConfig, codes: jnp.ndarray):
+    _, _, base, valid = dbg.seq_hashes(cfg, codes)
+    return base.lo, base.hi, valid
 
 
 def _base_hashes_np(cfg: GraphConfig, codes: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """(hashes (B, P) uint64, valid) — canonical k-mer hashes on host."""
-    _, _, base, valid = dbg.seq_hashes(cfg, jnp.asarray(codes))
-    h = (np.asarray(base.hi).astype(np.uint64) << np.uint64(32)) | np.asarray(
-        base.lo
-    ).astype(np.uint64)
+    lo, hi, valid = _base_hashes_jit(cfg, jnp.asarray(codes))
+    h = (np.asarray(hi).astype(np.uint64) << np.uint64(32)) | np.asarray(lo).astype(
+        np.uint64
+    )
     return h, np.asarray(valid)
 
 
@@ -179,12 +188,7 @@ def sequential_dedup(
             continue
         hits = np.fromiter((x in seen for x in row), bool, n)
         frac = hits[v].sum() / nv
-        unseen = (~hits) & v
-        run = max_run = 0
-        for x in unseen:
-            run = run + 1 if x else 0
-            max_run = max(max_run, run)
-        if frac >= params.screen_min_frac and max_run <= gap_max:
+        if frac >= params.screen_min_frac and _max_true_run((~hits) & v) <= gap_max:
             rep[b] = True
         else:
             seen.update(row[v].tolist())
@@ -287,9 +291,10 @@ def extend_fragments_pair(
 # ---------------------------------------------------------------------------
 
 
-def _pair_support_at(
+@partial(jax.jit, static_argnames=("cfg", "distance", "which"))
+def _pair_support_jit(
     graph: GraphState, cfg: GraphConfig, codes: jnp.ndarray, distance: int, which: str
-) -> Tuple[np.ndarray, np.ndarray]:
+):
     fh, rh, base, valid = dbg.seq_hashes(cfg, codes)
     pair_base, np_ = dbg.pair_base_hashes(cfg, fh, rh, distance)
     if which == "read":
@@ -297,7 +302,14 @@ def _pair_support_at(
     else:
         sup = dbg.lookup_fragment_pair(graph, cfg, pair_base)
     pv = jnp.logical_and(valid[..., :np_], valid[..., distance:])
-    return np.asarray(jnp.logical_and(sup, pv)), np.asarray(valid)
+    return jnp.logical_and(sup, pv), valid
+
+
+def _pair_support_at(
+    graph: GraphState, cfg: GraphConfig, codes: jnp.ndarray, distance: int, which: str
+) -> Tuple[np.ndarray, np.ndarray]:
+    sup, valid = _pair_support_jit(graph, cfg, codes, distance, which)
+    return np.asarray(sup), np.asarray(valid)
 
 
 def _best_range(segments, orig) -> Optional[Tuple[int, int]]:

@@ -229,6 +229,18 @@ def build_step(
     return state
 
 
+@partial(jax.jit, static_argnames=("cfg", "add_frag_pairs"), donate_argnames=("state",))
+def rebuild_step(
+    state: GraphState, cfg: GraphConfig, codes: jax.Array, add_frag_pairs: bool = True
+) -> GraphState:
+    """Fragment-graph rebuild step: counters + fpkbf pairs in one program."""
+    fh, rh, base, valid = seq_hashes(cfg, codes)
+    state = add_kmers(state, cfg, base, valid)
+    if add_frag_pairs and state.fpkbf is not None and cfg.fragment_pair_distance > 0:
+        state = add_fragment_pair_kmers(state, cfg, fh, rh, valid)
+    return state
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def count_step(state: GraphState, cfg: GraphConfig, codes: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Counts for every k-mer of a read batch: (counts (B,P) float32, valid)."""

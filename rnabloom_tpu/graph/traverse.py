@@ -90,46 +90,19 @@ class WalkState(NamedTuple):
     ring_rh: Optional[U64] = None  # (W, R)
 
 
-def make_walks(
-    cfg: GraphConfig,
-    wcfg: WalkConfig,
-    seeds: np.ndarray,
-    seed_lens: Optional[np.ndarray] = None,
-) -> WalkState:
-    """Initialize walks from seed sequences (k-mers or whole fragments).
-
-    seeds: (W, Ls) uint8 codes, Ls >= k, padded with 4 beyond each row's
-    seed_lens (default: full rows).  Callers pass revcomp'd seeds for left
-    walks.  The walk continues from each seed's LAST k-mer; with
-    wcfg.pair_ring > 0 every seed k-mer's hashes pre-fill the pair ring.
-    """
-    W0, Ls = seeds.shape
+@partial(jax.jit, static_argnames=("cfg", "wcfg"))
+def _make_walks_jit(cfg: GraphConfig, wcfg: WalkConfig, seeds_j: jax.Array, lens_j: jax.Array):
+    W, Ls = seeds_j.shape
     k = cfg.k
-    assert Ls >= k
-    if seed_lens is None:
-        seed_lens = np.full(W0, Ls, np.int64)
-    seed_lens = np.asarray(seed_lens)
-    # pad the walk count to a power of two: every distinct W is a fresh TPU
-    # compilation of the walk kernels, and callers' batch sizes vary freely.
-    # Padded lanes get zero-length seeds and start DEAD.
-    W = 1 << max(6, (W0 - 1).bit_length())
-    if W != W0:
-        seeds = np.concatenate(
-            [seeds, np.full((W - W0, Ls), 4, seeds.dtype)], axis=0
-        )
-        seed_lens = np.concatenate([seed_lens, np.full(W - W0, k, np.int64)])
-    seeds_j = jnp.asarray(seeds)
     fh_all, rh_all, valid_all = nthash.rolling_hash(seeds_j, k, stranded=False)
     P = Ls - k + 1
-    rows = jnp.arange(W)
-    last = jnp.asarray(np.maximum(seed_lens - k, 0).astype(np.int32))
+    rows = np.arange(W)
+    last = jnp.maximum(lens_j - k, 0)
     fh = u64.U64(fh_all.lo[rows, last], fh_all.hi[rows, last])
     rh = u64.U64(rh_all.lo[rows, last], rh_all.hi[rows, last])
-    n_kmers = jnp.asarray((seed_lens - k + 1).astype(np.int32))
-    in_seed = np.arange(P)[None, :] < np.asarray(n_kmers)[:, None]
-    valid = jnp.all(jnp.where(jnp.asarray(in_seed), valid_all, True), axis=1) & (
-        n_kmers >= 1
-    )
+    n_kmers = lens_j - k + 1
+    in_seed = np.arange(P)[None, :] < n_kmers[:, None]
+    valid = jnp.all(jnp.where(in_seed, valid_all, True), axis=1) & (n_kmers >= 1)
     buf = jnp.zeros((W, wcfg.max_len), dtype=jnp.uint8).at[:, :Ls].set(seeds_j)
     qh = _query_hash(cfg, wcfg, fh, rh)
     hist = u64.U64(
@@ -143,9 +116,8 @@ def make_walks(
         # k-mer i of a seed ends at position i + k - 1; rows scatter only
         # their real k-mers (others drop out of bounds)
         slot = (np.arange(P)[None, :] + k - 1) % R
-        slot = np.where(in_seed, slot, R)
-        slot_j = jnp.asarray(slot.astype(np.int32))
-        rws = jnp.broadcast_to(rows[:, None], (W, P))
+        slot_j = jnp.where(in_seed, slot, R).astype(jnp.int32)
+        rws = jnp.broadcast_to(jnp.asarray(rows)[:, None], (W, P))
         zeros = jnp.zeros((W, R), jnp.uint32)
         ring_fh = u64.U64(
             zeros.at[rws, slot_j].set(fh_all.lo, mode="drop"),
@@ -157,7 +129,7 @@ def make_walks(
         )
     return WalkState(
         buf=buf,
-        pos=jnp.asarray(seed_lens.astype(np.int32)),
+        pos=lens_j,
         fh=fh,
         rh=rh,
         hist=hist,
@@ -166,6 +138,38 @@ def make_walks(
         path_min=jnp.full((W,), jnp.inf, jnp.float32),
         ring_fh=ring_fh,
         ring_rh=ring_rh,
+    )
+
+
+def make_walks(
+    cfg: GraphConfig,
+    wcfg: WalkConfig,
+    seeds: np.ndarray,
+    seed_lens: Optional[np.ndarray] = None,
+) -> WalkState:
+    """Initialize walks from seed sequences (k-mers or whole fragments).
+
+    seeds: (W, Ls) uint8 codes, Ls >= k, padded with 4 beyond each row's
+    seed_lens (default: full rows).  Callers pass revcomp'd seeds for left
+    walks.  The walk continues from each seed's LAST k-mer; with
+    wcfg.pair_ring > 0 every seed k-mer's hashes pre-fill the pair ring.
+    The walk count pads to a power of two (each distinct W is a fresh TPU
+    compilation); padded lanes start DEAD.
+    """
+    W0, Ls = seeds.shape
+    k = cfg.k
+    assert Ls >= k
+    if seed_lens is None:
+        seed_lens = np.full(W0, Ls, np.int64)
+    seed_lens = np.asarray(seed_lens)
+    W = 1 << max(6, (W0 - 1).bit_length())
+    if W != W0:
+        seeds = np.concatenate(
+            [seeds, np.full((W - W0, Ls), 4, seeds.dtype)], axis=0
+        )
+        seed_lens = np.concatenate([seed_lens, np.full(W - W0, k, np.int64)])
+    return _make_walks_jit(
+        cfg, wcfg, jnp.asarray(seeds), jnp.asarray(seed_lens.astype(np.int32))
     )
 
 
