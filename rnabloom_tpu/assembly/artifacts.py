@@ -84,6 +84,38 @@ def is_chimera(seen: np.ndarray, valid: np.ndarray, k: int, min_arm: int = 10) -
     return lo >= min_arm and (len(s) - hi - 1) >= min_arm
 
 
+def template_switch_tip(
+    seen: np.ndarray, valid: np.ndarray, k: int, min_tip: int = 3
+) -> Optional[Tuple[int, int]]:
+    """K-mer range of the unassembled tip if the seen-profile matches the
+    template-switch signature (isTemplateSwitch :8434 / isTemplateSwitch2
+    :8305): one end previously assembled, the other end an unassembled tip
+    whose reverse complement may echo the assembled backbone.  The k-mers
+    adjacent to the junction (the fold-back loop, up to k of them) are
+    excluded from the tip.  Returns None when the profile doesn't match;
+    the caller must still check the tip's revcomp against the screen.
+    """
+    idx = np.flatnonzero(valid)
+    n = len(idx)
+    if n < min_tip + 2:
+        return None
+    s = seen[idx]
+    if s[-1] and not s[0]:
+        # unassembled prefix tip (isTemplateSwitch2; loop slack 2k)
+        j = int(np.flatnonzero(~s)[-1]) + 1  # assembled suffix = [j, n)
+        tip_end = max(j - 2 * k, 0)
+        if tip_end >= min_tip and (~s[:j]).mean() >= 0.5:
+            return int(idx[0]), int(idx[tip_end - 1]) + 1
+        return None
+    if s[0] and not s[-1]:
+        # unassembled suffix tip (isTemplateSwitch; loop slack k)
+        i = int(np.flatnonzero(~s)[0])  # assembled prefix = [0, i)
+        tip_start = min(i + k, n)
+        if n - tip_start >= min_tip and (~s[tip_start:]).mean() >= 0.5:
+            return int(idx[tip_start]), int(idx[-1]) + 1
+    return None
+
+
 def is_blunt_end_artifact(
     seen: np.ndarray,
     valid: np.ndarray,

@@ -206,11 +206,10 @@ def subsample_minimizer_based(
             continue
         mins = olc_overlap.extract_minimizers(
             r[None, :], np.asarray([len(r)]), cfg.k, w
-        )[0]
-        if not mins:
+        )
+        if mins.key.size == 0:
             continue
-        vals = np.asarray([m[0] for m in mins], np.uint64)
-        base = u64_from_np(vals)
+        base = u64_from_np(mins.key)
         h = nthash.multi_hash(base, cfg.k, ccfg.num_hash)
         c = np.asarray(filters.counting_count(counts, ccfg, h))
         if (c < max_multiplicity).any():

@@ -54,6 +54,8 @@ class PipelineParams:
     min_transcript_length: int = 200
     max_walk_len: int = 4096
     min_fragment_cov: float = 0.0
+    max_edge_clip: int = 0  # >0 enables blunt-end artifact screening
+    template_switch_filter: bool = False  # -ts: template-switch screening
     verbose: bool = False
 
 
@@ -146,6 +148,8 @@ def _run_stage3(
     tparams = txmod.TranscriptParams(
         min_transcript_length=params.min_transcript_length,
         max_walk_len=params.max_walk_len,
+        max_edge_clip=params.max_edge_clip,
+        template_switch_filter=params.template_switch_filter,
     )
     order = np.argsort(
         [
@@ -498,27 +502,27 @@ def assemble_long(
         report.elapsed_s = time.time() - t0
         return report
 
+    sample_lengths = np.array([len(c) for c in corrected], np.int64)
+
     if subsample_multiplicity > 0:
         keep = lrmod.subsample_kmer_based(cfg, corrected, subsample_multiplicity)
         corrected = [corrected[i] for i in keep]
+        polya_flags = [polya_flags[i] for i in keep]
 
-    # stage 3: internal overlap-layout
+    # stage 3: internal uniqueOLC (unique reads -> unitigs -> pileup
+    # polish -> binomial-filtered greedy layout)
     op = olc_overlap.OverlapParams()
-    L = max(len(c) for c in corrected)
-    codes = np.full((len(corrected), L), 4, np.uint8)
-    lens = np.zeros(len(corrected), np.int32)
-    for i, c in enumerate(corrected):
-        codes[i, : len(c)] = c
-        lens[i] = len(c)
-    mins = olc_overlap.extract_minimizers(codes, lens, k, op.w)
-    overlaps = olc_overlap.find_overlaps(mins, lens, op)
-    res = olc_layout.layout_greedy(overlaps, lens, op)
-
-    assembled: List[np.ndarray] = []
-    for path in res.paths:
-        assembled.append(olc_layout.stitch_path(path, corrected))
-    for i in res.singletons:
-        assembled.append(corrected[i])
+    res = olc_layout.unique_olc(
+        corrected,
+        k,
+        op,
+        polya_flags=polya_flags,
+        sample_lengths=sample_lengths,
+        min_seq_depth=max(int(lr_min_cov), 1),
+        polya_finder=lambda codes: polya.find_polya_tail(codes) is not None,
+    )
+    assembled = res.transcripts
+    tx_counts = res.counts
 
     # redundancy reduction + length split
     scfg = BloomConfig(cfg.pkbf.size_log2, cfg.pkbf.num_hash)
@@ -531,8 +535,9 @@ def assemble_long(
     with fastx.FastaWriter(tx_path) as wtx, fastx.FastaWriter(short_path) as wsh:
         for j, i in enumerate(keep):
             seq = sequtils.decode(assembled[i])
+            comment = f"l={len(seq)} c={tx_counts[i]:.2f}"
             if len(seq) >= params.min_transcript_length:
-                wtx.write(f"rnabloom.{report.num_transcripts}", seq, f"l={len(seq)}")
+                wtx.write(f"rnabloom.{report.num_transcripts}", seq, comment)
                 report.num_transcripts += 1
             else:
                 wsh.write(f"rnabloom.s{report.num_short}", seq)

@@ -48,6 +48,7 @@ class TranscriptParams:
     screen_min_frac: float = 0.95
     screen_max_gap: Optional[int] = None  # default k
     max_edge_clip: int = 0  # >0 enables the blunt-end artifact filter
+    template_switch_filter: bool = False  # enable isTemplateSwitch screening
 
 
 @dataclass
@@ -78,6 +79,50 @@ def screen_add(
     _, _, base, valid = dbg.seq_hashes(cfg, codes)
     h = dbg.nthash.multi_hash(base, cfg.k, scfg.num_hash)
     return filters.bloom_add(screen, scfg, h, valid)
+
+
+def screen_template_switch(
+    screen: jax.Array,
+    scfg: BloomConfig,
+    cfg: GraphConfig,
+    codes: np.ndarray,
+    lengths: np.ndarray,
+) -> np.ndarray:
+    """Template-switch artifact flags per row (isTemplateSwitch
+    GraphUtils.java:8434 / isTemplateSwitch2 :8305): one end previously
+    assembled, the other an unassembled tip whose reverse complement is
+    itself fully assembled (= contained in the backbone transcript).
+    """
+    from . import artifacts
+
+    B, L = codes.shape
+    out = np.zeros(B, bool)
+    seen_d, valid_d = _screen_lookup(screen, scfg, cfg, jnp.asarray(codes))
+    seen_np, valid_np = np.asarray(seen_d), np.asarray(valid_d)
+    tips: List[Tuple[int, np.ndarray]] = []
+    k = cfg.k
+    for b in range(B):
+        nk = max(int(lengths[b]) - k + 1, 0)
+        if nk < 3:
+            continue
+        tip = artifacts.template_switch_tip(seen_np[b, :nk], valid_np[b, :nk], k)
+        if tip is None:
+            continue
+        ks, ke = tip  # k-mer range -> base range [ks, ke + k - 1)
+        tips.append((b, sequtils.revcomp_codes(codes[b, ks : ke + k - 1])))
+    if not tips:
+        return out
+    TL = max(len(t) for _, t in tips)
+    batch = np.full((len(tips), max(TL, k)), 4, np.uint8)
+    for i, (_, t) in enumerate(tips):
+        batch[i, : len(t)] = t
+    tseen_d, tvalid_d = _screen_lookup(screen, scfg, cfg, jnp.asarray(batch))
+    tseen, tvalid = np.asarray(tseen_d), np.asarray(tvalid_d)
+    for i, (b, _) in enumerate(tips):
+        v = tvalid[i]
+        if v.any() and tseen[i][v].all():
+            out[b] = True
+    return out
 
 
 def _max_true_run(mask: np.ndarray) -> int:
@@ -415,7 +460,10 @@ def assemble_transcripts_batch(
                     seen_np[b, :nk], valid_np[b, :nk], counts_np[b, :nk],
                     cfg.read_pair_distance, params.max_edge_clip,
                 )
-    keep = np.flatnonzero(~rep & ~chimera & ~blunt)
+    tswitch = np.zeros(B, bool)
+    if params.template_switch_filter:
+        tswitch = screen_template_switch(screen, scfg, cfg, frags, lens)
+    keep = np.flatnonzero(~rep & ~chimera & ~blunt & ~tswitch)
     transcripts: List[Transcript] = []
     shorts: List[Transcript] = []
     if len(keep) == 0:

@@ -47,6 +47,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-mergepool", "--mergepool", action="store_true", help="merge pooled per-sample assemblies")
     p.add_argument("-savebf", "--savebf", action="store_true", help="save graph Bloom filters for resume")
     p.add_argument("-f", "--force", action="store_true", help="overwrite (ignore stage stamps)")
+    p.add_argument("-maxclip", "--max-edge-clip", dest="max_edge_clip", type=int, default=0,
+                   help="max end clip for blunt-end artifact screening (0 = off)")
+    p.add_argument("-ts", "--template-switch", dest="template_switch", action="store_true",
+                   help="screen template-switch artifacts (stranded mode)")
     p.add_argument("--profile", metavar="DIR", help="capture a JAX profiler trace into DIR")
     p.add_argument("--version", action="version", version="rnabloom-tpu 0.1.0")
     return p
@@ -83,6 +87,8 @@ def main(argv=None) -> int:
         min_overlap=args.overlap,
         bound=args.bound,
         min_transcript_length=args.length,
+        max_edge_clip=args.max_edge_clip,
+        template_switch_filter=args.template_switch,
     )
     params.verbose = True
     if args.profile:

@@ -1,30 +1,31 @@
-"""Minimizer-based read overlap detection (internal ava engine).
+"""Minimizer-based read overlap detection (internal ava/map engine).
 
-The reference shells out to minimap2 for all-vs-all long-read overlaps
-(olc/OverlapLayoutConsensus.java:78-106) and parses PAF.  No external
-binaries exist in this environment, so this module implements the same
-contract internally: window minimizers over the canonical ntHash stream
-(hash/MinimizerHashIterator.java), an inverted-index hash join, and
-diagonal-binned chaining to estimate overlap coordinates — returning
-PAF-like records consumed by the layout step.
+The reference shells out to minimap2 for all-vs-all long-read overlaps and
+for read-to-unitig mapping (olc/OverlapLayoutConsensus.java:78-106,:661)
+and parses PAF.  No external binaries exist in this environment, so this
+module implements the same contract internally: window minimizers over the
+canonical ntHash stream (hash/MinimizerHashIterator.java), an inverted-
+index hash join, and diagonal-binned chaining to estimate overlap
+coordinates — returning PAF-like records consumed by the layout step.
 
-Minimizer extraction is device-side (rolling hash + sliding-window min);
-the join and chaining are host-side numpy.
+Strand-aware: minimizer keys are canonical (min of forward/revcomp hash),
+each occurrence carries the strand whose hash won, and the join recovers
+the relative strand of every overlap exactly as minimap2 does.  Minimizer
+extraction is device-side (rolling hash); winnowing and the join are
+vectorized numpy on host.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..graph.dbg import GraphConfig
 from ..ops import nthash
-from ..utils import seq as sequtils
 
 
 @dataclass
@@ -33,16 +34,23 @@ class OverlapParams:
     min_shared: int = 4  # minimizers supporting an overlap
     diag_band: int = 100  # diagonal tolerance (bases)
     min_overlap: int = 150  # bases
-    max_overhang: int = 100  # dovetail tolerance
+    max_overhang: int = 100  # dovetail tolerance (maxEdgeClip)
+    max_occ: int = 512  # drop minimizer keys seen more often (repeat filter)
 
 
 @dataclass
 class OverlapRecord:
-    """PAF-like overlap: query/target ids, strand, coords, support."""
+    """PAF-like overlap.
+
+    ``strand``: +1 same strand, -1 the query matches the target's reverse
+    complement.  Coordinates are always on each read's forward strand
+    (PAF convention); spans are k-mer-start based, end-exclusive of the
+    last k-mer start + k.
+    """
 
     q: int
     t: int
-    strand: int  # +1 same strand, -1 query is reverse-complemented
+    strand: int
     q_start: int
     q_end: int
     t_start: int
@@ -50,92 +58,228 @@ class OverlapRecord:
     shared: int
 
 
+@dataclass
+class Minimizers:
+    """Flat winnowed-minimizer arrays over a read batch."""
+
+    key: np.ndarray  # uint64 canonical hash
+    pos: np.ndarray  # int32 k-mer start on the read's forward strand
+    strand: np.ndarray  # bool: canonical hash came from the forward strand
+    read: np.ndarray  # int32 read id
+    lengths: np.ndarray  # int32 per-read length
+    k: int
+
+
 @partial(jax.jit, static_argnames=("k",))
 def _minimizer_keys(codes: jax.Array, k: int):
-    """Canonical hash keys per k-mer position (invalid -> all-ones)."""
+    """Canonical hash keys + forward-strand flag per k-mer position."""
     fh, rh, valid = nthash.rolling_hash(codes, k, stranded=False)
+    fwd = (fh.hi < rh.hi) | ((fh.hi == rh.hi) & (fh.lo <= rh.lo))
     base = nthash.canonical(fh, rh)
     key_hi = jnp.where(valid, base.hi, jnp.uint32(0xFFFFFFFF))
     key_lo = jnp.where(valid, base.lo, jnp.uint32(0xFFFFFFFF))
-    return key_lo, key_hi
+    return key_lo, key_hi, fwd
+
+
+def _winnow(row: np.ndarray, w: int) -> np.ndarray:
+    """Positions of window minimizers (first-min tie rule, deduplicated)."""
+    n = row.shape[0]
+    if n == 0:
+        return np.empty(0, np.int64)
+    if n <= w:
+        return np.array([int(np.argmin(row))], np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(row, w)
+    picks = np.argmin(win, axis=1) + np.arange(win.shape[0])
+    keep = np.empty(picks.shape[0], bool)
+    keep[0] = True
+    np.not_equal(picks[1:], picks[:-1], out=keep[1:])
+    return np.unique(picks[keep])
 
 
 def extract_minimizers(
     codes: np.ndarray, lengths: np.ndarray, k: int, w: int
-) -> List[List[Tuple[int, int]]]:
-    """Per read: [(hash64, position)] winnowed minimizers (host finish)."""
-    key_lo, key_hi = _minimizer_keys(jnp.asarray(codes), k)
+) -> Minimizers:
+    """Winnowed canonical minimizers for a padded (B, L) read batch."""
+    key_lo, key_hi, fwd = _minimizer_keys(jnp.asarray(codes), k)
     lo = np.asarray(key_lo).astype(np.uint64)
     hi = np.asarray(key_hi).astype(np.uint64)
     keys = (hi << np.uint64(32)) | lo
-    out: List[List[Tuple[int, int]]] = []
+    fwd = np.asarray(fwd)
+
+    out_key: List[np.ndarray] = []
+    out_pos: List[np.ndarray] = []
+    out_strand: List[np.ndarray] = []
+    out_read: List[np.ndarray] = []
+    sentinel = np.uint64(0xFFFFFFFFFFFFFFFF)
     for b in range(codes.shape[0]):
         n = max(int(lengths[b]) - k + 1, 0)
+        if n == 0:
+            continue
         row = keys[b, :n]
-        mins: List[Tuple[int, int]] = []
-        last = -1
-        for s in range(max(n - w + 1, 1)):
-            e = min(s + w, n)
-            j = s + int(np.argmin(row[s:e]))
-            if j != last and row[j] != np.uint64(0xFFFFFFFFFFFFFFFF):
-                mins.append((int(row[j]), j))
-                last = j
-        out.append(mins)
-    return out
+        picks = _winnow(row, w)
+        picks = picks[row[picks] != sentinel]
+        out_key.append(row[picks])
+        out_pos.append(picks.astype(np.int32))
+        out_strand.append(fwd[b, picks])
+        out_read.append(np.full(picks.shape[0], b, np.int32))
+
+    if not out_key:
+        e = np.empty(0)
+        return Minimizers(
+            e.astype(np.uint64), e.astype(np.int32), e.astype(bool),
+            e.astype(np.int32), np.asarray(lengths, np.int32), k,
+        )
+    return Minimizers(
+        key=np.concatenate(out_key),
+        pos=np.concatenate(out_pos),
+        strand=np.concatenate(out_strand),
+        read=np.concatenate(out_read),
+        lengths=np.asarray(lengths, np.int32),
+        k=k,
+    )
 
 
-def find_overlaps(
-    minimizers: List[List[Tuple[int, int]]],
-    lengths: np.ndarray,
-    params: OverlapParams,
-) -> List[OverlapRecord]:
-    """All-vs-all overlap candidates via minimizer hash join + diagonal bins.
+def _drop_frequent(m: Minimizers, max_occ: int) -> Minimizers:
+    order = np.argsort(m.key, kind="stable")
+    key = m.key[order]
+    boundary = np.flatnonzero(np.concatenate(([True], key[1:] != key[:-1])))
+    counts = np.diff(np.concatenate((boundary, [key.shape[0]])))
+    keep_group = counts <= max_occ
+    keep = np.repeat(keep_group, counts)
+    sel = order[keep]
+    return Minimizers(m.key[sel], m.pos[sel], m.strand[sel], m.read[sel], m.lengths, m.k)
 
-    Reads are assumed pre-oriented onto one strand (the long-read pipeline
-    orients by poly-A before OLC); opposite-strand overlaps are therefore
-    not searched — a documented narrowing vs minimap2's ava mode.
+
+def _match_pairs(
+    mq: Minimizers, mt: Minimizers, ava: bool, max_occ: int
+) -> Tuple[np.ndarray, ...]:
+    """All minimizer matches (q_read, t_read, q_pos, t_pos, rel_strand).
+
+    ``ava``: mq is mt; emit each unordered read pair once (q < t).
+    Otherwise mq (queries) and mt (targets) are separate namespaces.
     """
-    index: Dict[int, List[Tuple[int, int]]] = {}
-    for rid, mins in enumerate(minimizers):
-        for h, p in mins:
-            index.setdefault(h, []).append((rid, p))
+    mq = _drop_frequent(mq, max_occ)
+    if ava:
+        mt = mq
+    else:
+        mt = _drop_frequent(mt, max_occ)
+    if mq.key.size == 0 or mt.key.size == 0:
+        z = np.empty(0, np.int64)
+        return z, z, z, z, z
 
-    votes: Dict[Tuple[int, int, int], List[Tuple[int, int]]] = {}
-    for q, mins in enumerate(minimizers):
-        for h, qp in mins:
-            for t, tp in index.get(h, ()):  # noqa: B020
-                if t <= q:
-                    continue
-                diag = (qp - tp) // params.diag_band
-                votes.setdefault((q, t, diag), []).append((qp, tp))
+    t_order = np.argsort(mt.key, kind="stable")
+    t_key = mt.key[t_order]
+    lo = np.searchsorted(t_key, mq.key, side="left")
+    hi = np.searchsorted(t_key, mq.key, side="right")
+    n_hits = hi - lo
+    q_idx = np.repeat(np.arange(mq.key.shape[0]), n_hits)
+    # flat indices into t_order for each hit
+    starts = np.repeat(lo, n_hits)
+    offs = np.arange(q_idx.shape[0]) - np.repeat(
+        np.concatenate(([0], np.cumsum(n_hits)[:-1])), n_hits
+    )
+    t_idx = t_order[starts + offs]
+
+    qr = mq.read[q_idx].astype(np.int64)
+    tr = mt.read[t_idx].astype(np.int64)
+    if ava:
+        sel = qr < tr
+    else:
+        sel = np.ones(qr.shape[0], bool)
+    qr, tr = qr[sel], tr[sel]
+    qp = mq.pos[q_idx[sel]].astype(np.int64)
+    tp = mt.pos[t_idx[sel]].astype(np.int64)
+    rel = (mq.strand[q_idx[sel]] == mt.strand[t_idx[sel]]).astype(np.int64)
+    return qr, tr, qp, tp, rel
+
+
+def _chain(
+    qr, tr, qp, tp, rel, k: int, params: OverlapParams
+) -> List[OverlapRecord]:
+    """Diagonal-binned chaining: per (q, t, strand) keep the best bin."""
+    if qr.shape[0] == 0:
+        return []
+    diag = np.where(rel == 1, qp - tp, qp + tp)
+    dbin = diag // params.diag_band
+    # pack a group key; reads < 2^31, bins offset into non-negative range
+    packed = np.stack([qr, tr, rel, dbin - dbin.min()], axis=1)
+    uniq, inv = np.unique(packed, axis=0, return_inverse=True)
+    n_groups = uniq.shape[0]
+    counts = np.bincount(inv, minlength=n_groups)
+    qs = np.full(n_groups, np.iinfo(np.int64).max)
+    qe = np.full(n_groups, -1)
+    ts = np.full(n_groups, np.iinfo(np.int64).max)
+    te = np.full(n_groups, -1)
+    np.minimum.at(qs, inv, qp)
+    np.maximum.at(qe, inv, qp)
+    np.minimum.at(ts, inv, tp)
+    np.maximum.at(te, inv, tp)
+
+    # best bin per (q, t, strand)
+    pair = np.stack([uniq[:, 0], uniq[:, 1], uniq[:, 2]], axis=1)
+    puniq, pinv = np.unique(pair, axis=0, return_inverse=True)
+    best = np.full(puniq.shape[0], -1)
+    best_count = np.zeros(puniq.shape[0], np.int64)
+    np.maximum.at(best_count, pinv, counts)
+    for g in range(n_groups):
+        p = pinv[g]
+        if counts[g] == best_count[p] and best[p] < 0:
+            best[p] = g
 
     out: List[OverlapRecord] = []
-    seen_pairs = set()
-    for (q, t, diag), hits in votes.items():
-        if len(hits) < params.min_shared or (q, t) in seen_pairs:
+    for p in range(puniq.shape[0]):
+        g = best[p]
+        if g < 0 or counts[g] < params.min_shared:
             continue
-        qs = min(h[0] for h in hits)
-        qe = max(h[0] for h in hits)
-        ts = min(h[1] for h in hits)
-        te = max(h[1] for h in hits)
-        if qe - qs < params.min_overlap and te - ts < params.min_overlap:
+        q_span = qe[g] - qs[g] + k
+        t_span = te[g] - ts[g] + k
+        if q_span < params.min_overlap and t_span < params.min_overlap:
             continue
-        seen_pairs.add((q, t))
         out.append(
             OverlapRecord(
-                q=q, t=t, strand=1, q_start=qs, q_end=qe, t_start=ts, t_end=te,
-                shared=len(hits),
+                q=int(puniq[p, 0]),
+                t=int(puniq[p, 1]),
+                strand=1 if puniq[p, 2] == 1 else -1,
+                q_start=int(qs[g]),
+                q_end=int(qe[g] + k),
+                t_start=int(ts[g]),
+                t_end=int(te[g] + k),
+                shared=int(counts[g]),
             )
         )
     return out
 
 
+def find_overlaps(mins: Minimizers, params: OverlapParams) -> List[OverlapRecord]:
+    """All-vs-all overlap candidates via minimizer hash join + diagonal bins."""
+    qr, tr, qp, tp, rel = _match_pairs(mins, mins, ava=True, max_occ=params.max_occ)
+    return _chain(qr, tr, qp, tp, rel, mins.k, params)
+
+
+def map_to_targets(
+    query_mins: Minimizers, target_mins: Minimizers, params: OverlapParams
+) -> List[OverlapRecord]:
+    """Map queries (reads) onto targets (unitigs); q/t in separate id spaces."""
+    qr, tr, qp, tp, rel = _match_pairs(
+        query_mins, target_mins, ava=False, max_occ=params.max_occ
+    )
+    return _chain(qr, tr, qp, tp, rel, query_mins.k, params)
+
+
+def oriented_t_coords(rec: OverlapRecord, t_len: int) -> Tuple[int, int]:
+    """Target overlap span in target-oriented coords (flip if strand == -1)."""
+    if rec.strand == 1:
+        return rec.t_start, rec.t_end
+    return t_len - rec.t_end, t_len - rec.t_start
+
+
 def classify(rec: OverlapRecord, q_len: int, t_len: int, params: OverlapParams) -> str:
     """'q_contained' | 't_contained' | 'dovetail' | 'internal'
-    (PafUtils containment/dovetail predicates :117-218)."""
+    (PafUtils containment/dovetail predicates :117-218), strand-aware."""
     h = params.max_overhang
     q_l, q_r = rec.q_start, q_len - rec.q_end
-    t_l, t_r = rec.t_start, t_len - rec.t_end
+    ot_s, ot_e = oriented_t_coords(rec, t_len)
+    t_l, t_r = ot_s, t_len - ot_e
     if q_l <= h and q_r <= h:
         return "q_contained"
     if t_l <= h and t_r <= h:

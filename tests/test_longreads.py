@@ -81,30 +81,26 @@ def test_subsampler_keeps_novel_reads():
 
 
 def test_overlap_and_layout():
-    from rnabloom_tpu.olc import layout as olc_layout, overlap as olc_overlap
+    from rnabloom_tpu.olc import layout as olc_layout
 
     t = rand_seq(1200)
     # tiling reads with 300bp overlap
     reads = [sequtils.encode(t[s : s + 500]) for s in range(0, 701, 200)]
     # plus one contained read
     reads.append(sequtils.encode(t[250:550]))
-    L = max(len(r) for r in reads)
-    codes = np.full((len(reads), L), 4, np.uint8)
-    lens = np.zeros(len(reads), np.int32)
-    for i, r in enumerate(reads):
-        codes[i, : len(r)] = r
-        lens[i] = len(r)
-    op = olc_overlap.OverlapParams()
-    mins = olc_overlap.extract_minimizers(codes, lens, 15, op.w)
-    overlaps = olc_overlap.find_overlaps(mins, lens, op)
-    assert len(overlaps) >= 4
-    res = olc_layout.layout_greedy(overlaps, lens, op)
-    assert len(res.contained) >= 1
-    # the main path should cover most reads
-    assert max(len(p) for p in res.paths) >= 3
-    seq = sequtils.decode(olc_layout.stitch_path(max(res.paths, key=len), reads))
+    unitigs, paths, contained = olc_layout.layout_unitigs(reads, 15, _op())
+    assert len(contained) >= 1
+    # the tiling reads merge into one unitig spanning the transcript
+    best = max(unitigs, key=len)
+    seq = sequtils.decode(best)
     assert len(seq) >= 900
     assert seq in t
+
+
+def _op():
+    from rnabloom_tpu.olc.overlap import OverlapParams
+
+    return OverlapParams()
 
 
 @pytest.mark.slow

@@ -1,0 +1,232 @@
+"""Internal OLC engine: strand-aware overlaps, graph ops, consensus, uniqueOLC."""
+
+import numpy as np
+import pytest
+
+from rnabloom_tpu.utils import seq as sequtils
+
+RNG = np.random.default_rng(77)
+K = 15
+
+
+def rand_seq(n):
+    return "".join(RNG.choice(list("ACGT"), size=n))
+
+
+def revcomp(s):
+    return s.translate(str.maketrans("ACGT", "TGCA"))[::-1]
+
+
+def _batch(reads):
+    L = max(len(r) for r in reads)
+    codes = np.full((len(reads), L), 4, np.uint8)
+    lens = np.zeros(len(reads), np.int32)
+    for i, r in enumerate(reads):
+        codes[i, : len(r)] = r
+        lens[i] = len(r)
+    return codes, lens
+
+
+def _overlaps(reads, params):
+    from rnabloom_tpu.olc import overlap as ov
+
+    codes, lens = _batch(reads)
+    mins = ov.extract_minimizers(codes, lens, K, params.w)
+    return ov.find_overlaps(mins, params), lens
+
+
+def test_same_strand_overlap_coords():
+    from rnabloom_tpu.olc import overlap as ov
+
+    t = rand_seq(900)
+    reads = [sequtils.encode(t[:600]), sequtils.encode(t[300:])]
+    params = ov.OverlapParams()
+    recs, lens = _overlaps(reads, params)
+    assert len(recs) == 1
+    r = recs[0]
+    assert r.strand == 1
+    kind = ov.classify(r, int(lens[r.q]), int(lens[r.t]), params)
+    assert kind == "dovetail"
+    # overlap region is [300, 600) on read 0 and [0, 300) on read 1
+    a, b = (r.q_start, r.t_start) if r.q == 0 else (r.t_start, r.q_start)
+    assert abs(a - 300) <= 60 and b <= 60
+
+
+def test_reverse_strand_overlap_detected():
+    from rnabloom_tpu.olc import overlap as ov
+
+    t = rand_seq(900)
+    reads = [sequtils.encode(t[:600]), sequtils.encode(revcomp(t[300:]))]
+    params = ov.OverlapParams()
+    recs, lens = _overlaps(reads, params)
+    assert len(recs) == 1
+    r = recs[0]
+    assert r.strand == -1
+    assert ov.classify(r, int(lens[r.q]), int(lens[r.t]), params) == "dovetail"
+
+
+def test_rc_layout_stitches_through_flipped_read():
+    """A path through a reverse-complemented read reconstructs the template."""
+    from rnabloom_tpu.olc import layout as olc_layout
+    from rnabloom_tpu.olc.overlap import OverlapParams
+
+    t = rand_seq(1400)
+    reads = [
+        sequtils.encode(t[0:600]),
+        sequtils.encode(revcomp(t[300:900])),  # middle read flipped
+        sequtils.encode(t[600:1400]),
+    ]
+    unitigs, paths, contained = olc_layout.layout_unitigs(reads, K, OverlapParams())
+    best = sequtils.decode(max(unitigs, key=len))
+    assert len(best) >= 1200
+    assert best in t or revcomp(best) in t
+
+
+def test_extract_unique_drops_contained_keeps_polya():
+    from rnabloom_tpu.olc import layout as olc_layout
+    from rnabloom_tpu.olc.overlap import OverlapParams
+
+    t = rand_seq(1000)
+    reads = [
+        sequtils.encode(t),  # container
+        sequtils.encode(t[200:600]),  # contained, no polyA
+        sequtils.encode(t[300:700]),  # contained, has polyA flag
+    ]
+    recs, lens = _overlaps(reads, OverlapParams())
+    kept = olc_layout.extract_unique(recs, lens, OverlapParams())
+    assert kept == [0]
+    kept = olc_layout.extract_unique(
+        recs, lens, OverlapParams(), polya_flags=[False, False, True]
+    )
+    assert kept == [0, 2]
+
+
+def test_transitive_reduction():
+    from rnabloom_tpu.olc import graph as og
+    from rnabloom_tpu.olc.overlap import OverlapParams
+
+    t = rand_seq(1200)
+    # three reads where 0->1->2 also implies the transitive 0->2
+    reads = [
+        sequtils.encode(t[0:700]),
+        sequtils.encode(t[250:950]),
+        sequtils.encode(t[500:1200]),
+    ]
+    recs, lens = _overlaps(reads, OverlapParams())
+    g, contained = og.build_graph(recs, lens, OverlapParams())
+    assert not contained
+    before = g.num_edges()
+    assert before >= 6  # 3 overlaps x 2 (mirror edges)
+    removed = g.remove_transitive_edges(fuzz=100)
+    assert removed >= 1
+    # the chain 0 -> 1 -> 2 must survive
+    assert og.vid(1, 0) in g.out_of(og.vid(0, 0))
+    assert og.vid(2, 0) in g.out_of(og.vid(1, 0))
+    assert og.vid(2, 0) not in g.out_of(og.vid(0, 0))
+
+
+def test_simple_paths_form_unitig():
+    from rnabloom_tpu.olc import graph as og, layout as olc_layout
+    from rnabloom_tpu.olc.overlap import OverlapParams
+
+    t = rand_seq(1500)
+    reads = [sequtils.encode(t[s : s + 500]) for s in range(0, 1001, 250)]
+    recs, lens = _overlaps(reads, OverlapParams())
+    g, _ = og.build_graph(recs, lens, OverlapParams())
+    g.remove_transitive_edges(fuzz=100)
+    paths = g.simple_paths()
+    best = max(paths, key=len)
+    assert len(best) == len(reads)
+    seq = sequtils.decode(olc_layout.stitch_path(best, reads))
+    assert seq in t or revcomp(seq) in t
+    assert len(seq) >= 1400
+
+
+def test_consensus_polish_fixes_errors():
+    from rnabloom_tpu.olc import consensus as cns
+    from rnabloom_tpu.olc import overlap as ov
+
+    t = rand_seq(800)
+    unitig = np.array(sequtils.encode(t), np.uint8)
+    # corrupt 5 positions of the unitig
+    bad = unitig.copy()
+    for p in [100, 250, 400, 550, 650]:  # all covered by >= 2 reads
+        bad[p] = (bad[p] + 1) % 4
+    # clean reads tile the truth; one is reverse-complemented
+    reads = [np.array(sequtils.encode(t[s : s + 400]), np.uint8) for s in range(0, 401, 100)]
+    reads[2] = np.array(sequtils.encode(revcomp(t[200:600])), np.uint8)
+
+    params = ov.OverlapParams()
+    rcodes, rlens = _batch(reads)
+    ucodes, ulens = _batch([bad])
+    rm = ov.extract_minimizers(rcodes, rlens, K, params.w)
+    um = ov.extract_minimizers(ucodes, ulens, K, params.w)
+    placements = cns.place_reads(rm, um, rlens, params)
+    assert len(placements) == len(reads)
+    for p in placements:
+        assert p.target == 0
+        exp = [0, 100, 200, 300, 400][p.read]
+        assert abs(p.start - exp) <= 2
+    polished = cns.polish([bad], reads, placements, min_depth=2)[0]
+    assert (polished != unitig).sum() == 0  # all five errors fixed
+
+
+def test_binomial_edge_filter_removes_weak_edge():
+    from rnabloom_tpu.olc import graph as og
+    from rnabloom_tpu.olc.graph import Edge
+
+    g = og.OverlapGraph(lengths=np.array([1000, 1000, 1000]))
+    # edge 0->1: high expected coverage but zero spanning reads -> cut
+    g._add_edge(og.vid(0, 0), og.vid(1, 0), Edge(offset=800, ovl=200.0, support=10))
+    # edge 1->2: well supported -> kept
+    e = Edge(offset=800, ovl=200.0, support=10, weight=20.0)
+    g._add_edge(og.vid(1, 0), og.vid(2, 0), e)
+    counts = {0: 30.0, 1: 30.0, 2: 30.0}
+    # half the reads are shorter than the 200bp overlap: p(span) = 0.5,
+    # so 0/30 spanning reads is implausible but 20/30 is fine
+    sample = np.concatenate([np.full(250, 100), np.full(250, 600)])
+    removed = g.filter_edges_binomial(counts, sample)
+    assert removed == 1
+    assert og.vid(1, 0) not in g.out_of(og.vid(0, 0))
+    assert og.vid(2, 0) in g.out_of(og.vid(1, 0))
+
+
+def test_binom_cdf_matches_closed_form():
+    from rnabloom_tpu.olc.graph import _binom_cdf
+
+    # Binomial(4, 0.5): cdf(2) = (1+4+6)/16
+    assert _binom_cdf(2, 4, 0.5) == pytest.approx(11 / 16)
+    assert _binom_cdf(4, 4, 0.5) == pytest.approx(1.0)
+    assert _binom_cdf(0, 10, 0.9) == pytest.approx(0.1**10, rel=1e-6)
+
+
+def test_unique_olc_end_to_end():
+    from rnabloom_tpu.olc import layout as olc_layout
+    from rnabloom_tpu.olc.overlap import OverlapParams
+
+    t1 = rand_seq(1500)
+    t2 = rand_seq(1100)
+    reads = []
+    for t in (t1, t2):
+        for _ in range(12):
+            s = int(RNG.integers(0, max(len(t) - 600, 1)))
+            ln = int(RNG.integers(500, 700))
+            frag = t[s : s + ln]
+            if RNG.random() < 0.3:
+                frag = revcomp(frag)
+            reads.append(np.array(sequtils.encode(frag), np.uint8))
+    res = olc_layout.unique_olc(
+        reads, K, OverlapParams(),
+        sample_lengths=np.array([len(r) for r in reads]),
+    )
+    assert res.n_unique < len(reads)  # containment pruning happened
+    assert res.transcripts
+    # both transcripts should be substantially reconstructed
+    best = {}
+    for tx in res.transcripts:
+        s = sequtils.decode(tx)
+        for name, t in (("t1", t1), ("t2", t2)):
+            if s in t or revcomp(s) in t:
+                best[name] = max(best.get(name, 0), len(s))
+    assert best.get("t1", 0) >= 1000
+    assert best.get("t2", 0) >= 700

@@ -107,3 +107,66 @@ def test_blunt_end_artifact():
     counts3 = np.full(n, 10.0)
     counts3[:12] = 2.0
     assert artifacts.is_blunt_end_artifact(seen3, valid, counts3, d, 20)
+
+
+def test_template_switch_tip_profile():
+    k = 25
+    n = 120
+    valid = np.ones(n, bool)
+    # assembled suffix, unassembled prefix tip (isTemplateSwitch2)
+    seen = np.zeros(n, bool)
+    seen[80:] = True
+    tip = artifacts.template_switch_tip(seen, valid, k)
+    assert tip is not None
+    s, e = tip
+    assert s == 0 and e == 80 - 2 * k  # fold-back loop (2k) excluded
+    # assembled prefix, unassembled suffix tip (isTemplateSwitch)
+    seen2 = np.zeros(n, bool)
+    seen2[:40] = True
+    tip2 = artifacts.template_switch_tip(seen2, valid, k)
+    assert tip2 is not None
+    s2, e2 = tip2
+    assert s2 == 40 + k and e2 == n
+    # fully seen / fully unseen: no signature
+    assert artifacts.template_switch_tip(np.ones(n, bool), valid, k) is None
+    assert artifacts.template_switch_tip(np.zeros(n, bool), valid, k) is None
+
+
+def test_template_switch_screening_end_to_end():
+    import jax.numpy as jnp
+
+    from rnabloom_tpu.assembly import transcripts as txmod
+    from rnabloom_tpu.bloom.filters import BloomConfig, CountingConfig, make_bloom
+    from rnabloom_tpu.graph import dbg
+
+    k = 25
+    # stranded: template-switch tips are only distinguishable from their
+    # backbone when hashing is strand-specific (canonical hashing sees the
+    # RC tip's k-mers as already assembled — true of the reference too)
+    cfg = dbg.GraphConfig(
+        k=k, stranded=True,
+        dbgbf=BloomConfig(18, 2),
+        cbf=CountingConfig(18, 2, 16),
+        pkbf=BloomConfig(18, 2),
+    )
+    scfg = BloomConfig(18, 2)
+    screen = make_bloom(scfg)
+
+    backbone = rand_seq(400)
+    # mark the backbone as assembled in the screening filter
+    pad = np.full((1, 400), 4, np.uint8)
+    pad[0, :] = sequtils.encode(backbone)
+    screen = txmod.screen_add(screen, scfg, cfg, jnp.asarray(pad))
+
+    # artifact: revcomp of a backbone region + a fold-back loop + an
+    # assembled backbone suffix -> the prefix tip's RC is in the screen
+    artifact = sequtils.revcomp(backbone[100:250]) + backbone[250:]
+    clean = rand_seq(150) + backbone[250:]  # novel tip: NOT a switch
+    L = max(len(artifact), len(clean))
+    batch = np.full((2, L), 4, np.uint8)
+    batch[0, : len(artifact)] = sequtils.encode(artifact)
+    batch[1, : len(clean)] = sequtils.encode(clean)
+    lens = np.array([len(artifact), len(clean)], np.int32)
+    flags = txmod.screen_template_switch(screen, scfg, cfg, batch, lens)
+    assert flags[0]
+    assert not flags[1]
