@@ -34,7 +34,7 @@ def main() -> None:
         k=k,
         stranded=False,
         dbgbf=BloomConfig(size_log2=30, num_hash=2),  # 1 Gi lanes
-        cbf=CountingConfig(size_log2=28, num_hash=2, scratch_log2=22),  # 1 GiB
+        cbf=CountingConfig(size_log2=28, num_hash=2, scratch_log2=22, blocked=True),  # 1 GiB
         pkbf=BloomConfig(size_log2=28, num_hash=2),
         read_pair_distance=90,
     )

@@ -183,7 +183,8 @@ def build_graph_autosized(
             cfg,
             dbgbf=BloomConfig(cfg.dbgbf.size_log2 + 1, cfg.dbgbf.num_hash),
             cbf=CountingConfig(
-                cfg.cbf.size_log2 + 1, cfg.cbf.num_hash, cfg.cbf.scratch_log2
+                cfg.cbf.size_log2 + 1, cfg.cbf.num_hash, cfg.cbf.scratch_log2,
+                blocked=cfg.cbf.blocked,
             ),
             pkbf=BloomConfig(cfg.pkbf.size_log2 + 1, cfg.pkbf.num_hash)
             if cfg.pkbf
@@ -215,7 +216,7 @@ def default_graph_config(
         k=k,
         stranded=stranded,
         dbgbf=BloomConfig(dbg_bits.bit_length() - 1, num_hash),
-        cbf=CountingConfig(cbf_cells.bit_length() - 1, num_hash),
+        cbf=CountingConfig(cbf_cells.bit_length() - 1, num_hash, blocked=True),
         pkbf=BloomConfig(pk_bits.bit_length() - 1, num_hash) if with_pkbf else None,
         read_pair_distance=read_pair_distance,
     )

@@ -240,3 +240,36 @@ def test_partitioned_pair_filter():
     assert np.asarray(st.lookup(hl, hr, hp)).all()
     other = nthash.multi_hash(mk_u64(rand_bases(40)), K, 2)
     assert (~np.asarray(st.lookup(other, hr, hp))).mean() > 0.9
+
+
+def test_blocked_counting_matches_flat_counts():
+    import jax.numpy as jnp
+
+    from rnabloom_tpu.bloom import filters
+    from rnabloom_tpu.bloom.filters import CountingConfig
+    from rnabloom_tpu.ops import nthash, u64
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 1 << 63, size=(256, 2), dtype=np.uint64)
+    h = u64.U64(
+        jnp.asarray((vals & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+        jnp.asarray((vals >> np.uint64(32)).astype(np.uint32)),
+    )
+    cfgb = CountingConfig(size_log2=20, num_hash=2, scratch_log2=16, blocked=True)
+    c = filters.make_counting(cfgb)
+    assert c.shape[0] == cfgb.size + 128
+    # insert each key 3x
+    for _ in range(3):
+        c = filters.counting_increment_cm(c, cfgb, h)
+    est = np.asarray(filters.counting_count(c, cfgb, h))
+    # count-min overestimates only on collisions; at 256 keys in 2^20
+    # cells the estimate must be exact
+    assert (est == 3).all()
+    # validity masking: masked rows go to the trash row
+    valid = jnp.zeros(256, bool)
+    c2 = filters.counting_increment_cm(filters.make_counting(cfgb), cfgb, h, valid=valid)
+    assert float(jnp.sum(c2[: cfgb.size].astype(jnp.float32))) == 0.0
+    # distinct lanes: both probes of a key never alias one cell
+    row, lanes = filters.blocked_cells(cfgb, h)
+    lanes = np.asarray(lanes)
+    assert (lanes[:, 0] != lanes[:, 1]).all()
