@@ -56,8 +56,28 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache: first-run compiles of the stage
+    kernels take minutes on the TPU toolchain; later runs reuse them."""
+    import os
+
+    import jax
+
+    cache_dir = os.environ.get(
+        "RNABLOOM_TPU_JAX_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "rnabloom-tpu", "jax"),
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass  # cache is an optimization only
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    _enable_compilation_cache()
 
     from .assembly import pipeline
     from .utils import kselect
