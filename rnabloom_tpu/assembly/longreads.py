@@ -23,6 +23,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -183,6 +184,99 @@ def correct_long_reads(
     return corrected, flags
 
 
+M64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+_MULTI_SEED = None  # resolved lazily from ops.nthash_ref
+
+
+def _np_multi_hash(base: np.ndarray, k: int, m: int) -> np.ndarray:
+    """Vectorized NTM64 multi-hash on host: (N,) u64 -> (N, m) u64."""
+    global _MULTI_SEED
+    if _MULTI_SEED is None:
+        from ..ops import nthash_ref
+
+        _MULTI_SEED = (np.uint64(nthash_ref.MULTI_SEED), np.uint64(nthash_ref.MULTI_SHIFT))
+    seed, shift = _MULTI_SEED
+    out = np.empty((base.shape[0], m), np.uint64)
+    out[:, 0] = base
+    with np.errstate(over="ignore"):
+        for i in range(1, m):
+            t = base * (np.uint64(i) ^ (np.uint64(k) * seed))
+            t = t ^ (t >> shift)
+            out[:, i] = t
+    return out
+
+
+def _device_hash_buckets(reads, per_read_fn, min_len: int, rows: int = 64):
+    """Batch variable-length reads through a fixed-shape device hasher.
+
+    Reads are grouped by power-of-two padded length so each distinct
+    (rows, L) shape compiles once; ``per_read_fn(codes) -> (keys u64,
+    valid)`` runs on one padded batch.  Returns per-read u64 key arrays
+    (valid positions only).  This replaces per-read jit calls, which
+    would trigger one TPU compile per distinct read length.
+    """
+    out = [np.empty(0, np.uint64)] * len(reads)
+    buckets = {}
+    for i, r in enumerate(reads):
+        if len(r) < min_len:
+            continue
+        L = 1 << max(6, (len(r) - 1).bit_length())
+        buckets.setdefault(L, []).append(i)
+    for L, idxs in sorted(buckets.items()):
+        for s in range(0, len(idxs), rows):
+            chunk = idxs[s : s + rows]
+            codes = np.full((rows, L), 4, np.uint8)
+            for j, i in enumerate(chunk):
+                codes[j, : len(reads[i])] = reads[i]
+            keys, valid = per_read_fn(jnp.asarray(codes))
+            keys = np.asarray(keys)
+            valid = np.asarray(valid)
+            for j, i in enumerate(chunk):
+                out[i] = keys[j][valid[j]]
+    return out
+
+
+def _base_key_fn(cfg: GraphConfig):
+    from functools import partial
+
+    from ..ops import nthash
+
+    @partial(jax.jit)
+    def fn(codes):
+        fh, rh, valid = nthash.rolling_hash(codes, cfg.k, cfg.stranded)
+        base = fh if cfg.stranded else nthash.canonical(fh, rh)
+        keys = (base.hi.astype(jnp.uint64) << 32) | base.lo.astype(jnp.uint64)
+        return keys, valid
+
+    return fn
+
+
+def _host_gate(
+    per_read_keys,
+    k: int,
+    max_multiplicity: int,
+    sketch_log2: int,
+    num_hash: int = 2,
+) -> List[int]:
+    """Sequential longest-first novelty gate over a host count-min table
+    (the reference subsamplers are order-dependent sequential scans)."""
+    table = np.zeros((1 << sketch_log2) + 1, np.int32)
+    mask = np.uint64((1 << sketch_log2) - 1)
+    order = sorted(range(len(per_read_keys)), key=lambda i: -per_read_keys[i].shape[0])
+    keep: List[int] = []
+    for i in order:
+        keys = per_read_keys[i]
+        if keys.size == 0:
+            continue
+        hs = _np_multi_hash(keys, k, num_hash)
+        idx = ((hs >> np.uint64(1)) & mask).astype(np.int64)
+        c = table[idx].min(axis=1)
+        if (c < max_multiplicity).any():
+            keep.append(i)
+            np.add.at(table, idx.ravel(), 1)
+    return sorted(keep)
+
+
 def subsample_minimizer_based(
     cfg: GraphConfig,
     reads: List[np.ndarray],
@@ -194,37 +288,20 @@ def subsample_minimizer_based(
     a read is kept iff any of its window minimizers has been seen fewer
     than max_multiplicity times."""
     from ..olc import overlap as olc_overlap
-    from ..ops import nthash
 
-    ccfg = CountingConfig(size_log2=sketch_log2, num_hash=2, scratch_log2=16)
-    counts = filters.make_counting(ccfg)
-    order = sorted(range(len(reads)), key=lambda i: -len(reads[i]))
-    keep: List[int] = []
-    for i in order:
-        r = reads[i]
-        if len(r) < cfg.k + w:
-            continue
-        mins = olc_overlap.extract_minimizers(
-            r[None, :], np.asarray([len(r)]), cfg.k, w
-        )
-        if mins.key.size == 0:
-            continue
-        base = u64_from_np(mins.key)
-        h = nthash.multi_hash(base, cfg.k, ccfg.num_hash)
-        c = np.asarray(filters.counting_count(counts, ccfg, h))
-        if (c < max_multiplicity).any():
-            keep.append(i)
-            counts = filters.counting_increment_cm(counts, ccfg, h)
-    return sorted(keep)
-
-
-def u64_from_np(vals: np.ndarray):
-    from ..ops import u64 as u64mod
-
-    return u64mod.U64(
-        jnp.asarray((vals & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
-        jnp.asarray((vals >> np.uint64(32)).astype(np.uint32)),
-    )
+    keys = [np.empty(0, np.uint64)] * len(reads)
+    usable = [i for i, r in enumerate(reads) if len(r) >= cfg.k + w]
+    if usable:
+        L = max(len(reads[i]) for i in usable)
+        codes = np.full((len(usable), L), 4, np.uint8)
+        lens = np.zeros(len(usable), np.int32)
+        for j, i in enumerate(usable):
+            codes[j, : len(reads[i])] = reads[i]
+            lens[j] = len(reads[i])
+        mins = olc_overlap.extract_minimizers(codes, lens, cfg.k, w)
+        for j, i in enumerate(usable):
+            keys[i] = mins.key[mins.read == j]
+    return _host_gate(keys, cfg.k, max_multiplicity, sketch_log2)
 
 
 def minimal_set(
@@ -233,27 +310,8 @@ def minimal_set(
     """Greedy minimal covering set (SeqSubsampler.minimalSet :483): visit
     reads longest-first, keep a read only if it contributes at least one
     unseen k-mer."""
-    from ..ops import nthash
-
-    from ..bloom.filters import BloomConfig
-
-    bcfg = BloomConfig(size_log2=sketch_log2, num_hash=2)
-    bits = filters.make_bloom(bcfg)
-    order = sorted(range(len(reads)), key=lambda i: -len(reads[i]))
-    keep: List[int] = []
-    for i in order:
-        r = reads[i]
-        if len(r) < cfg.k:
-            continue
-        fh, rh, valid = nthash.rolling_hash(jnp.asarray(r[None, :]), cfg.k, cfg.stranded)
-        base = nthash.canonical(fh, rh)
-        h = nthash.multi_hash(base, cfg.k, bcfg.num_hash)
-        seen = np.asarray(filters.bloom_lookup(bits, bcfg, h))[0]
-        v = np.asarray(valid)[0]
-        if (~seen[v]).any():
-            keep.append(i)
-            bits = filters.bloom_add(bits, bcfg, h, valid)
-    return sorted(keep)
+    keys = _device_hash_buckets(reads, _base_key_fn(cfg), cfg.k)
+    return _host_gate(keys, cfg.k, 1, sketch_log2)
 
 
 def subsample_strobemer_based(
@@ -268,29 +326,21 @@ def subsample_strobemer_based(
     """Strobemer-novelty subsampling (SeqSubsampler.strobemerBased :339):
     like the k-mer variant but keyed by randstrobe hashes, which tolerate
     long-read indels between strobes."""
-    from ..ops import nthash, strobemer
+    from functools import partial
 
-    ccfg = CountingConfig(size_log2=sketch_log2, num_hash=2, scratch_log2=16)
-    counts = filters.make_counting(ccfg)
-    order = sorted(range(len(reads)), key=lambda i: -len(reads[i]))
-    keep: List[int] = []
-    min_len = cfg.k + w_max * (n - 2) + w_min
-    for i in order:
-        r = reads[i]
-        if len(r) <= min_len:
-            continue
+    from ..ops import strobemer
+
+    @partial(jax.jit)
+    def fn(codes):
         base, ok = strobemer.strobemer_hashes(
-            jnp.asarray(r[None, :]), cfg.k, n, w_min, w_max, stranded=cfg.stranded
+            codes, cfg.k, n, w_min, w_max, stranded=cfg.stranded
         )
-        h = nthash.multi_hash(base, cfg.k, ccfg.num_hash)
-        c = np.asarray(filters.counting_count(counts, ccfg, h))[0]
-        v = np.asarray(ok)[0]
-        if not v.any():
-            continue
-        if (c[v] < max_multiplicity).any():
-            keep.append(i)
-            counts = filters.counting_increment_cm(counts, ccfg, h, valid=ok)
-    return sorted(keep)
+        keys = (base.hi.astype(jnp.uint64) << 32) | base.lo.astype(jnp.uint64)
+        return keys, ok
+
+    min_len = cfg.k + w_max * (n - 2) + w_min + 1
+    keys = _device_hash_buckets(reads, fn, min_len)
+    return _host_gate(keys, cfg.k, max_multiplicity, sketch_log2)
 
 
 def subsample_kmer_based(
@@ -304,23 +354,5 @@ def subsample_kmer_based(
     Reads are visited longest-first; a read is kept iff any of its k-mers
     has been counted < max_multiplicity times, then its k-mers are counted.
     """
-    from ..ops import nthash
-
-    ccfg = CountingConfig(size_log2=sketch_log2, num_hash=2, scratch_log2=16)
-    counts = filters.make_counting(ccfg)
-    order = sorted(range(len(reads)), key=lambda i: -len(reads[i]))
-    keep: List[int] = []
-    for i in order:
-        r = reads[i]
-        if len(r) < cfg.k:
-            continue
-        codes = jnp.asarray(r[None, :])
-        fh, rh, valid = nthash.rolling_hash(codes, cfg.k, cfg.stranded)
-        base = nthash.canonical(fh, rh)
-        h = nthash.multi_hash(base, cfg.k, ccfg.num_hash)
-        c = np.asarray(filters.counting_count(counts, ccfg, h))[0]
-        v = np.asarray(valid)[0]
-        if (c[v] < max_multiplicity).any():
-            keep.append(i)
-            counts = filters.counting_increment_cm(counts, ccfg, h, valid=valid)
-    return sorted(keep)
+    keys = _device_hash_buckets(reads, _base_key_fn(cfg), cfg.k)
+    return _host_gate(keys, cfg.k, max_multiplicity, sketch_log2)

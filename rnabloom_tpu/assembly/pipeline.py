@@ -56,6 +56,7 @@ class PipelineParams:
     min_fragment_cov: float = 0.0
     max_edge_clip: int = 0  # >0 enables blunt-end artifact screening
     template_switch_filter: bool = False  # -ts: template-switch screening
+    write_uracil: bool = False  # -u: transcripts as RNA (T -> U)
     verbose: bool = False
 
 
@@ -161,7 +162,9 @@ def _run_stage3(
     short_path = os.path.join(outdir, "rnabloom.transcripts.short.fa")
     n_tx = 0
     emitted: List[np.ndarray] = []
-    with fastx.FastaWriter(tx_path) as wtx, fastx.FastaWriter(short_path) as wsh:
+    with fastx.FastaWriter(tx_path, uracil=params.write_uracil) as wtx, fastx.FastaWriter(
+        short_path, uracil=params.write_uracil
+    ) as wsh:
         for s in range(0, len(order), 256):
             idx = order[s : s + 256]
             sel = frag_batch[idx]
@@ -200,7 +203,7 @@ def _run_stage3(
     if emitted:
         keep = txmod.reduce_redundancy(state, cfg, scfg, emitted, tparams)
         nr_path = os.path.join(outdir, "rnabloom.transcripts.nr.fa")
-        with fastx.FastaWriter(nr_path) as wnr:
+        with fastx.FastaWriter(nr_path, uracil=params.write_uracil) as wnr:
             for j, i in enumerate(keep):
                 wnr.write(f"rnabloom.nr.{j}", sequtils.decode(emitted[i]))
         report.num_nr = len(keep)
@@ -455,6 +458,7 @@ def assemble_long(
     params: PipelineParams,
     lr_min_cov: float = 2.0,
     subsample_multiplicity: int = 0,
+    subsample_spec: str = "",
 ) -> "PipelineReport":
     """Long-read (ONT/PacBio cDNA) assembly (-long path).
 
@@ -504,7 +508,23 @@ def assemble_long(
 
     sample_lengths = np.array([len(c) for c in corrected], np.int64)
 
-    if subsample_multiplicity > 0:
+    if subsample_spec:
+        # -lrsub (RNABloom.java:6335-6339): "depth,s,size,window" selects
+        # strobemer-novelty subsampling; "depth,k,size" selects k-mer pairs
+        parts = [int(x) for x in subsample_spec.split(",")]
+        if len(parts) == 4:
+            depth, s, _size, window = parts
+            keep = lrmod.subsample_strobemer_based(
+                cfg, corrected, max_multiplicity=depth, w_min=s, w_max=window
+            )
+        elif len(parts) == 3:
+            depth = parts[0]
+            keep = lrmod.subsample_kmer_based(cfg, corrected, depth)
+        else:
+            raise ValueError(f"bad -lrsub spec: {subsample_spec!r}")
+        corrected = [corrected[i] for i in keep]
+        polya_flags = [polya_flags[i] for i in keep]
+    elif subsample_multiplicity > 0:
         keep = lrmod.subsample_kmer_based(cfg, corrected, subsample_multiplicity)
         corrected = [corrected[i] for i in keep]
         polya_flags = [polya_flags[i] for i in keep]
@@ -532,7 +552,9 @@ def assemble_long(
     keep = txmod.reduce_redundancy(state, cfg, scfg, assembled, tparams)
     tx_path = os.path.join(outdir, "rnabloom.transcripts.fa")
     short_path = os.path.join(outdir, "rnabloom.transcripts.short.fa")
-    with fastx.FastaWriter(tx_path) as wtx, fastx.FastaWriter(short_path) as wsh:
+    with fastx.FastaWriter(tx_path, uracil=params.write_uracil) as wtx, fastx.FastaWriter(
+        short_path, uracil=params.write_uracil
+    ) as wsh:
         for j, i in enumerate(keep):
             seq = sequtils.decode(assembled[i])
             comment = f"l={len(seq)} c={tx_counts[i]:.2f}"

@@ -51,6 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="max end clip for blunt-end artifact screening (0 = off)")
     p.add_argument("-ts", "--template-switch", dest="template_switch", action="store_true",
                    help="screen template-switch artifacts (stranded mode)")
+    p.add_argument("-u", "--uracil", action="store_true",
+                   help="write transcripts as RNA (U instead of T)")
+    p.add_argument("-lrsub", "--lrsub", default="",
+                   help="subsample long reads: 'depth,s,size,window' (strobemers) or 'depth,k,size' (k-mers)")
     p.add_argument("--profile", metavar="DIR", help="capture a JAX profiler trace into DIR")
     p.add_argument("--version", action="version", version="rnabloom-tpu 0.1.0")
     return p
@@ -109,6 +113,7 @@ def main(argv=None) -> int:
         min_transcript_length=args.length,
         max_edge_clip=args.max_edge_clip,
         template_switch_filter=args.template_switch,
+        write_uracil=args.uracil,
     )
     params.verbose = True
     if args.profile:
@@ -130,7 +135,9 @@ def main(argv=None) -> int:
         }))
         return 0
     if args.long_reads:
-        report = pipeline.assemble_long(args.long_reads, args.outdir, params)
+        report = pipeline.assemble_long(
+            args.long_reads, args.outdir, params, subsample_spec=args.lrsub
+        )
     elif args.left and args.right:
         report = pipeline.assemble_pe(
             args.left, args.right, args.outdir, params,

@@ -129,15 +129,20 @@ def read_paired(
 class FastaWriter:
     """Gzip-aware FASTA writer with optional line wrapping."""
 
-    def __init__(self, path: str, wrap: int = 0, append: bool = False):
+    def __init__(self, path: str, wrap: int = 0, append: bool = False, uracil: bool = False):
         mode = "ab" if append else "wb"
         if path.endswith(".gz"):
             self._f = gzip.open(path, mode, compresslevel=4)
         else:
             self._f = open(path, mode, buffering=BUFFER_SIZE)
         self._wrap = wrap
+        self._uracil = uracil  # -u: write RNA (T -> U), FastaWriter.java
+
+    _URACIL = str.maketrans("Tt", "Uu")
 
     def write(self, name: str, seq: str, comment: str = "") -> None:
+        if self._uracil:
+            seq = seq.translate(self._URACIL)
         header = f">{name} {comment}\n" if comment else f">{name}\n"
         self._f.write(header.encode("ascii"))
         if self._wrap and len(seq) > self._wrap:
