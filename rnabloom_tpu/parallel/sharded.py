@@ -63,13 +63,14 @@ def make_sharded_graph(
     assert n & (n - 1) == 0, "device count must be a power of two"
     sh = NamedSharding(mesh, P("d", None))
 
-    def filt(size_log2, dtype):
-        local = (1 << size_log2) // n + 1
+    def filt(size_log2, dtype, trash=1):
+        local = (1 << size_log2) // n + trash
         return jax.device_put(jnp.zeros((n, local), dtype=dtype), sh)
 
     return ShardedGraphState(
         dbgbf=filt(cfg.dbgbf.size_log2, jnp.uint8) if cfg.exact_counts else None,
-        cbf=filt(cfg.cbf.size_log2, jnp.int32),
+        # blocked layout appends a 128-cell trash ROW per shard
+        cbf=filt(cfg.cbf.size_log2, jnp.int32, trash=128 if cfg.cbf.blocked else 1),
         rpkbf=filt(cfg.pkbf.size_log2, jnp.uint8) if with_rpkbf else None,
         fpkbf=filt(cfg.pkbf.size_log2, jnp.uint8) if with_fpkbf else None,
     )
@@ -227,6 +228,72 @@ def _sharded_counting_add_cm(
     return flat[None]
 
 
+def _sharded_counting_add_blocked(
+    counts: jax.Array,  # (1, local_rows*128 + 128)
+    hashes: U64,
+    valid,
+    ccfg: CountingConfig,
+    n: int,
+    axis: str,
+):
+    """Blocked count-min increment over row-range shards.
+
+    ONE packed u32 per k-mer rides the all-to-all — (local row << 14) |
+    (lane0 << 7) | lane1 — instead of num_hash cell indices, halving
+    routing traffic; the owner shard unpacks and applies a one-hot row
+    scatter-add (the single-chip blocked insert).
+    """
+    from ..bloom import filters as _f
+
+    assert ccfg.num_hash == 2, "packed routing supports num_hash == 2"
+    rows_log2 = ccfg.size_log2 - 7
+    local_rows_log2 = rows_log2 - int(math.log2(n))
+    # trash_row << 14 must stay inside uint32
+    assert local_rows_log2 <= 17, "packed routing needs local rows <= 2^17"
+    my = jax.lax.axis_index(axis).astype(jnp.int32)
+    trash_row = np.uint32(1 << local_rows_log2)
+
+    row, lanes = _f.blocked_cells(ccfg, hashes)  # row: (...,), lanes: (..., 2)
+    t = (row >> local_rows_log2).astype(jnp.int32)
+    lrow = row & np.uint32((1 << local_rows_log2) - 1)
+    if valid is not None:
+        t = jnp.where(valid, t, my)
+        lrow = jnp.where(valid, lrow, trash_row)
+    packed = (lrow << 14) | (lanes[..., 0] << 7) | lanes[..., 1]
+    sentinel = int(trash_row) << 14
+
+    send, _, _, _ = _route_requests(packed.reshape(-1), t.reshape(-1), n, sentinel)
+    req = _a2a(send, axis).reshape(-1)
+    r_lrow = (req >> 14).astype(jnp.int32)
+    bundle = (
+        jax.nn.one_hot((req >> 7) & np.uint32(127), 128, dtype=jnp.int32)
+        + jax.nn.one_hot(req & np.uint32(127), 128, dtype=jnp.int32)
+    )
+    rows2d = counts[0].reshape(-1, 128)
+    rows2d = rows2d.at[r_lrow].add(bundle, mode="drop")
+    return rows2d.reshape(1, -1)
+
+
+def _blocked_cell_indices(ccfg: CountingConfig, hashes: U64, valid, my, n: int):
+    """Per-cell (local flat idx, target shard) in the blocked layout —
+    row-range sharding is contiguous in flat index space, so queries route
+    individual cells exactly like the unblocked path."""
+    from ..bloom import filters as _f
+
+    rows_log2 = ccfg.size_log2 - 7
+    local_rows_log2 = rows_log2 - int(math.log2(n))
+    row, lanes = _f.blocked_cells(ccfg, hashes)
+    t = (row >> local_rows_log2).astype(jnp.int32)[..., None]
+    t = jnp.broadcast_to(t, lanes.shape)
+    lrow = (row & np.uint32((1 << local_rows_log2) - 1))[..., None]
+    lidx = lrow * np.uint32(128) + lanes
+    if valid is not None:
+        v = jnp.broadcast_to(valid[..., None], lanes.shape)
+        t = jnp.where(v, t, my)
+        lidx = jnp.where(v, lidx, np.uint32(128 << local_rows_log2))
+    return lidx.reshape(-1), t.reshape(-1)
+
+
 # ---------------------------------------------------------------------------
 # Fused sharded build step
 # ---------------------------------------------------------------------------
@@ -263,7 +330,14 @@ def sharded_build_step(mesh: Mesh, cfg: GraphConfig, add_read_pairs: bool = Fals
         else:
             # count-min fast path: one all-to-all of indices, local scatter-add
             new_dbg = None
-            new_cbf = _sharded_counting_add_cm(state.cbf, h_cbf, valid, cfg.cbf, n, axis)
+            if cfg.cbf.blocked:
+                new_cbf = _sharded_counting_add_blocked(
+                    state.cbf, h_cbf, valid, cfg.cbf, n, axis
+                )
+            else:
+                new_cbf = _sharded_counting_add_cm(
+                    state.cbf, h_cbf, valid, cfg.cbf, n, axis
+                )
         new_rpk = state.rpkbf
         if add_read_pairs and state.rpkbf is not None and cfg.read_pair_distance > 0:
             pair_base, np_ = dbg.pair_base_hashes(cfg, fh, rh, cfg.read_pair_distance)
@@ -301,7 +375,10 @@ def sharded_count_query(mesh: Mesh, cfg: GraphConfig):
         local_log2 = cfg.cbf.size_log2 - int(math.log2(n))
         my = jax.lax.axis_index(axis).astype(jnp.int32)
         h_cbf = nthash.multi_hash(base, cfg.k, cfg.cbf.num_hash)
-        lidx, t = _global_indices(h_cbf, cfg.cbf.size_log2, valid, my, local_log2, n)
+        if cfg.cbf.blocked:
+            lidx, t = _blocked_cell_indices(cfg.cbf, h_cbf, valid, my, n)
+        else:
+            lidx, t = _global_indices(h_cbf, cfg.cbf.size_log2, valid, my, local_log2, n)
         m = lidx.shape[0]
         send, ts, rank, order = _route_requests(lidx, t, n, sentinel=1 << local_log2)
         req = _a2a(send, axis)

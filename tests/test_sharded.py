@@ -30,16 +30,23 @@ def encode_batch(seqs, L):
     return jnp.asarray(arr)
 
 
-@pytest.fixture(scope="module", params=[True, False], ids=["exact", "cm"])
+@pytest.fixture(
+    scope="module",
+    params=["exact", "cm", "cm_blocked"],
+    ids=["exact", "cm", "cm_blocked"],
+)
 def cfg(request):
     return dbg.GraphConfig(
         k=K,
         stranded=False,
         dbgbf=BloomConfig(size_log2=16, num_hash=2),
-        cbf=CountingConfig(size_log2=16, num_hash=2, scratch_log2=20),
+        cbf=CountingConfig(
+            size_log2=16, num_hash=2, scratch_log2=20,
+            blocked=request.param == "cm_blocked",
+        ),
         pkbf=BloomConfig(size_log2=16, num_hash=2),
         read_pair_distance=20,
-        exact_counts=request.param,
+        exact_counts=request.param == "exact",
     )
 
 
@@ -61,15 +68,18 @@ def test_sharded_matches_single_device(cfg):
 
     # the sharded filter lanes, concatenated (dropping per-shard trash),
     # must equal the single-device lanes (dropping its trash)
-    def merge(lanes):
-        return np.concatenate([np.asarray(lanes[i, :-1]) for i in range(8)])
+    def merge(lanes, trash=1):
+        return np.concatenate([np.asarray(lanes[i, :-trash]) for i in range(8)])
 
     if cfg.exact_counts:
         np.testing.assert_array_equal(merge(np.asarray(s8.dbgbf)), np.asarray(s1.dbgbf[:-1]))
     np.testing.assert_array_equal(merge(np.asarray(s8.rpkbf)), np.asarray(s1.rpkbf[:-1]))
     # counts: same k-mer may appear on several devices -> merged by max;
     # with distinct random reads each k-mer occurs once, so exact equality
-    np.testing.assert_array_equal(merge(np.asarray(s8.cbf)), np.asarray(s1.cbf[:-1]))
+    cbf_trash = 128 if cfg.cbf.blocked else 1
+    np.testing.assert_array_equal(
+        merge(np.asarray(s8.cbf), cbf_trash), np.asarray(s1.cbf[:-cbf_trash])
+    )
 
 
 def test_sharded_query_matches_single(cfg):
