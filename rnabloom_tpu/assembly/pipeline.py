@@ -197,16 +197,23 @@ def _run_stage3(
                 wsh.write(f"rnabloom.s{report.num_short}", sequtils.decode(t.codes))
                 report.num_short += 1
 
-    # nr reduction (reference: minimap2 overlap layout,
-    # OverlapLayoutConsensus.overlapLayout :878; here the length-sorted
-    # screening reduction of GraphUtils.reduceRedundancy)
+    # nr reduction via the internal overlap layout (the reference runs
+    # minimap2 ava + Layout.extractSimplePaths over the transcripts,
+    # OverlapLayoutConsensus.overlapLayout :878, generateNonRedundant
+    # Transcripts RNABloom.java:5676): contained transcripts are dropped
+    # and unambiguously dovetailing ones merge into unitigs.
     if emitted:
-        keep = txmod.reduce_redundancy(state, cfg, scfg, emitted, tparams)
+        from ..olc import layout as olc_layout, overlap as olc_overlap
+
+        op = olc_overlap.OverlapParams(
+            min_overlap=max(params.min_transcript_length // 2, 100)
+        )
+        nr_seqs, _, _ = olc_layout.layout_unitigs(emitted, cfg.k, op)
         nr_path = os.path.join(outdir, "rnabloom.transcripts.nr.fa")
         with fastx.FastaWriter(nr_path, uracil=params.write_uracil) as wnr:
-            for j, i in enumerate(keep):
-                wnr.write(f"rnabloom.nr.{j}", sequtils.decode(emitted[i]))
-        report.num_nr = len(keep)
+            for j, s in enumerate(nr_seqs):
+                wnr.write(f"rnabloom.nr.{j}", sequtils.decode(s), f"l={len(s)}")
+        report.num_nr = len(nr_seqs)
 
 
 def assemble_se(
@@ -301,8 +308,6 @@ def assemble_se(
 def merge_pool(outdir: str, sample_names: Sequence[str], params: PipelineParams) -> int:
     """-mergepool: concatenate per-sample nr assemblies and reduce redundancy
     into one merged FASTA (mergePooledAssemblies, RNABloom.java:5473)."""
-    from ..bloom.filters import BloomConfig, CountingConfig
-
     seqs: List[np.ndarray] = []
     for name in sample_names:
         for fname in ("rnabloom.transcripts.nr.fa", "rnabloom.transcripts.fa"):
@@ -313,18 +318,17 @@ def merge_pool(outdir: str, sample_names: Sequence[str], params: PipelineParams)
                 break
     if not seqs:
         return 0
-    cfg = stage1.default_graph_config(
-        params.k, params.stranded, params.total_mem_bytes, params.num_hash, -1
+    from ..olc import layout as olc_layout, overlap as olc_overlap
+
+    op = olc_overlap.OverlapParams(
+        min_overlap=max(params.min_transcript_length // 2, 100)
     )
-    state = dbg.make_graph(cfg)
-    scfg = BloomConfig(cfg.pkbf.size_log2, cfg.pkbf.num_hash)
-    tparams = txmod.TranscriptParams(min_transcript_length=params.min_transcript_length)
-    keep = txmod.reduce_redundancy(state, cfg, scfg, seqs, tparams)
+    merged_seqs, _, _ = olc_layout.layout_unitigs(seqs, params.k, op)
     merged = os.path.join(outdir, "rnabloom.transcripts.merged.fa")
-    with fastx.FastaWriter(merged) as w:
-        for j, i in enumerate(keep):
-            w.write(f"rnabloom.merged.{j}", sequtils.decode(seqs[i]))
-    return len(keep)
+    with fastx.FastaWriter(merged, uracil=params.write_uracil) as w:
+        for j, s in enumerate(merged_seqs):
+            w.write(f"rnabloom.merged.{j}", sequtils.decode(s), f"l={len(s)}")
+    return len(merged_seqs)
 
 
 def parse_pool_list(path: str) -> List[Tuple[str, str, str]]:
