@@ -163,21 +163,27 @@ def assemble_fragments_batch(
     right: np.ndarray,
     right_len: np.ndarray,
     params: FragmentParams,
+    error_correct: bool = True,
 ) -> List[Optional[Fragment]]:
     """Assemble fragments for a batch of oriented read pairs.
 
     left/right: (B, L) uint8 codes, right already reverse-complemented into
     fragment orientation.  Returns one Fragment (or None) per pair.
+    ``error_correct=False`` skips EC — used by rescue_unconnected, where
+    reads were already corrected against the read graph.
     """
     k = cfg.k
     B, L = left.shape
 
-    # 1. error correction with shared pair thresholds
-    both = np.concatenate([left, right], axis=0)
-    both_len = np.concatenate([left_len, right_len])
-    pair_ids = np.concatenate([np.arange(B), np.arange(B)])
-    both, _ = correct.correct_batch(graph, cfg, both, both_len, params.ec_params, pair_ids)
-    left, right = both[:B], both[B:]
+    if error_correct:
+        # 1. error correction with shared pair thresholds
+        both = np.concatenate([left, right], axis=0)
+        both_len = np.concatenate([left_len, right_len])
+        pair_ids = np.concatenate([np.arange(B), np.arange(B)])
+        both, _ = correct.correct_batch(
+            graph, cfg, both, both_len, params.ec_params, pair_ids
+        )
+        left, right = both[:B], both[B:]
 
     # 2. direct overlap
     overlaps = find_overlaps(left, left_len, right, right_len, params.min_overlap)
@@ -284,3 +290,26 @@ def coverage_order_of_magnitude(c: float) -> int:
     if c >= 1e1:
         return 1
     return 0
+
+
+def rescue_unconnected(
+    graph: GraphState,
+    cfg: GraphConfig,
+    left: np.ndarray,
+    left_len: np.ndarray,
+    right: np.ndarray,
+    right_len: np.ndarray,
+    params: FragmentParams,
+) -> List[Optional[Fragment]]:
+    """Retry connecting unconnected read pairs against the rebuilt
+    fragment graph (rescueUnconnectedMultiThreaded, RNABloom.java:
+    2392-2668 — defined but not called from the reference's current main;
+    provided for parity).  Reads were already corrected against the read
+    graph in stage 2, so correction is skipped and only the overlap /
+    graph-bridge / pair-validation steps run against ``graph`` (typically
+    the stage-2b fragment graph, whose k-mers may bridge gaps the raw
+    read graph could not)."""
+    return assemble_fragments_batch(
+        graph, cfg, left, left_len, right, right_len, params,
+        error_correct=False,
+    )

@@ -512,26 +512,25 @@ def assemble_long(
 
     sample_lengths = np.array([len(c) for c in corrected], np.int64)
 
+    seed_indices = None
     if subsample_spec:
         # -lrsub (RNABloom.java:6335-6339): "depth,s,size,window" selects
-        # strobemer-novelty subsampling; "depth,k,size" selects k-mer pairs
+        # strobemer-novelty subsampling; "depth,k,size" selects k-mer pairs.
+        # Seeds feed uniqueOLC's unitig construction while ALL corrected
+        # reads are still mapped for polish and counts (RNABloom.java:7424).
         parts = [int(x) for x in subsample_spec.split(",")]
         if len(parts) == 4:
             depth, s, _size, window = parts
-            keep = lrmod.subsample_strobemer_based(
+            seed_indices = lrmod.subsample_strobemer_based(
                 cfg, corrected, max_multiplicity=depth, w_min=s, w_max=window
             )
         elif len(parts) == 3:
             depth = parts[0]
-            keep = lrmod.subsample_kmer_based(cfg, corrected, depth)
+            seed_indices = lrmod.subsample_kmer_based(cfg, corrected, depth)
         else:
             raise ValueError(f"bad -lrsub spec: {subsample_spec!r}")
-        corrected = [corrected[i] for i in keep]
-        polya_flags = [polya_flags[i] for i in keep]
     elif subsample_multiplicity > 0:
-        keep = lrmod.subsample_kmer_based(cfg, corrected, subsample_multiplicity)
-        corrected = [corrected[i] for i in keep]
-        polya_flags = [polya_flags[i] for i in keep]
+        seed_indices = lrmod.subsample_kmer_based(cfg, corrected, subsample_multiplicity)
 
     # stage 3: internal uniqueOLC (unique reads -> unitigs -> pileup
     # polish -> binomial-filtered greedy layout)
@@ -544,6 +543,7 @@ def assemble_long(
         sample_lengths=sample_lengths,
         min_seq_depth=max(int(lr_min_cov), 1),
         polya_finder=lambda codes: polya.find_polya_tail(codes) is not None,
+        seed_indices=seed_indices,
     )
     assembled = res.transcripts
     tx_counts = res.counts

@@ -198,6 +198,32 @@ class OverlapGraph:
                 removed.append(v)
         return removed
 
+    def resolve_junctions(self) -> int:
+        """Greedy best-overlap matching (resolveJunctions, Layout.java:409):
+        visit edges largest-overlap first; each kept edge evicts every other
+        out-edge of its source and in-edge of its sink (and their mirrors),
+        forcing the graph toward simple paths."""
+        edges = []
+        for u in self.vertices():
+            for v, e in self.out_of(u).items():
+                edges.append((e.ovl, u, v))
+        edges.sort(key=lambda t: -t[0])
+        removed = 0
+        for _, u, v in edges:
+            if v not in self.out_of(u):  # already evicted
+                continue
+            for w in list(self.out_of(u)):
+                if w != v:
+                    self._remove_edge(u, w)
+                    self._remove_edge(vrc(w), vrc(u))
+                    removed += 1
+            for p in list(self.in_of(v)):
+                if p != u:
+                    self._remove_edge(p, v)
+                    self._remove_edge(vrc(v), vrc(p))
+                    removed += 1
+        return removed
+
     def prune_polya(self, polya_fwd: Sequence[bool]) -> int:
         """A read with a poly-A tail on its forward strand is a transcript
         3' end: nothing may extend it rightward (pruneGraphWithPolyAInfo)."""

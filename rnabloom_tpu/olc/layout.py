@@ -169,20 +169,35 @@ def unique_olc(
     min_seq_depth: int = 1,
     polish_min_depth: int = 2,
     polya_finder=None,
+    seed_indices: Optional[Sequence[int]] = None,
 ) -> UniqueOLCResult:
     """Full internal uniqueOLC: unique reads -> unitigs -> polish ->
-    greedy transcript layout."""
+    greedy transcript layout.
+
+    ``seed_indices``: run the unique-extraction/unitig steps over this
+    subset only (the -lrsub seed reads; RNABloom.java:7424 passes the
+    seed FASTA as uniqueOLC's input while ALL corrected reads are still
+    mapped for polish and counts)."""
     params = params or OverlapParams()
     if not reads:
         return UniqueOLCResult([], [])
     codes, lens = _pad_batch(reads)
     all_mins = extract_minimizers(codes, lens, k, params.w)
 
-    # 1. unique-read extraction
-    overlaps = find_overlaps(all_mins, params)
-    kept = extract_unique(overlaps, lens, params, min_seq_depth, polya_flags)
-    if not kept:
-        kept = list(range(len(reads)))
+    # 1. unique-read extraction (over the seeds when subsampling)
+    if seed_indices is not None:
+        sub = list(seed_indices)
+        s_codes, s_lens = _pad_batch([reads[i] for i in sub])
+        s_mins = extract_minimizers(s_codes, s_lens, k, params.w)
+        s_polya = [polya_flags[i] for i in sub] if polya_flags is not None else None
+        overlaps = find_overlaps(s_mins, params)
+        kept_sub = extract_unique(overlaps, s_lens, params, min_seq_depth, s_polya)
+        kept = [sub[i] for i in kept_sub] or sub
+    else:
+        overlaps = find_overlaps(all_mins, params)
+        kept = extract_unique(overlaps, lens, params, min_seq_depth, polya_flags)
+        if not kept:
+            kept = list(range(len(reads)))
     unique_reads = [reads[i] for i in kept]
 
     # 2. unitigs over unique reads
@@ -199,19 +214,189 @@ def unique_olc(
     polished = cns.polish(unitigs, reads, placements, min_depth=polish_min_depth)
 
     # 5. greedy layout over polished unitigs
+    return _greedy_transcripts(
+        polished, placements, k, params, sample_lengths, polya_finder,
+        n_unique=len(kept), n_unitigs=len(unitigs),
+    )
+
+
+def cluster_reads(
+    records: Sequence[OverlapRecord], n_reads: int
+) -> List[List[int]]:
+    """Overlap-connected read clusters via union-find
+    (Layout.ReadClusters3 :1145 — the legacy clustered long-read path
+    groups reads by overlap connectivity before per-cluster assembly)."""
+    parent = list(range(n_reads))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for rec in records:
+        a, b = find(rec.q), find(rec.t)
+        if a != b:
+            parent[b] = a
+    groups: Dict[int, List[int]] = {}
+    for r in range(n_reads):
+        groups.setdefault(find(r), []).append(r)
+    return sorted(groups.values(), key=len, reverse=True)
+
+
+def ava_clustered_olc(
+    reads: Sequence[np.ndarray],
+    k: int,
+    params: Optional[OverlapParams] = None,
+    max_cluster: int = 5000,
+) -> List[np.ndarray]:
+    """Legacy clustered assembly (avaClusteredOLC,
+    olc/OverlapLayoutConsensus.java:1230): all-vs-all overlaps, cluster by
+    connectivity, then per-cluster junction-resolved greedy layout.
+    Superseded by unique_olc in the current pipeline; kept for parity with
+    the reference's alternate flow."""
+    params = params or OverlapParams()
+    if not reads:
+        return []
+    codes, lens = _pad_batch(reads)
+    mins = extract_minimizers(codes, lens, k, params.w)
+    records = find_overlaps(mins, params)
+    by_pair: Dict[Tuple[int, int], List[OverlapRecord]] = {}
+    for rec in records:
+        by_pair.setdefault((rec.q, rec.t), []).append(rec)
+
+    out: List[np.ndarray] = []
+    for cluster in cluster_reads(records, len(reads)):
+        if len(cluster) == 1:
+            out.append(np.array(reads[cluster[0]], np.uint8))
+            continue
+        cset = set(cluster[:max_cluster])
+        recs = [r for r in records if r.q in cset and r.t in cset]
+        g, contained = build_graph(recs, lens, params)
+        g.remove_redundant_nodes()
+        g.remove_transitive_edges(fuzz=params.diag_band)
+        g.resolve_junctions()
+        in_graph = set()
+        for path in g.simple_paths():
+            out.append(stitch_path(path, reads))
+            in_graph.update(vread(v) for v, _ in path)
+        for r in cluster:
+            if r not in in_graph and r not in contained:
+                out.append(np.array(reads[r], np.uint8))
+    return out
+
+
+def trim_split_by_read_depth(
+    targets: Sequence[np.ndarray],
+    reads: Sequence[np.ndarray],
+    k: int,
+    params: Optional[OverlapParams] = None,
+    min_depth: int = 2,
+    min_len: int = 200,
+) -> List[np.ndarray]:
+    """Trim/split assembled sequences where mapped-read depth is too low
+    (OverlapLayoutConsensus.trimSplitByReadDepth :176): reads are mapped
+    back to the targets, a pileup depth profile is computed on device, and
+    each target is cut into its >= min_depth segments."""
+    params = params or OverlapParams()
+    if not targets:
+        return []
+    tcodes, tlens = _pad_batch(targets)
+    rcodes, rlens = _pad_batch(reads)
+    tmins = extract_minimizers(tcodes, tlens, k, params.w)
+    rmins = extract_minimizers(rcodes, rlens, k, params.w)
+    placements = cns.place_reads(rmins, tmins, rlens, params)
+
+    depth = [np.zeros(len(t), np.int32) for t in targets]
+    for p in placements:
+        d = depth[p.target]
+        s = max(p.t_start, 0)
+        e = min(p.t_end, len(d))
+        if e > s:
+            d[s:e] += 1
+
+    out: List[np.ndarray] = []
+    for t, d in zip(targets, depth):
+        ok = d >= min_depth
+        if not ok.any():
+            continue
+        padded = np.concatenate(([False], ok, [False]))
+        delta = np.diff(padded.astype(np.int8))
+        for s, e in zip(np.flatnonzero(delta == 1), np.flatnonzero(delta == -1)):
+            if e - s >= min_len:
+                out.append(np.array(t[s:e], np.uint8))
+    return out
+
+
+def seeded_unique_olc(
+    reads: Sequence[np.ndarray],
+    seeds: Sequence[np.ndarray],
+    k: int,
+    params: Optional[OverlapParams] = None,
+    sample_lengths: Optional[np.ndarray] = None,
+    min_seq_depth: int = 2,
+    polish_min_depth: int = 2,
+    polya_finder=None,
+) -> UniqueOLCResult:
+    """Seed-based assembly (seededUniqueOLC,
+    olc/OverlapLayoutConsensus.java:1025): subsampled seed reads are
+    collapsed by overlap layout, trimmed/split where full-read-set mapping
+    depth is insufficient, re-laid-out into unitigs, then polished and
+    greedily extended exactly like uniqueOLC steps 3-5."""
+    params = params or OverlapParams()
+    if not reads or not seeds:
+        return UniqueOLCResult([], [])
+
+    # 0. collapse the seeds by overlap layout
+    seed_unitigs, _, _ = layout_unitigs(seeds, k, params)
+    if not seed_unitigs:
+        return UniqueOLCResult([], [])
+
+    # 1-2. cut seed unitigs where read-mapping depth is too low
+    cut = trim_split_by_read_depth(
+        seed_unitigs, reads, k, params, min_depth=min_seq_depth, min_len=2 * k
+    )
+    if not cut:
+        cut = seed_unitigs
+
+    # 3. unitigs over the cut sequences
+    unitigs, _, _ = layout_unitigs(cut, k, params)
+    if not unitigs:
+        return UniqueOLCResult([], [])
+
+    # 4-5. map all reads, polish, greedy layout (shared with unique_olc)
+    codes, lens = _pad_batch(reads)
+    all_mins = extract_minimizers(codes, lens, k, params.w)
+    ucodes, ulens = _pad_batch(unitigs)
+    umins = extract_minimizers(ucodes, ulens, k, params.w)
+    placements = cns.place_reads(all_mins, umins, lens, params)
+    polished = cns.polish(unitigs, reads, placements, min_depth=polish_min_depth)
+    return _greedy_transcripts(
+        polished, placements, k, params, sample_lengths, polya_finder,
+        n_unique=len(seeds), n_unitigs=len(unitigs),
+    )
+
+
+def _greedy_transcripts(
+    polished: Sequence[np.ndarray],
+    placements,
+    k: int,
+    params: OverlapParams,
+    sample_lengths: Optional[np.ndarray],
+    polya_finder,
+    n_unique: int = 0,
+    n_unitigs: int = 0,
+) -> UniqueOLCResult:
+    """Step 5 of uniqueOLC: overlap the polished unitigs and extract
+    binomial-filtered greedy max-weight paths."""
     pcodes, plens = _pad_batch(polished)
     pmins = extract_minimizers(pcodes, plens, k, params.w)
     p_overlaps = find_overlaps(pmins, params)
     g, p_contained = build_graph(p_overlaps, plens, params)
     g.remove_redundant_nodes()
     g.remove_transitive_edges(fuzz=params.diag_band)
-
     if polya_finder is not None:
-        upolya = [
-            polya_finder(polished[i]) for i in range(len(polished))
-        ]
-        g.prune_polya(upolya)
-
+        g.prune_polya([polya_finder(u) for u in polished])
     read_counts = cns.normalized_read_counts(placements, plens)
     g.add_mapping_support(cns.junction_placements(placements))
     if sample_lengths is not None and len(sample_lengths):
@@ -224,15 +409,11 @@ def unique_olc(
     for path, c in greedy:
         transcripts.append(stitch_path(path, polished))
         counts.append(c)
-    n_paths = len(greedy)
     for u in range(len(polished)):
         if u not in in_graph and u not in p_contained:
-            transcripts.append(polished[u])
+            transcripts.append(np.array(polished[u], np.uint8))
             counts.append(read_counts.get(u, 0.0))
     return UniqueOLCResult(
-        transcripts=transcripts,
-        counts=counts,
-        n_unique=len(kept),
-        n_unitigs=len(unitigs),
-        n_paths=n_paths,
+        transcripts=transcripts, counts=counts,
+        n_unique=n_unique, n_unitigs=n_unitigs, n_paths=len(greedy),
     )

@@ -144,3 +144,28 @@ def test_pair_break_segments():
     sup2[25:28] = True
     segs2 = fragments.pair_break_segments(sup2, 5, 1, 45)
     assert segs2 == [(0, 8), (25, 33)]
+
+
+def test_rescue_unconnected_bridges_with_fragment_graph():
+    """A pair whose gap exceeds read-graph coverage connects once the
+    bridging sequence is in the graph (rescueUnconnected semantics)."""
+    t = rand_seq(400)
+    # pair with a 100bp gap between mates (fragment 300bp)
+    left = t[:READ]
+    right = t[200:300]
+    lc = encode_batch([left], READ)
+    rc_ = encode_batch([right], READ)
+    lens = np.array([READ], np.int32)
+
+    # graph WITHOUT the gap region: connection fails
+    cfg, state_bad = build_graph([t[:120], t[260:]])
+    params = fragments.FragmentParams(min_overlap=10, bound=300)
+    res = fragments.rescue_unconnected(state_bad, cfg, lc, lens, rc_, lens, params)
+    assert res[0] is None
+
+    # graph WITH full coverage (as after the fragment-graph rebuild)
+    cfg2, state_ok = build_graph([t[i:i+200] for i in range(0, 201, 40)])
+    res2 = fragments.rescue_unconnected(state_ok, cfg2, lc, lens, rc_, lens, params)
+    assert res2[0] is not None
+    assert sequtils.decode(res2[0].codes) in t
+    assert res2[0].length >= 290

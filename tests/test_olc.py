@@ -230,3 +230,76 @@ def test_unique_olc_end_to_end():
                 best[name] = max(best.get(name, 0), len(s))
     assert best.get("t1", 0) >= 1000
     assert best.get("t2", 0) >= 700
+
+
+def test_resolve_junctions_keeps_best_edge():
+    from rnabloom_tpu.olc import graph as og
+    from rnabloom_tpu.olc.graph import Edge
+
+    g = og.OverlapGraph(lengths=np.array([500, 500, 500]))
+    g._add_edge(og.vid(0, 0), og.vid(1, 0), Edge(offset=300, ovl=200.0, support=9))
+    g._add_edge(og.vid(0, 0), og.vid(2, 0), Edge(offset=400, ovl=100.0, support=5))
+    g._add_edge(og.vid(2, 0), og.vid(1, 0), Edge(offset=450, ovl=50.0, support=2))
+    removed = g.resolve_junctions()
+    # best out-edge of 0 (ovl 200) survives; the junction rivals are evicted
+    assert og.vid(1, 0) in g.out_of(og.vid(0, 0))
+    assert og.vid(2, 0) not in g.out_of(og.vid(0, 0))
+    assert og.vid(1, 0) not in g.out_of(og.vid(2, 0))
+    assert removed == 2
+
+
+def test_clustered_olc_assembles_separate_transcripts():
+    from rnabloom_tpu.olc import layout as olc_layout
+
+    t1, t2 = rand_seq(1200), rand_seq(1200)
+    reads = []
+    for t in (t1, t2):
+        reads += [np.array(sequtils.encode(t[s : s + 500]), np.uint8) for s in range(0, 701, 175)]
+    out = olc_layout.ava_clustered_olc(reads, K)
+    best = {}
+    for s in out:
+        d = sequtils.decode(s)
+        for name, t in (("t1", t1), ("t2", t2)):
+            if d in t or revcomp(d) in t:
+                best[name] = max(best.get(name, 0), len(d))
+    assert best.get("t1", 0) >= 1100
+    assert best.get("t2", 0) >= 1100
+
+
+def test_trim_split_by_read_depth():
+    from rnabloom_tpu.olc import layout as olc_layout
+
+    t = rand_seq(1200)
+    # reads cover only [0,500) and [700,1200) at depth >= 2
+    reads = []
+    for s in (0, 50, 100):
+        reads.append(np.array(sequtils.encode(t[s : s + 400]), np.uint8))
+    for s in (700, 750, 800):
+        reads.append(np.array(sequtils.encode(t[s : s + 400]), np.uint8))
+    target = np.array(sequtils.encode(t), np.uint8)
+    parts = olc_layout.trim_split_by_read_depth([target], reads, K, min_depth=2, min_len=200)
+    assert len(parts) == 2
+    a, b = sorted(sequtils.decode(p) for p in (parts[0], parts[1]))
+    assert all(p in t for p in (a, b))
+    # the uncovered middle [500,700) must be cut out
+    assert sum(len(p) for p in (a, b)) < 1150
+
+
+def test_seeded_unique_olc():
+    from rnabloom_tpu.olc import layout as olc_layout
+
+    t = rand_seq(1600)
+    reads = []
+    for _ in range(20):
+        s = int(RNG.integers(0, 1000))
+        reads.append(np.array(sequtils.encode(t[s : s + 600]), np.uint8))
+    # seeds: a sparse subsample still tiling the transcript
+    seeds = [np.array(sequtils.encode(t[s : s + 600]), np.uint8) for s in (0, 400, 800, 1000)]
+    res = olc_layout.seeded_unique_olc(
+        reads, seeds, K, sample_lengths=np.array([len(r) for r in reads])
+    )
+    assert res.transcripts
+    best = max(res.transcripts, key=len)
+    s = sequtils.decode(best)
+    assert s in t or revcomp(s) in t
+    assert len(s) >= 1200
