@@ -84,9 +84,14 @@ def _runs(mask: np.ndarray):
 
 def find_candidates(
     counts: np.ndarray, valid: np.ndarray, thr: np.ndarray, found: np.ndarray, k: int
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Candidate (read, base_position) pairs from low-coverage runs."""
-    reads, positions = [], []
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Candidate (read, pos1, pos2) error sites from low-coverage runs.
+
+    pos2 == -1 for single-substitution runs (length <= k).  Runs of length
+    (k, 2k] are two nearby substitutions whose low windows merged
+    (correctErrorHelper handles these by re-walking the whole segment;
+    here both implied positions are corrected jointly)."""
+    reads, pos1, pos2 = [], [], []
     B, P = counts.shape
     for b in range(B):
         if not found[b]:
@@ -106,14 +111,21 @@ def find_candidates(
             if touches_left and touches_right:
                 continue
             if touches_left:
-                p = e - 1  # error at last base covered only by low k-mers
+                p, q = e - 1, -1  # error at last base covered only by low k-mers
             elif run <= k:
-                p = s + k - 1  # interior single error (or right-edge run)
+                p, q = s + k - 1, -1  # interior single error (or right-edge run)
+            elif run <= 2 * k:
+                p, q = s + k - 1, e - 1  # two nearby errors in one merged run
             else:
-                continue  # multi-error / low region: leave to path search
+                continue  # dense error region: leave to path search
             reads.append(b)
-            positions.append(p)
-    return np.asarray(reads, np.int32), np.asarray(positions, np.int32)
+            pos1.append(p)
+            pos2.append(q)
+    return (
+        np.asarray(reads, np.int32),
+        np.asarray(pos1, np.int32),
+        np.asarray(pos2, np.int32),
+    )
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -190,32 +202,50 @@ def correct_batch(
         else:
             found = found & (thr >= params.min_cov_threshold)
 
-        reads, positions = find_candidates(counts, valid, thr, found, k)
+        reads, pos1, pos2 = find_candidates(counts, valid, thr, found, k)
         if len(reads) == 0:
             break
 
-        # build variant windows: for candidate (b, p) and base v != cur,
-        # window = read[p-k+1 : p+k] with base p substituted
-        win_len = 2 * k - 1
-        wins, meta = [], []
-        for b, p in zip(reads, positions):
+        # build variant windows: single-site candidates try the 3 other
+        # bases at p; dual-site candidates (two errors within k) try the
+        # 3x3 combinations at (p, q).  One window width (3k-1, spanning
+        # both sites) keeps the device kernel shape fixed.
+        win_len = 3 * k - 1
+        wins, meta, groups = [], [], []
+        for b, p, q in zip(reads, pos1, pos2):
             n = lengths[b]
+            right = q if q >= 0 else p
             w0 = max(p - k + 1, 0)
-            w1 = min(p + k, n)
-            cur = codes[b, p]
+            w1 = min(right + k, n)
             base_win = np.full(win_len, 4, np.uint8)
             base_win[: w1 - w0] = codes[b, w0:w1]
-            rel = p - w0
-            cur_win = base_win.copy()
-            wins.append(cur_win)  # current window scores (for comparison)
-            meta.append((b, p, rel, w0, -1))
-            for v in range(4):
-                if v == cur:
-                    continue
-                wv = base_win.copy()
-                wv[rel] = v
-                wins.append(wv)
-                meta.append((b, p, rel, w0, v))
+            rel_p, rel_q = p - w0, (q - w0 if q >= 0 else -1)
+            start = len(wins)
+            wins.append(base_win.copy())  # current window (comparison row)
+            meta.append((-1, -1))
+            cur_p = codes[b, p]
+            if q < 0:
+                for v in range(4):
+                    if v == cur_p:
+                        continue
+                    wv = base_win.copy()
+                    wv[rel_p] = v
+                    wins.append(wv)
+                    meta.append((v, -1))
+            else:
+                cur_q = codes[b, q]
+                for v in range(4):
+                    if v == cur_p:
+                        continue
+                    for u in range(4):
+                        if u == cur_q:
+                            continue
+                        wv = base_win.copy()
+                        wv[rel_p] = v
+                        wv[rel_q] = u
+                        wins.append(wv)
+                        meta.append((v, u))
+            groups.append((b, p, q, start, len(wins)))
 
         # pad the row count to a power of two to bound recompilation
         M = len(wins)
@@ -226,22 +256,20 @@ def correct_batch(
         mn = np.asarray(mn)[:M]
         med = np.asarray(med)[:M]
 
-        # group rows: first row of each candidate = current, then 3 variants
-        i = 0
         applied = False
-        while i < len(meta):
-            b, p, rel, w0, _ = meta[i]
-            cur_med = med[i]
-            best_v, best_med = -1, cur_med
-            for j in range(i + 1, i + 4):
-                _, _, _, _, v = meta[j]
+        for b, p, q, start, end in groups:
+            cur_med = med[start]
+            best_j, best_med = -1, cur_med
+            for j in range(start + 1, end):
                 if mn[j] >= params.min_kmer_cov and med[j] > best_med:
-                    best_v, best_med = v, med[j]
-            if best_v >= 0:
-                codes[b, p] = best_v
+                    best_j, best_med = j, med[j]
+            if best_j >= 0:
+                v, u = meta[best_j]
+                codes[b, p] = v
+                if q >= 0:
+                    codes[b, q] = u
                 changed[b] = True
                 applied = True
-            i += 4
         if not applied:
             break
 

@@ -57,6 +57,7 @@ class PipelineParams:
     max_edge_clip: int = 0  # >0 enables blunt-end artifact screening
     template_switch_filter: bool = False  # -ts: template-switch screening
     write_uracil: bool = False  # -u: transcripts as RNA (T -> U)
+    expected_num_kmers: int = 0  # -nk: exact filter sizing at 1% FPR
     verbose: bool = False
 
 
@@ -237,7 +238,8 @@ def assemble_se(
     read_L = int(max(lengths.max(initial=150), k + d_read + 1))
 
     cfg = stage1.default_graph_config(
-        k, params.stranded, params.total_mem_bytes, params.num_hash, d_read
+        k, params.stranded, params.total_mem_bytes, params.num_hash, d_read,
+        expected_num_kmers=params.expected_num_kmers,
     )
     s1p = stage1.Stage1Params(
         k=k, stranded=params.stranded, min_qual=params.min_qual,
@@ -370,7 +372,8 @@ def assemble_pool(
     read_L = int(max(lengths.max(initial=150), k + d_read + 1))
 
     cfg = stage1.default_graph_config(
-        k, params.stranded, params.total_mem_bytes, params.num_hash, d_read
+        k, params.stranded, params.total_mem_bytes, params.num_hash, d_read,
+        expected_num_kmers=params.expected_num_kmers,
     )
     s1p = stage1.Stage1Params(
         k=k, stranded=params.stranded, min_qual=params.min_qual,
@@ -481,7 +484,8 @@ def assemble_long(
     k = params.k
 
     cfg = stage1.default_graph_config(
-        k, params.stranded, params.total_mem_bytes, params.num_hash, -1, with_pkbf=True
+        k, params.stranded, params.total_mem_bytes, params.num_hash, -1, with_pkbf=True,
+        expected_num_kmers=params.expected_num_kmers,
     )
     s1p = stage1.Stage1Params(
         k=k, stranded=params.stranded, min_qual=params.min_qual, max_seq_len=512
@@ -731,7 +735,8 @@ def assemble_pe(
     read_L = int(max(lengths.max(initial=150), k + d_read + 1))
 
     cfg = stage1.default_graph_config(
-        k, params.stranded, params.total_mem_bytes, params.num_hash, d_read
+        k, params.stranded, params.total_mem_bytes, params.num_hash, d_read,
+        expected_num_kmers=params.expected_num_kmers,
     )
 
     if params.verbose:

@@ -200,18 +200,27 @@ def default_graph_config(
     num_hash: int = 2,
     read_pair_distance: int = -1,
     with_pkbf: bool = True,
+    expected_num_kmers: int = 0,
 ) -> dbg.GraphConfig:
     """Memory-plan defaults mirroring the reference's split.
 
     The reference gives dbgbf 1/8, cbf 1/2, pkbf 1/8 of the budget in *cells*
     (RNABloom.java:6822-6830); cells here are 1-byte bit lanes and 4-byte
     counters, sized to the nearest power of two.
-    """
-    from ..bloom.filters import pow2_size
 
-    dbg_bits = pow2_size(total_mem_bytes // 8)
-    cbf_cells = pow2_size(total_mem_bytes // 2 // 4)  # int32 cells
-    pk_bits = pow2_size(total_mem_bytes // 8)
+    ``expected_num_kmers`` > 0 switches to exact sizing from a distinct-
+    k-mer estimate at 1% FPR per filter (the reference's -nk / ntCard path,
+    getExpectedSize, RNABloom.java:6986-7012).
+    """
+    from ..bloom.filters import BloomConfig as _BC, pow2_size
+
+    if expected_num_kmers > 0:
+        sized = _BC.for_expected(expected_num_kmers, 0.01, num_hash)
+        dbg_bits = cbf_cells = pk_bits = 1 << sized.size_log2
+    else:
+        dbg_bits = pow2_size(total_mem_bytes // 8)
+        cbf_cells = pow2_size(total_mem_bytes // 2 // 4)  # int32 cells
+        pk_bits = pow2_size(total_mem_bytes // 8)
     return dbg.GraphConfig(
         k=k,
         stranded=stranded,

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 from functools import partial
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -157,11 +157,60 @@ def screen_represented(
     from . import artifacts
 
     seen, valid = _screen_lookup(screen, scfg, cfg, jnp.asarray(codes))
-    seen = np.asarray(seen)
+    seen = np.array(seen)  # writable: repaired gaps are marked seen below
     valid = np.asarray(valid)
     k = cfg.k
     gap_max = params.screen_max_gap or k
     out = np.zeros(codes.shape[0], bool)
+
+    # pass 1: repair error bubbles.  A single residual substitution in an
+    # otherwise-assembled sequence leaves an unseen run of <= k k-mers; the
+    # reference re-walks such gaps through the graph restricted to the
+    # screen, tolerating bubbles (represented, GraphUtils.java:711-824).
+    # Here each short gap is tested directly: if one of the 3 substitution
+    # variants at the implied error base makes the gap's k-mers assembled,
+    # the gap counts as seen.
+    jobs: List[Tuple[int, int, int, np.ndarray]] = []  # (row, g0, g1, segment)
+    for b in range(codes.shape[0]):
+        n = max(int(lengths[b]) - k + 1, 0)
+        if n == 0:
+            continue
+        s, v = seen[b, :n], valid[b, :n]
+        bad = (~s) & v
+        if not bad.any() or not s[v].any():
+            continue
+        padded = np.concatenate(([False], bad, [False]))
+        d = np.diff(padded.astype(np.int8))
+        for g0, g1 in zip(np.flatnonzero(d == 1), np.flatnonzero(d == -1)):
+            if g1 - g0 > k + 2:
+                continue
+            p = g1 - 1 if g0 == 0 else min(g0 + k - 1, int(lengths[b]) - 1)
+            seg = codes[b, g0 : g1 + k - 1].copy()
+            jobs.append((b, g0, g1, (seg, p - g0)))
+    repaired: Dict[Tuple[int, int], bool] = {}
+    if jobs:
+        seg_len = max(len(j[3][0]) for j in jobs)
+        batch = np.full((3 * len(jobs), max(seg_len, k)), 4, np.uint8)
+        for i, (_, _, _, (seg, rel)) in enumerate(jobs):
+            orig = seg[rel]
+            alts = [c for c in range(4) if c != orig][:3] if orig < 4 else [0, 1, 2]
+            for a, alt in enumerate(alts):
+                var = seg.copy()
+                var[rel] = alt
+                batch[3 * i + a, : len(var)] = var
+        vseen_d, vvalid_d = _screen_lookup(screen, scfg, cfg, jnp.asarray(batch))
+        vseen, vvalid = np.asarray(vseen_d), np.asarray(vvalid_d)
+        for i, (b, g0, g1, _) in enumerate(jobs):
+            ok = False
+            for a in range(3):
+                vv = vvalid[3 * i + a]
+                if vv.any() and vseen[3 * i + a][vv].all():
+                    ok = True
+                    break
+            repaired[(b, g0)] = ok
+            if ok:
+                seen[b, g0:g1] = True
+
     for b in range(codes.shape[0]):
         if chimera_out is not None:
             n0 = max(int(lengths[b]) - k + 1, 0)

@@ -53,6 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="screen template-switch artifacts (stranded mode)")
     p.add_argument("-u", "--uracil", action="store_true",
                    help="write transcripts as RNA (U instead of T)")
+    p.add_argument("-nk", "--nk", type=int, default=0,
+                   help="expected number of distinct k-mers (sizes filters at 1%% FPR)")
+    p.add_argument("-hist", "--hist", default="",
+                   help="ntCard-format .hist file: sizes filters from its F0")
     p.add_argument("-lrsub", "--lrsub", default="",
                    help="subsample long reads: 'depth,s,size,window' (strobemers) or 'depth,k,size' (k-mers)")
     p.add_argument("--profile", metavar="DIR", help="capture a JAX profiler trace into DIR")
@@ -114,7 +118,10 @@ def main(argv=None) -> int:
         max_edge_clip=args.max_edge_clip,
         template_switch_filter=args.template_switch,
         write_uracil=args.uracil,
+        expected_num_kmers=args.nk,
     )
+    if not args.nk and args.hist:
+        params.expected_num_kmers = kselect.NTCardHistogram(args.hist).num_unique
     params.verbose = True
     if args.profile:
         import jax

@@ -81,3 +81,98 @@ def select_k(paths: Sequence[str], k_values: Sequence[int], sample_size: int = 2
         if nonsingleton > best_score:
             best_k, best_score = k, nonsingleton
     return best_k
+
+
+class NTCardHistogram:
+    """Parser for an ntCard ``.hist`` file (util/NTCardHistogram.java:35-95).
+
+    The file holds ``F0``/``F1`` totals and per-multiplicity unique-k-mer
+    counts (``1..65535``).  Used when the user supplies a precomputed
+    histogram (-nk alternative) instead of the internal sketch.
+    """
+
+    MAX_COUNT = 65535
+
+    def __init__(self, path: str):
+        self.f0 = 0  # distinct k-mers
+        self.f1 = 0  # total k-mers
+        self.counts = np.zeros(self.MAX_COUNT + 1, np.int64)
+        with open(path) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) != 2:
+                    continue
+                key, val = parts
+                if key == "F0":
+                    self.f0 = int(val)
+                elif key == "F1":
+                    self.f1 = int(val)
+                elif key.isdigit():
+                    c = int(key)
+                    if 1 <= c <= self.MAX_COUNT:
+                        self.counts[c] = int(val)
+
+    @property
+    def num_unique(self) -> int:
+        return self.f0
+
+    @property
+    def num_singletons(self) -> int:
+        return int(self.counts[1])
+
+    def min_cov_threshold(self, percentile: float = 0.05) -> int:
+        """Smallest multiplicity c where the histogram turns upward after
+        the error spike (getMinCovThreshold-style heuristic): the first
+        local minimum of the count histogram."""
+        c = self.counts
+        for i in range(2, self.MAX_COUNT):
+            if c[i] > 0 and c[i] <= c[i + 1]:
+                return i
+        return 2
+
+
+def estimate_num_unique_kmers(
+    paths: Sequence[str], k: int, sample_size: int = 10000, sketch_log2: int = 26
+) -> int:
+    """Distinct-k-mer estimate for Bloom sizing (replaces external ntCard;
+    RNABloom.java:6986-7012 uses ntCard's F0 with getExpectedSize).
+
+    Counts distinct k-mers of a read sample in a sketch, then scales by
+    total reads / sampled reads (transcriptome k-mer counts grow roughly
+    linearly until coverage saturates, so this overestimates — safe for
+    sizing)."""
+    ccfg = CountingConfig(size_log2=sketch_log2, num_hash=2, scratch_log2=16)
+    sketch = filters.make_counting(ccfg)
+    sampled = 0
+    total = 0
+    max_len = 512
+    batch: List[np.ndarray] = []
+
+    def flush(sketch, batch):
+        if not batch:
+            return sketch
+        L = max(len(b) for b in batch)
+        codes = np.full((len(batch), L), 4, np.uint8)
+        for i, b in enumerate(batch):
+            codes[i, : len(b)] = b
+        fh, rh, valid = nthash.rolling_hash(jnp.asarray(codes), k, False)
+        base = nthash.canonical(fh, rh)
+        h = nthash.multi_hash(base, k, ccfg.num_hash)
+        return filters.counting_increment_cm(sketch, ccfg, h, valid=valid)
+
+    for path in paths:
+        for _, s, _ in fastx.read_seqs(path):
+            total += 1
+            if sampled < sample_size:
+                codes = sequtils.encode(s[:max_len])
+                if len(codes) >= k:
+                    batch.append(codes)
+                    sampled += 1
+                    if len(batch) == 64:
+                        sketch = flush(sketch, batch)
+                        batch = []
+    sketch = flush(sketch, batch)
+    distinct = float(jnp.sum((sketch[: ccfg.size] != 0).astype(jnp.float32)))
+    if sampled == 0:
+        return 0
+    return int(distinct * max(total / sampled, 1.0))

@@ -163,3 +163,27 @@ def test_pool_list_parsing(tmp_path):
     assert parse_pool_list(str(f)) == [
         ("A", "a_1.fq", "a_2.fq"), ("B", "b_1.fq", "b_2.fq")
     ]
+
+
+def test_ntcard_histogram_parser(tmp_path):
+    from rnabloom_tpu.utils import kselect
+
+    p = tmp_path / "k25.hist"
+    p.write_text("F1\t1000000\nF0\t50000\n1\t30000\n2\t5000\n3\t6000\n4\t4000\n")
+    h = kselect.NTCardHistogram(str(p))
+    assert h.num_unique == 50000
+    assert h.num_singletons == 30000
+    assert h.f1 == 1000000
+    # first local minimum after the error spike: counts rise from 2 to 3
+    assert h.min_cov_threshold() == 2
+
+
+def test_expected_kmers_sizing():
+    from rnabloom_tpu.assembly import stage1
+
+    cfg = stage1.default_graph_config(
+        25, False, 1 << 30, expected_num_kmers=1_000_000
+    )
+    # ~1M keys at 1% FPR with h=2 needs ~2^24 cells -> pow2-rounded
+    assert 23 <= cfg.cbf.size_log2 <= 25
+    assert cfg.dbgbf.size_log2 == cfg.cbf.size_log2
