@@ -58,6 +58,11 @@ class PipelineParams:
     template_switch_filter: bool = False  # -ts: template-switch screening
     write_uracil: bool = False  # -u: transcripts as RNA (T -> U)
     expected_num_kmers: int = 0  # -nk: exact filter sizing at 1% FPR
+    max_fpr: float = 0.01  # -fpr: resize + rebuild filters above this
+    name: str = "rnabloom"  # -n: assembly name (output file prefix)
+    header_prefix: str = ""  # -prefix: FASTA header name prefix
+    no_reduce: bool = False  # -norr: skip redundancy reduction (no nr.fa)
+    stop_stage: int = 3  # -stage: terminate after this stage (1..3)
     verbose: bool = False
 
 
@@ -159,8 +164,8 @@ def _run_stage3(
             for c, l in zip(covs, frag_len)
         ]
     )
-    tx_path = os.path.join(outdir, "rnabloom.transcripts.fa")
-    short_path = os.path.join(outdir, "rnabloom.transcripts.short.fa")
+    tx_path = os.path.join(outdir, f"{params.name}.transcripts.fa")
+    short_path = os.path.join(outdir, f"{params.name}.transcripts.short.fa")
     n_tx = 0
     emitted: List[np.ndarray] = []
     with fastx.FastaWriter(tx_path, uracil=params.write_uracil) as wtx, fastx.FastaWriter(
@@ -190,12 +195,12 @@ def _run_stage3(
                     if pas:
                         comment += " pas=" + ",".join(map(str, pas))
                     seq = seq[: tail[0]] + seq[tail[0] :].lower()
-                wtx.write(f"rnabloom.{n_tx}", seq, comment)
+                wtx.write(f"{params.header_prefix}{params.name}.{n_tx}", seq, comment)
                 emitted.append(t.codes)
                 n_tx += 1
                 report.num_transcripts += 1
             for t in shorts:
-                wsh.write(f"rnabloom.s{report.num_short}", sequtils.decode(t.codes))
+                wsh.write(f"{params.header_prefix}{params.name}.s{report.num_short}", sequtils.decode(t.codes))
                 report.num_short += 1
 
     # nr reduction via the internal overlap layout (the reference runs
@@ -203,17 +208,17 @@ def _run_stage3(
     # OverlapLayoutConsensus.overlapLayout :878, generateNonRedundant
     # Transcripts RNABloom.java:5676): contained transcripts are dropped
     # and unambiguously dovetailing ones merge into unitigs.
-    if emitted:
+    if emitted and not params.no_reduce:
         from ..olc import layout as olc_layout, overlap as olc_overlap
 
         op = olc_overlap.OverlapParams(
             min_overlap=max(params.min_transcript_length // 2, 100)
         )
         nr_seqs, _, _ = olc_layout.layout_unitigs(emitted, cfg.k, op)
-        nr_path = os.path.join(outdir, "rnabloom.transcripts.nr.fa")
+        nr_path = os.path.join(outdir, f"{params.name}.transcripts.nr.fa")
         with fastx.FastaWriter(nr_path, uracil=params.write_uracil) as wnr:
             for j, s in enumerate(nr_seqs):
-                wnr.write(f"rnabloom.nr.{j}", sequtils.decode(s), f"l={len(s)}")
+                wnr.write(f"{params.header_prefix}{params.name}.nr.{j}", sequtils.decode(s), f"l={len(s)}")
         report.num_nr = len(nr_seqs)
 
 
@@ -245,11 +250,14 @@ def assemble_se(
         k=k, stranded=params.stranded, min_qual=params.min_qual,
         max_seq_len=max(read_L, 2 * k),
     )
-    state = dbg.make_graph(cfg, with_rpkbf=True)
-    state, s1_stats = stage1.build_graph(
-        se_paths, cfg, state, s1p, revcomp_flags=revcomp_flags, add_read_pairs=True
+    state, s1_stats, cfg = stage1.build_graph_autosized(
+        se_paths, cfg, s1p, max_fpr=params.max_fpr,
+        revcomp_flags=revcomp_flags, add_read_pairs=True,
     )
     report.stage1 = s1_stats
+    if params.stop_stage <= 1:
+        report.elapsed_s = time.time() - t0
+        return report
 
     # stage 2: error-correct reads; each becomes an unconnected fragment
     ecp = correct.CorrectParams()
@@ -312,7 +320,7 @@ def merge_pool(outdir: str, sample_names: Sequence[str], params: PipelineParams)
     into one merged FASTA (mergePooledAssemblies, RNABloom.java:5473)."""
     seqs: List[np.ndarray] = []
     for name in sample_names:
-        for fname in ("rnabloom.transcripts.nr.fa", "rnabloom.transcripts.fa"):
+        for fname in (f"{params.name}.transcripts.nr.fa", f"{params.name}.transcripts.fa"):
             path = os.path.join(outdir, name, fname)
             if os.path.exists(path):
                 for _, s in fastx.read_fasta(path):
@@ -326,10 +334,10 @@ def merge_pool(outdir: str, sample_names: Sequence[str], params: PipelineParams)
         min_overlap=max(params.min_transcript_length // 2, 100)
     )
     merged_seqs, _, _ = olc_layout.layout_unitigs(seqs, params.k, op)
-    merged = os.path.join(outdir, "rnabloom.transcripts.merged.fa")
+    merged = os.path.join(outdir, f"{params.name}.transcripts.merged.fa")
     with fastx.FastaWriter(merged, uracil=params.write_uracil) as w:
         for j, s in enumerate(merged_seqs):
-            w.write(f"rnabloom.merged.{j}", sequtils.decode(s), f"l={len(s)}")
+            w.write(f"{params.header_prefix}{params.name}.merged.{j}", sequtils.decode(s), f"l={len(s)}")
     return len(merged_seqs)
 
 
@@ -379,17 +387,19 @@ def assemble_pool(
         k=k, stranded=params.stranded, min_qual=params.min_qual,
         max_seq_len=max(read_L, 2 * k),
     )
-    shared = dbg.make_graph(cfg, with_rpkbf=True)
     flags = []
     paths = []
     for _, l, r in samples:
         paths += [l, r]
         flags += [revcomp_left, revcomp_right]
-    shared, s1_stats = stage1.build_graph(
-        paths, cfg, shared, s1p, revcomp_flags=flags, add_read_pairs=True
+    shared, s1_stats, cfg = stage1.build_graph_autosized(
+        paths, cfg, s1p, max_fpr=params.max_fpr,
+        revcomp_flags=flags, add_read_pairs=True,
     )
 
     reports = {}
+    if params.stop_stage <= 1:
+        return reports
     fparams = fragmod.FragmentParams(
         min_overlap=params.min_overlap, bound=params.bound
     )
@@ -411,7 +421,8 @@ def assemble_pool(
                     all_frags.append(f)
                     frag_lengths.append(f.length)
         report.num_fragments = len(all_frags)
-        if not all_frags:
+        if not all_frags or params.stop_stage <= 2:
+            report.elapsed_s = time.time() - t0
             reports[name] = report
             continue
 
@@ -490,9 +501,13 @@ def assemble_long(
     s1p = stage1.Stage1Params(
         k=k, stranded=params.stranded, min_qual=params.min_qual, max_seq_len=512
     )
-    state = dbg.make_graph(cfg)
-    state, s1_stats = stage1.build_graph(long_paths, cfg, state, s1p)
+    state, s1_stats, cfg = stage1.build_graph_autosized(
+        long_paths, cfg, s1p, max_fpr=params.max_fpr
+    )
     report.stage1 = s1_stats
+    if params.stop_stage <= 1:
+        report.elapsed_s = time.time() - t0
+        return report
 
     # stage 2: correction
     raw: List[np.ndarray] = []
@@ -505,12 +520,12 @@ def assemble_long(
     lrp = lrmod.LongReadParams(min_kmer_cov=lr_min_cov)
     corrected, polya_flags = lrmod.correct_long_reads(state, cfg, raw, lrp)
     report.num_fragments = len(corrected)
-    corrected_path = os.path.join(outdir, "rnabloom.longreads.corrected.fa")
+    corrected_path = os.path.join(outdir, f"{params.name}.longreads.corrected.fa")
     with fastx.FastaWriter(corrected_path) as w:
         for i, c in enumerate(corrected):
             tag = " polya" if polya_flags[i] else ""
             w.write(f"lr.{i}", sequtils.decode(c), f"l={len(c)}{tag}")
-    if not corrected:
+    if not corrected or params.stop_stage <= 2:
         report.elapsed_s = time.time() - t0
         return report
 
@@ -558,8 +573,8 @@ def assemble_long(
         min_transcript_length=params.min_transcript_length
     )
     keep = txmod.reduce_redundancy(state, cfg, scfg, assembled, tparams)
-    tx_path = os.path.join(outdir, "rnabloom.transcripts.fa")
-    short_path = os.path.join(outdir, "rnabloom.transcripts.short.fa")
+    tx_path = os.path.join(outdir, f"{params.name}.transcripts.fa")
+    short_path = os.path.join(outdir, f"{params.name}.transcripts.short.fa")
     with fastx.FastaWriter(tx_path, uracil=params.write_uracil) as wtx, fastx.FastaWriter(
         short_path, uracil=params.write_uracil
     ) as wsh:
@@ -567,10 +582,10 @@ def assemble_long(
             seq = sequtils.decode(assembled[i])
             comment = f"l={len(seq)} c={tx_counts[i]:.2f}"
             if len(seq) >= params.min_transcript_length:
-                wtx.write(f"rnabloom.{report.num_transcripts}", seq, comment)
+                wtx.write(f"{params.header_prefix}{params.name}.{report.num_transcripts}", seq, comment)
                 report.num_transcripts += 1
             else:
-                wsh.write(f"rnabloom.s{report.num_short}", seq)
+                wsh.write(f"{params.header_prefix}{params.name}.s{report.num_short}", seq)
                 report.num_short += 1
 
     report.elapsed_s = time.time() - t0
@@ -709,7 +724,7 @@ def assemble_pe(
     if force:
         ckpt.clear_stamps(outdir)
     ckpt.touch_stamp(outdir, ckpt.STAMP_STARTED)
-    graph_prefix = os.path.join(outdir, "rnabloom.graph")
+    graph_prefix = os.path.join(outdir, f"{params.name}.graph")
     report = PipelineReport()
     timer = Timer(quiet=not params.verbose)
     k = params.k
@@ -756,9 +771,9 @@ def assemble_pe(
         k=k, stranded=params.stranded, min_qual=params.min_qual,
         max_seq_len=max(read_L, 2 * k),
     )
-    state = dbg.make_graph(cfg, with_rpkbf=True)
-    state, s1_stats = stage1.build_graph(
-        [left_path, right_path] + list(sef_paths) + list(ser_paths), cfg, state, s1p,
+    state, s1_stats, cfg = stage1.build_graph_autosized(
+        [left_path, right_path] + list(sef_paths) + list(ser_paths), cfg, s1p,
+        max_fpr=params.max_fpr,
         revcomp_flags=[revcomp_left, revcomp_right]
         + [False] * len(sef_paths)
         + [True] * len(ser_paths),
@@ -771,6 +786,14 @@ def assemble_pe(
         "graph built",
         f"{s1_stats.num_segments} segments, FPRs {s1_stats.fprs}",
     )
+    from ..utils import checkpoint as ckpt
+
+    ckpt.touch_stamp(outdir, ckpt.STAMP_DBG_DONE)
+    if params.stop_stage <= 1:  # -stage 1: graph only (RNABloom.java:6447-6500)
+        if save_graph:
+            ckpt.save_graph(graph_prefix, state, cfg)
+        report.elapsed_s = time.time() - t0
+        return report
 
     # ---- stage 2: fragments
     timer.start("stage 2: fragment assembly")
@@ -855,19 +878,20 @@ def assemble_pe(
         report.num_fragments = len(all_frags)
 
     timer.done("fragments assembled", f"{len(all_frags)}/{report.num_pairs} pairs connected")
-    from ..utils import checkpoint as ckpt
-
     _save_fragments(outdir, all_frags)
     if save_graph:
         ckpt.save_graph(graph_prefix, state, cfg)
         ckpt.update_fragment_distance(graph_prefix, d_frag)
     ckpt.touch_stamp(outdir, ckpt.STAMP_FRAGMENTS_DONE)
+    if params.stop_stage <= 2:  # -stage 2: stop after fragment assembly
+        report.elapsed_s = time.time() - t0
+        return report
 
     timer.start("stage 3: transcript assembly")
     _finish_pe_stage3(state, cfg, all_frags, outdir, params, report, ref_paths=ref_paths)
     timer.done("transcripts assembled", f"{report.num_transcripts} transcripts, {report.num_nr} nr")
     report.elapsed_s = time.time() - t0
-    with open(os.path.join(outdir, "rnabloom.report.json"), "w") as f:
+    with open(os.path.join(outdir, f"{params.name}.report.json"), "w") as f:
         json.dump(
             {
                 "num_pairs": report.num_pairs,

@@ -167,10 +167,26 @@ def build_graph_autosized(
     **kwargs,
 ) -> Tuple[dbg.GraphState, Stage1Stats, dbg.GraphConfig]:
     """Stage-1 build with the reference's FPR check / resize / repopulate
-    loop (RNABloom.java:7142-7180): if any filter breaches ``max_fpr``,
-    double every filter and rebuild from the input files."""
+    loop (RNABloom.java:7142-7180): a filter breaching ``max_fpr`` is
+    resized to the analytically required size and the graph rebuilt from
+    the input files.
+
+    The growth per filter comes from its own measured fill: with fill
+    ``p = fpr**(1/h)``, the inserted-key estimate is ``n = -m/h ln(1-p)``
+    and the size needed for the target is ``m' = -h n / ln(1-p_t)``."""
+    import math
+
     from ..bloom.filters import BloomConfig, CountingConfig
     from dataclasses import replace as _replace
+
+    def _grow_log2(fpr: float, h: int) -> int:
+        """Extra powers of two needed to bring ``fpr`` under ``max_fpr``."""
+        if fpr <= max_fpr:
+            return 0
+        fill = min(fpr ** (1.0 / h), 0.999)
+        fill_t = max_fpr ** (1.0 / h)
+        factor = math.log1p(-fill) / math.log1p(-fill_t)  # m'/m
+        return max(1, math.ceil(math.log2(factor)))
 
     for attempt in range(max_retries + 1):
         state = dbg.make_graph(cfg, with_rpkbf=kwargs.get("add_read_pairs", False))
@@ -179,14 +195,18 @@ def build_graph_autosized(
         if worst <= max_fpr or attempt == max_retries:
             return state, stats, cfg
         del state
+        dbg_g = _grow_log2(stats.fprs.get("dbgbf", 0.0), cfg.dbgbf.num_hash)
+        cbf_g = _grow_log2(stats.fprs.get("cbf", 0.0), cfg.cbf.num_hash)
+        pk_fpr = max(stats.fprs.get("rpkbf", 0.0), stats.fprs.get("fpkbf", 0.0))
+        pk_g = _grow_log2(pk_fpr, cfg.pkbf.num_hash) if cfg.pkbf else 0
         cfg = _replace(
             cfg,
-            dbgbf=BloomConfig(cfg.dbgbf.size_log2 + 1, cfg.dbgbf.num_hash),
+            dbgbf=BloomConfig(cfg.dbgbf.size_log2 + dbg_g, cfg.dbgbf.num_hash),
             cbf=CountingConfig(
-                cfg.cbf.size_log2 + 1, cfg.cbf.num_hash, cfg.cbf.scratch_log2,
+                cfg.cbf.size_log2 + cbf_g, cfg.cbf.num_hash, cfg.cbf.scratch_log2,
                 blocked=cfg.cbf.blocked,
             ),
-            pkbf=BloomConfig(cfg.pkbf.size_log2 + 1, cfg.pkbf.num_hash)
+            pkbf=BloomConfig(cfg.pkbf.size_log2 + pk_g, cfg.pkbf.num_hash)
             if cfg.pkbf
             else None,
         )

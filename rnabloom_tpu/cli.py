@@ -59,8 +59,23 @@ def build_parser() -> argparse.ArgumentParser:
                    help="ntCard-format .hist file: sizes filters from its F0")
     p.add_argument("-lrsub", "--lrsub", default="",
                    help="subsample long reads: 'depth,s,size,window' (strobemers) or 'depth,k,size' (k-mers)")
+    p.add_argument("-n", "--name", default="rnabloom",
+                   help="assembly name (output file prefix) [rnabloom]")
+    p.add_argument("-prefix", "--prefix", default="",
+                   help="name prefix in FASTA headers for assembled transcripts")
+    p.add_argument("-norr", "--norr", action="store_true",
+                   help="skip redundancy reduction (no transcripts.nr.fa)")
+    p.add_argument("-stage", "--stage", type=int, default=3, choices=(1, 2, 3),
+                   help="assembly termination stage: 1=graph, 2=fragments/correction, 3=transcripts [3]")
+    p.add_argument("-fpr", "--fpr", type=float, default=0.01,
+                   help="max allowable Bloom filter FPR; breach resizes + rebuilds [0.01]")
+    p.add_argument("-sample", "--sample", type=int, default=1000,
+                   help="sample size for read/fragment length estimation [1000]")
+    p.add_argument("-ntcard", "--ntcard", action="store_true",
+                   help="estimate distinct k-mers with the internal sketch for exact filter sizing")
+    p.add_argument("-debug", "--debug", action="store_true", help="print debugging information")
     p.add_argument("--profile", metavar="DIR", help="capture a JAX profiler trace into DIR")
-    p.add_argument("--version", action="version", version="rnabloom-tpu 0.1.0")
+    p.add_argument("-v", "--version", action="version", version="rnabloom-tpu 0.1.0")
     return p
 
 
@@ -119,9 +134,24 @@ def main(argv=None) -> int:
         template_switch_filter=args.template_switch,
         write_uracil=args.uracil,
         expected_num_kmers=args.nk,
+        max_fpr=args.fpr,
+        name=args.name,
+        header_prefix=args.prefix,
+        no_reduce=args.norr and not args.mergepool,  # -mergepool overrides -norr
+        stop_stage=args.stage,
+        sample_size=args.sample,
     )
     if not args.nk and args.hist:
         params.expected_num_kmers = kselect.NTCardHistogram(args.hist).num_unique
+    elif not args.nk and args.ntcard:
+        # -ntcard: internal distinct-k-mer sketch in place of the external
+        # counter (RNABloom.java:5745-5767 execs `ntcard`)
+        probe = (
+            list(args.long_reads or [])
+            or [p for p in (args.left, args.right) if p]
+            or list(args.sef or []) + list(args.ser or [])
+        )
+        params.expected_num_kmers = kselect.estimate_num_unique_kmers(probe, k)
     params.verbose = True
     if args.profile:
         import jax

@@ -202,3 +202,47 @@ def test_mixed_pe_se_assembly(tmp_path):
         for a in assembled
         for off in range(0, len(t_pe) - m + 1, 50)
     ), "PE transcript not recovered in mixed run"
+
+
+@pytest.mark.slow
+def test_stage_termination_name_and_norr(tmp_path):
+    """-stage/-n/-norr wiring: stage 1 stops after the graph (DBG.DONE stamp,
+    no transcripts); custom name prefixes output files; -norr skips nr.fa."""
+    transcripts = [rand_seq(400) for _ in range(2)]
+    left, right = write_pe_fastq(transcripts, str(tmp_path), coverage=10, n_min=30)
+
+    params = pipeline.PipelineParams(
+        total_mem_bytes=1 << 22, batch_size=128, sample_size=50,
+        name="asm", stop_stage=1,
+    )
+    out1 = tmp_path / "out1"
+    report = pipeline.assemble_pe(left, right, str(out1), params)
+    assert report.num_transcripts == 0
+    assert (out1 / "DBG.DONE").exists()
+    assert not (out1 / "asm.transcripts.fa").exists()
+
+    params.stop_stage = 3
+    params.no_reduce = True
+    out2 = tmp_path / "out2"
+    report = pipeline.assemble_pe(left, right, str(out2), params)
+    assert (out2 / "asm.transcripts.fa").exists()
+    assert (out2 / "asm.report.json").exists()
+    assert not (out2 / "asm.transcripts.nr.fa").exists()
+    assert report.num_nr == 0
+
+
+@pytest.mark.slow
+def test_fpr_autoresize_rebuilds_undersized_filters(tmp_path):
+    """A deliberately tiny filter allocation must be doubled until the FPR
+    target is met (the reference's resize/repopulate loop,
+    RNABloom.java:7142-7180)."""
+    transcripts = [rand_seq(600) for _ in range(3)]
+    left, right = write_pe_fastq(transcripts, str(tmp_path), coverage=8, n_min=40)
+
+    params = pipeline.PipelineParams(
+        total_mem_bytes=1 << 14,  # absurdly small: forces FPR breach
+        batch_size=128, sample_size=50, stop_stage=1,
+    )
+    report = pipeline.assemble_pe(left, right, str(tmp_path / "out"), params)
+    worst = max(report.stage1.fprs.values())
+    assert worst <= 0.01, f"autosize failed: FPRs {report.stage1.fprs}"
