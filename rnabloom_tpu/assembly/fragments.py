@@ -43,6 +43,7 @@ class FragmentParams:
     num_pairs_required: int = 1
     min_fragment_length: int = 0  # defaults to 2k downstream
     extend_fragments: bool = False
+    lookahead: int = 3  # -lookahead: traversal lookahead depth
     ec_params: correct.CorrectParams = None
 
     def __post_init__(self):
@@ -194,7 +195,7 @@ def assemble_fragments_batch(
     if len(need_bridge) > 0:
         seeds = np.stack([left[b, left_len[b] - k : left_len[b]] for b in need_bridge])
         Wb = len(need_bridge)
-        wcfg = traverse.WalkConfig(max_len=k + params.bound)
+        wcfg = traverse.WalkConfig(max_len=k + params.bound, lookahead=params.lookahead)
         st = traverse.make_walks(cfg, wcfg, seeds.astype(np.uint8))
         st = traverse.extend_walks(st, graph, cfg, wcfg, 1.0, params.bound, mode="greedy")
         buf, pos, status = traverse.harvest(st)
@@ -264,6 +265,54 @@ def assemble_fragments_batch(
             results[b] = Fragment(
                 codes=seq, min_cov=mc, length=len(seq), connected=True
             )
+
+    if params.extend_fragments:
+        # -extend (FragmentAssembler, RNABloom.java:2264-2278): naive-extend
+        # connected fragments outward, stopping at branches/tips
+        rows = [b for b in range(B) if results[b] is not None]
+        if rows:
+            results = _naive_extend_fragments(graph, cfg, results, rows, params)
+    return results
+
+
+def _naive_extend_fragments(
+    graph: GraphState,
+    cfg: GraphConfig,
+    results: List[Optional[Fragment]],
+    rows: List[int],
+    params: FragmentParams,
+) -> List[Optional[Fragment]]:
+    """Extend each fragment right then left with branch-stopping walks."""
+    k = cfg.k
+    maxlen = max(results[b].length for b in rows)
+    pad = 1 << max(8, (maxlen + 2 * params.bound - 1).bit_length())
+    n_rows = 1 << max(6, (len(rows) - 1).bit_length())
+    wcfg = traverse.WalkConfig(max_len=pad, lookahead=params.lookahead)
+    wcfg_l = traverse.WalkConfig(max_len=pad, lookahead=params.lookahead, left=True)
+
+    seeds = np.full((n_rows, maxlen), 4, np.uint8)
+    lens = np.zeros(n_rows, np.int64)
+    for i, b in enumerate(rows):
+        f = results[b]
+        seeds[i, : f.length] = f.codes
+        lens[i] = f.length
+    st = traverse.make_walks(cfg, wcfg, seeds, lens)
+    st = traverse.extend_walks(st, graph, cfg, wcfg, 1.0, params.bound, mode="naive")
+    rbuf, rpos, _ = traverse.harvest(st)
+
+    rc = np.full((n_rows, pad), 4, np.uint8)
+    for i in range(len(rows)):
+        rc[i, : rpos[i]] = sequtils.revcomp_codes(rbuf[i, : rpos[i]])
+    st = traverse.make_walks(cfg, wcfg_l, rc, rpos.astype(np.int64))
+    st = traverse.extend_walks(st, graph, cfg, wcfg_l, 1.0, params.bound, mode="naive")
+    lbuf, lpos, _ = traverse.harvest(st)
+
+    for i, b in enumerate(rows):
+        seq = sequtils.revcomp_codes(lbuf[i, : lpos[i]])
+        f = results[b]
+        results[b] = Fragment(
+            codes=seq, min_cov=f.min_cov, length=len(seq), connected=f.connected
+        )
     return results
 
 

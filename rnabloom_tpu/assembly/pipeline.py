@@ -63,7 +63,69 @@ class PipelineParams:
     header_prefix: str = ""  # -prefix: FASTA header name prefix
     no_reduce: bool = False  # -norr: skip redundancy reduction (no nr.fa)
     stop_stage: int = 3  # -stage: terminate after this stage (1..3)
+    min_kmer_cov: float = 1.0  # -c: minimum k-mer coverage
+    err_corr_iters: int = 2  # -e: error-correction iterations per read
+    max_cov_gradient: float = 0.5  # -grad: EC coverage-dropoff gradient
+    max_indel: int = 1  # -indel: max indel size collapsed in comparisons
+    percent_identity: float = 0.90  # -p: min identity of collapsed seqs
+    lookahead: int = 3  # -lookahead: traversal lookahead depth
+    max_tip_length: int = -1  # -tiplength: -1 = auto (median read len - k)
+    extend_fragments: bool = False  # -extend: naive-extend stage-2 fragments
+    frag_consistency: bool = True  # -nofc turns off frag-pair break checks
+    keep_artifacts: bool = False  # -artifact: keep sequencing artifacts
+    keep_chimeras: bool = False  # -chimera: keep potential chimeras
+    branch_free_stratum: str = "e0"  # -stratum: branch-free extension gate
+    polya_min_len: int = 0  # -a: prioritize poly-A transcripts (min tail)
+    # long-read knobs (0 = internal default)
+    revcomp_long: bool = False  # -rc: reverse-complement long reads
+    lr_min_depth: int = 0  # -lrrd: min read depth in the OLC stage
+    lr_overlap_prop: float = 0.0  # -lrop: min matching-base proportion
+    minimizer_size: int = 0  # -m: OLC minimizer k
+    minimizer_window: int = 0  # -mw: OLC minimizer window
+    sketch_overlap_prop: float = 0.0  # -sop
+    sketch_overlap_num: int = 0  # -son
+    hpc: bool = False  # -hpc: HPC minimizers in clustered OLC
+    # per-filter overrides, 0 = inherit (-sh/-dh/-ch/-ph, -sm/-dm/-cm/-pm)
+    sbf_hash: int = 0
+    dbgbf_hash: int = 0
+    cbf_hash: int = 0
+    pkbf_hash: int = 0
+    sbf_mem_bytes: int = 0
+    dbgbf_mem_bytes: int = 0
+    cbf_mem_bytes: int = 0
+    pkbf_mem_bytes: int = 0
     verbose: bool = False
+
+    def graph_config_overrides(self) -> dict:
+        return dict(
+            dbgbf_hash=self.dbgbf_hash,
+            cbf_hash=self.cbf_hash,
+            pkbf_hash=self.pkbf_hash,
+            dbgbf_mem_bytes=self.dbgbf_mem_bytes,
+            cbf_mem_bytes=self.cbf_mem_bytes,
+            pkbf_mem_bytes=self.pkbf_mem_bytes,
+        )
+
+    def correct_params(self) -> "correct.CorrectParams":
+        return correct.CorrectParams(
+            max_cov_gradient=self.max_cov_gradient,
+            min_kmer_cov=self.min_kmer_cov,
+            rounds=self.err_corr_iters,
+        )
+
+
+# coverage strata, lowest first (RNABloom.java:150-158: 01 < e0 < .. < e5)
+_STRATA = ("01", "e0", "e1", "e2", "e3", "e4", "e5")
+
+
+def _stratum_rank(s: str) -> int:
+    return _STRATA.index(s)
+
+
+def _fragment_stratum(min_cov: float) -> str:
+    if min_cov <= 1:
+        return "01"
+    return f"e{min(fragmod.coverage_order_of_magnitude(min_cov), 5)}"
 
 
 @dataclass
@@ -150,19 +212,54 @@ def _run_stage3(
     report: "PipelineReport",
 ) -> None:
     """Shared stage-3: stratified transcript assembly + nr reduction."""
-    scfg = BloomConfig(cfg.pkbf.size_log2, cfg.pkbf.num_hash)
+    from ..bloom.filters import pow2_size
+
+    sbf_log2 = (
+        pow2_size(params.sbf_mem_bytes).bit_length() - 1
+        if params.sbf_mem_bytes > 0
+        else cfg.pkbf.size_log2
+    )
+    scfg = BloomConfig(sbf_log2, params.sbf_hash or cfg.pkbf.num_hash)
     screen = make_bloom(scfg)
     tparams = txmod.TranscriptParams(
         min_transcript_length=params.min_transcript_length,
         max_walk_len=params.max_walk_len,
-        max_edge_clip=params.max_edge_clip,
+        # -a > 0 disables the blunt-end clip screen (RNABloom.java:1820)
+        max_edge_clip=0 if params.polya_min_len > 0 else params.max_edge_clip,
         template_switch_filter=params.template_switch_filter,
+        lookahead=params.lookahead,
+        tip_probe_depth=(
+            min(params.max_tip_length, cfg.k - 1)
+            if params.max_tip_length >= 0
+            else 8
+        ),
+        keep_chimeras=params.keep_chimeras,
+        keep_artifacts=params.keep_artifacts,
+        frag_consistency=params.frag_consistency,
     )
+    # stratified order: coverage magnitude desc, then length desc; with -a,
+    # poly-A-tailed fragments lead each stratum (the reference stratifies
+    # fragment files by polyA and assembles those first, RNABloom.java:4886+)
+    polya_prio = np.zeros(len(covs))
+    if params.polya_min_len > 0:
+        for i in range(len(covs)):
+            t = polya.find_polya_tail(frag_batch[i, : frag_len[i]])
+            polya_prio[i] = 1.0 if t is not None else 0.0
     order = np.argsort(
         [
-            -(fragmod.coverage_order_of_magnitude(c) * 1e9 + l)
-            for c, l in zip(covs, frag_len)
+            -(
+                fragmod.coverage_order_of_magnitude(c) * 1e12
+                + p * 1e10
+                + l
+            )
+            for c, l, p in zip(covs, frag_len, polya_prio)
         ]
+    )
+    # -stratum: fragments in strata below the threshold extend only when
+    # branch-free (RNABloom.java:4912-4954)
+    thr_rank = _stratum_rank(params.branch_free_stratum)
+    require_bf = np.array(
+        [_stratum_rank(_fragment_stratum(c)) < thr_rank for c in covs], bool
     )
     tx_path = os.path.join(outdir, f"{params.name}.transcripts.fa")
     short_path = os.path.join(outdir, f"{params.name}.transcripts.short.fa")
@@ -181,10 +278,22 @@ def _run_stage3(
                     [sel, np.full((pad, sel.shape[1]), 4, np.uint8)]
                 )
                 sel_len = np.concatenate([sel_len, np.zeros(pad, np.int32)])
+            sel_bf = require_bf[idx]
+            if len(idx) < 256:
+                sel_bf = np.concatenate([sel_bf, np.zeros(256 - len(idx), bool)])
             txs, shorts, screen = txmod.assemble_transcripts_batch(
-                state, cfg, screen, scfg, sel, sel_len, tparams
+                state, cfg, screen, scfg, sel, sel_len, tparams,
+                require_branch_free=sel_bf if sel_bf.any() else None,
             )
             for t in txs:
+                # -a: a poly-T-headed transcript is flipped into poly-A-tail
+                # orientation before annotation (TranscriptWriter
+                # RNABloom.java:1652-1676)
+                if params.polya_min_len > 0 and not params.stranded:
+                    if polya.find_polya_tail(t.codes) is None and (
+                        polya.find_polyt_head(t.codes) is not None
+                    ):
+                        t.codes = sequtils.revcomp_codes(t.codes)
                 seq = sequtils.decode(t.codes)
                 comment = f"l={t.length}"
                 # poly-A annotation: PAS positions in the header, tail
@@ -240,11 +349,14 @@ def assemble_se(
 
     lengths = stage1.sample_read_lengths(se_paths, params.sample_size)
     d_read, max_tip = stage1.read_length_params(lengths, k, params.min_num_kmer_pairs)
+    if params.max_tip_length >= 0:  # -tiplength overrides the auto value
+        max_tip = params.max_tip_length
     read_L = int(max(lengths.max(initial=150), k + d_read + 1))
 
     cfg = stage1.default_graph_config(
         k, params.stranded, params.total_mem_bytes, params.num_hash, d_read,
         expected_num_kmers=params.expected_num_kmers,
+        **params.graph_config_overrides(),
     )
     s1p = stage1.Stage1Params(
         k=k, stranded=params.stranded, min_qual=params.min_qual,
@@ -260,7 +372,7 @@ def assemble_se(
         return report
 
     # stage 2: error-correct reads; each becomes an unconnected fragment
-    ecp = correct.CorrectParams()
+    ecp = params.correct_params()
     frag_rows: List[np.ndarray] = []
     B = params.batch_size
     buf = np.full((B, read_L), 4, np.uint8)
@@ -382,6 +494,7 @@ def assemble_pool(
     cfg = stage1.default_graph_config(
         k, params.stranded, params.total_mem_bytes, params.num_hash, d_read,
         expected_num_kmers=params.expected_num_kmers,
+        **params.graph_config_overrides(),
     )
     s1p = stage1.Stage1Params(
         k=k, stranded=params.stranded, min_qual=params.min_qual,
@@ -401,7 +514,9 @@ def assemble_pool(
     if params.stop_stage <= 1:
         return reports
     fparams = fragmod.FragmentParams(
-        min_overlap=params.min_overlap, bound=params.bound
+        min_overlap=params.min_overlap, bound=params.bound,
+        lookahead=params.lookahead, extend_fragments=params.extend_fragments,
+        ec_params=params.correct_params(),
     )
     for name, left, right in samples:
         sample_dir = os.path.join(outdir, name)
@@ -497,6 +612,7 @@ def assemble_long(
     cfg = stage1.default_graph_config(
         k, params.stranded, params.total_mem_bytes, params.num_hash, -1, with_pkbf=True,
         expected_num_kmers=params.expected_num_kmers,
+        **params.graph_config_overrides(),
     )
     s1p = stage1.Stage1Params(
         k=k, stranded=params.stranded, min_qual=params.min_qual, max_seq_len=512
@@ -514,6 +630,8 @@ def assemble_long(
     for path in long_paths:
         for _, s, _ in fastx.read_seqs(path):
             codes = sequtils.encode(s)
+            if params.revcomp_long:  # -rc (RNABloom.java optRevCompLong)
+                codes = sequtils.revcomp_codes(codes)
             if len(codes) >= k:
                 raw.append(codes)
     report.num_pairs = len(raw)
@@ -553,14 +671,21 @@ def assemble_long(
 
     # stage 3: internal uniqueOLC (unique reads -> unitigs -> pileup
     # polish -> binomial-filtered greedy layout)
-    op = olc_overlap.OverlapParams()
+    op = olc_overlap.OverlapParams(
+        min_match_prop=params.lr_overlap_prop,
+        min_shared_frac=params.sketch_overlap_prop,
+    )
+    if params.minimizer_window > 0:
+        op.w = params.minimizer_window
+    if params.sketch_overlap_num > 0:
+        op.min_shared = params.sketch_overlap_num
     res = olc_layout.unique_olc(
         corrected,
-        k,
+        params.minimizer_size or k,  # -m: OLC minimizer size
         op,
         polya_flags=polya_flags,
         sample_lengths=sample_lengths,
-        min_seq_depth=max(int(lr_min_cov), 1),
+        min_seq_depth=params.lr_min_depth or max(int(lr_min_cov), 1),
         polya_finder=lambda codes: polya.find_polya_tail(codes) is not None,
         seed_indices=seed_indices,
     )
@@ -747,11 +872,14 @@ def assemble_pe(
     # ---- stage 0: read length params
     lengths = stage1.sample_read_lengths([left_path, right_path], params.sample_size)
     d_read, max_tip = stage1.read_length_params(lengths, k, params.min_num_kmer_pairs)
+    if params.max_tip_length >= 0:  # -tiplength overrides the auto value
+        max_tip = params.max_tip_length
     read_L = int(max(lengths.max(initial=150), k + d_read + 1))
 
     cfg = stage1.default_graph_config(
         k, params.stranded, params.total_mem_bytes, params.num_hash, d_read,
         expected_num_kmers=params.expected_num_kmers,
+        **params.graph_config_overrides(),
     )
 
     if params.verbose:
@@ -799,6 +927,8 @@ def assemble_pe(
     timer.start("stage 2: fragment assembly")
     fparams = fragmod.FragmentParams(
         min_overlap=params.min_overlap, bound=params.bound,
+        lookahead=params.lookahead, extend_fragments=params.extend_fragments,
+        ec_params=params.correct_params(),
     )
     all_frags: List[fragmod.Fragment] = []
     frag_lengths: List[int] = []
@@ -833,7 +963,7 @@ def assemble_pe(
 
     # mixed input: unpaired reads become error-corrected unconnected fragments
     if sef_paths or ser_paths:
-        ecp = correct.CorrectParams()
+        ecp = params.correct_params()
         for path, rc in [(p, False) for p in sef_paths] + [(p, True) for p in ser_paths]:
             buf = np.full((params.batch_size, read_L), 4, np.uint8)
             lens = np.zeros(params.batch_size, np.int32)

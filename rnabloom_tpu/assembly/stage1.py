@@ -221,6 +221,12 @@ def default_graph_config(
     read_pair_distance: int = -1,
     with_pkbf: bool = True,
     expected_num_kmers: int = 0,
+    dbgbf_hash: int = 0,
+    cbf_hash: int = 0,
+    pkbf_hash: int = 0,
+    dbgbf_mem_bytes: int = 0,
+    cbf_mem_bytes: int = 0,
+    pkbf_mem_bytes: int = 0,
 ) -> dbg.GraphConfig:
     """Memory-plan defaults mirroring the reference's split.
 
@@ -231,6 +237,9 @@ def default_graph_config(
     ``expected_num_kmers`` > 0 switches to exact sizing from a distinct-
     k-mer estimate at 1% FPR per filter (the reference's -nk / ntCard path,
     getExpectedSize, RNABloom.java:6986-7012).
+
+    Per-filter overrides (0 = default): ``*_hash`` mirror -dh/-ch/-ph and
+    ``*_mem_bytes`` mirror -dm/-cm/-pm (RNABloom.java:6035-6127).
     """
     from ..bloom.filters import BloomConfig as _BC, pow2_size
 
@@ -241,11 +250,21 @@ def default_graph_config(
         dbg_bits = pow2_size(total_mem_bytes // 8)
         cbf_cells = pow2_size(total_mem_bytes // 2 // 4)  # int32 cells
         pk_bits = pow2_size(total_mem_bytes // 8)
+    if dbgbf_mem_bytes > 0:
+        dbg_bits = pow2_size(dbgbf_mem_bytes)
+    if cbf_mem_bytes > 0:
+        cbf_cells = pow2_size(cbf_mem_bytes // 4)
+    if pkbf_mem_bytes > 0:
+        pk_bits = pow2_size(pkbf_mem_bytes)
     return dbg.GraphConfig(
         k=k,
         stranded=stranded,
-        dbgbf=BloomConfig(dbg_bits.bit_length() - 1, num_hash),
-        cbf=CountingConfig(cbf_cells.bit_length() - 1, num_hash, blocked=True),
-        pkbf=BloomConfig(pk_bits.bit_length() - 1, num_hash) if with_pkbf else None,
+        dbgbf=BloomConfig(dbg_bits.bit_length() - 1, dbgbf_hash or num_hash),
+        cbf=CountingConfig(
+            cbf_cells.bit_length() - 1, cbf_hash or num_hash, blocked=True
+        ),
+        pkbf=BloomConfig(pk_bits.bit_length() - 1, pkbf_hash or num_hash)
+        if with_pkbf
+        else None,
         read_pair_distance=read_pair_distance,
     )

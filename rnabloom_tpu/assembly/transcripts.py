@@ -49,6 +49,11 @@ class TranscriptParams:
     screen_max_gap: Optional[int] = None  # default k
     max_edge_clip: int = 0  # >0 enables the blunt-end artifact filter
     template_switch_filter: bool = False  # enable isTemplateSwitch screening
+    lookahead: int = 3  # -lookahead: traversal lookahead depth
+    tip_probe_depth: int = 8  # clamped -tiplength (probes stay < k)
+    keep_chimeras: bool = False  # -chimera: skip the chimera screen
+    keep_artifacts: bool = False  # -artifact: skip blunt-end / rc-fold trims
+    frag_consistency: bool = True  # -nofc turns off frag-pair break checks
 
 
 @dataclass
@@ -346,7 +351,8 @@ def extend_fragments_pair(
     """
     B, L = frags.shape
     wcfg = traverse.WalkConfig(
-        max_len=params.max_walk_len, pair_ring=params.pair_ring
+        max_len=params.max_walk_len, pair_ring=params.pair_ring,
+        lookahead=params.lookahead, tip_probe_depth=params.tip_probe_depth,
     )
     # right walks: seed with the full fragment
     st = traverse.make_walks(cfg, wcfg, frags, lens)
@@ -356,7 +362,8 @@ def extend_fragments_pair(
     # left walks: seed with the revcomp of the right-extended sequence so the
     # left extension sees the full context in its pair ring
     wcfg_l = traverse.WalkConfig(
-        max_len=params.max_walk_len, pair_ring=params.pair_ring, left=True
+        max_len=params.max_walk_len, pair_ring=params.pair_ring, left=True,
+        lookahead=params.lookahead, tip_probe_depth=params.tip_probe_depth,
     )
     rc = np.full((B, params.max_walk_len), 4, np.uint8)
     for b in range(B):
@@ -434,7 +441,11 @@ def break_check(
 
     k = cfg.k
     jc = jnp.asarray(codes)
-    have_frag = graph.fpkbf is not None and cfg.fragment_pair_distance > 0
+    have_frag = (
+        graph.fpkbf is not None
+        and cfg.fragment_pair_distance > 0
+        and params.frag_consistency  # -nofc (RNABloom.java:6237-6240)
+    )
     have_read = graph.rpkbf is not None and cfg.read_pair_distance > 0
     sup_f = sup_r = None
     if have_frag:
@@ -480,6 +491,46 @@ def break_check(
 # ---------------------------------------------------------------------------
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def _variant_exists_jit(graph: GraphState, cfg: GraphConfig, codes: jax.Array):
+    """Per k-mer: does any left/right SNV variant exist in the graph?
+
+    The reference's isBranchFree (GraphUtils.java:7651-7672) additionally
+    requires the variant to have depth > maxTipLength; here any existing
+    variant counts as a branch (stricter — a tip-length probe per variant
+    would cost a walk per position)."""
+    from ..graph import dbg as dbgmod
+    from ..ops import nthash
+
+    fh, rh, base, valid = dbg.seq_hashes(cfg, codes)
+    P = fh.lo.shape[1]
+    last = codes[:, cfg.k - 1 : cfg.k - 1 + P]
+    first = codes[:, :P]
+    fr4, rr4 = nthash.variant_hashes_right(fh, last, cfg.k, rh)
+    fl4, rl4 = nthash.variant_hashes_left(fh, first, cfg.k, rh)
+    out = None
+    for f4, r4, cur in ((fr4, rr4, last), (fl4, rl4, first)):
+        q4 = f4 if cfg.stranded else nthash.canonical(f4, r4)
+        counts4 = dbgmod.get_counts(graph, cfg, q4)  # (B, P, 4)
+        is_self = jnp.arange(4, dtype=jnp.uint8)[None, None, :] == cur[..., None]
+        hit = jnp.any((counts4 > 0) & ~is_self, axis=-1)
+        out = hit if out is None else (out | hit)
+    return jnp.where(valid, out, False), valid
+
+
+def branch_free_batch(
+    graph: GraphState, cfg: GraphConfig, codes: np.ndarray, lens: np.ndarray
+) -> np.ndarray:
+    """(B,) bool: True when no k-mer of the row has an existing SNV variant."""
+    hit_d, valid_d = _variant_exists_jit(graph, cfg, jnp.asarray(codes))
+    hit = np.asarray(hit_d)
+    out = np.zeros(codes.shape[0], bool)
+    for b in range(codes.shape[0]):
+        n = max(int(lens[b]) - cfg.k + 1, 0)
+        out[b] = n > 0 and not hit[b, :n].any()
+    return out
+
+
 def assemble_transcripts_batch(
     graph: GraphState,
     cfg: GraphConfig,
@@ -488,15 +539,27 @@ def assemble_transcripts_batch(
     frags: np.ndarray,
     lens: np.ndarray,
     params: TranscriptParams,
+    require_branch_free: Optional[np.ndarray] = None,
 ) -> Tuple[List[Transcript], List[Transcript], jax.Array]:
-    """Returns (transcripts, short_transcripts, updated screening filter)."""
+    """Returns (transcripts, short_transcripts, updated screening filter).
+
+    ``require_branch_free``: per-row flag (the -stratum gate,
+    assembleTranscriptsMultiThreaded RNABloom.java:4912-4954) — flagged
+    fragments are extended only when branch-free; otherwise the fragment
+    itself is the transcript candidate."""
     from . import artifacts
 
     B, L = frags.shape
     chimera = np.zeros(B, bool)
     rep = screen_represented(screen, scfg, cfg, frags, lens, params, chimera_out=chimera)
+    if params.keep_chimeras:  # -chimera (RNABloom.java:6253-6257)
+        chimera[:] = False
     blunt = np.zeros(B, bool)
-    if params.max_edge_clip > 0 and cfg.read_pair_distance > 0:
+    if (
+        params.max_edge_clip > 0
+        and cfg.read_pair_distance > 0
+        and not params.keep_artifacts
+    ):
         seen_d, _ = _screen_lookup(screen, scfg, cfg, jnp.asarray(frags))
         counts_d, valid_d = dbg.count_step(graph, cfg, jnp.asarray(frags))
         seen_np = np.asarray(seen_d)
@@ -510,7 +573,7 @@ def assemble_transcripts_batch(
                     cfg.read_pair_distance, params.max_edge_clip,
                 )
     tswitch = np.zeros(B, bool)
-    if params.template_switch_filter:
+    if params.template_switch_filter and not params.keep_artifacts:
         tswitch = screen_template_switch(screen, scfg, cfg, frags, lens)
     keep = np.flatnonzero(~rep & ~chimera & ~blunt & ~tswitch)
     transcripts: List[Transcript] = []
@@ -527,6 +590,17 @@ def assemble_transcripts_batch(
     ext, ext_len, orig_s, orig_e = extend_fragments_pair(
         graph, cfg, sel, sel_lens, params
     )
+    if require_branch_free is not None and require_branch_free[keep].any():
+        gated = np.flatnonzero(require_branch_free[keep])
+        bf = branch_free_batch(graph, cfg, sel[gated], sel_lens[gated])
+        for j, row in enumerate(gated):
+            if not bf[j]:  # not branch-free: the fragment itself, unextended
+                n = int(sel_lens[row])
+                ext[row, :] = 4
+                ext[row, :n] = sel[row, :n]
+                ext_len[row] = n
+                orig_s[row] = 0
+                orig_e[row] = n
     ranges = break_check(graph, cfg, ext, ext_len, orig_s, orig_e, params)
     ranges = ranges[:K0]
 
@@ -539,7 +613,9 @@ def assemble_transcripts_batch(
         e = min(e, int(ext_len[i]))
         if e - s < cfg.k:
             continue
-        seq = artifacts.trim_rc_artifact(ext[i, s:e])
+        seq = ext[i, s:e]
+        if not params.keep_artifacts:
+            seq = artifacts.trim_rc_artifact(seq)
         if len(seq) < cfg.k:
             continue
         final[i, : len(seq)] = seq

@@ -40,6 +40,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-bound", "--bound", type=int, default=500, help="max gap walk length [500]")
     p.add_argument("-pair", "--pair", type=int, default=10, help="min k-mer pairs [10]")
     p.add_argument("-hash", "--hash", type=int, default=2, help="hash functions per filter [2]")
+    p.add_argument("-sh", "--sbf-hash", dest="sbf_hash", type=int, default=0,
+                   help="hash functions for the screening Bloom filter [=hash]")
+    p.add_argument("-dh", "--dbgbf-hash", dest="dbgbf_hash", type=int, default=0,
+                   help="hash functions for the de Bruijn graph Bloom filter [=hash]")
+    p.add_argument("-ch", "--cbf-hash", dest="cbf_hash", type=int, default=0,
+                   help="hash functions for the k-mer counting filter [=hash]")
+    p.add_argument("-ph", "--pkbf-hash", dest="pkbf_hash", type=int, default=0,
+                   help="hash functions for the paired-k-mers Bloom filter [=hash]")
+    p.add_argument("-sm", "--sbf-mem", dest="sbf_mem", type=float, default=0,
+                   help="memory (GB) for the screening Bloom filter [auto]")
+    p.add_argument("-dm", "--dbgbf-mem", dest="dbgbf_mem", type=float, default=0,
+                   help="memory (GB) for the de Bruijn graph Bloom filter [auto]")
+    p.add_argument("-cm", "--cbf-mem", dest="cbf_mem", type=float, default=0,
+                   help="memory (GB) for the k-mer counting filter [auto]")
+    p.add_argument("-pm", "--pkbf-mem", dest="pkbf_mem", type=float, default=0,
+                   help="memory (GB) for the paired-k-mers Bloom filter [auto]")
     p.add_argument("-batch", "--batch", type=int, default=512, help="stage-2 pair batch size")
     p.add_argument("-t", "--threads", type=int, default=2, help="(accepted for compat; unused)")
     p.add_argument("-lrpb", "--lrpb", action="store_true", help="long reads are PacBio (preset k=35)")
@@ -59,6 +75,51 @@ def build_parser() -> argparse.ArgumentParser:
                    help="ntCard-format .hist file: sizes filters from its F0")
     p.add_argument("-lrsub", "--lrsub", default="",
                    help="subsample long reads: 'depth,s,size,window' (strobemers) or 'depth,k,size' (k-mers)")
+    p.add_argument("-rc", "--revcomp-long", dest="revcomp_long", action="store_true",
+                   help="reverse-complement long reads")
+    p.add_argument("-lrop", "--lrop", type=float, default=0.0,
+                   help="min matching-base proportion in long-read overlaps (identity proxy) [off]")
+    p.add_argument("-lrrd", "--lrrd", type=int, default=0,
+                   help="min read depth for long-read assembly [auto]")
+    p.add_argument("-m", "--minimizer", dest="minimizer", type=int, default=0,
+                   help="OLC minimizer size [=k]")
+    p.add_argument("-mw", "--minimizer-window", dest="minimizer_window", type=int, default=0,
+                   help="OLC minimizer window size [10]")
+    p.add_argument("-sop", "--sketch-overlap-proportion", dest="sop", type=float, default=0.0,
+                   help="min proportion of sketch overlap minimizers [off]")
+    p.add_argument("-son", "--sketch-overlap-number", dest="son", type=int, default=0,
+                   help="min number of sketch overlap minimizers [4]")
+    p.add_argument("-hpc", "--hpc", action="store_true",
+                   help="homopolymer-compressed minimizers in long-read clustering")
+    p.add_argument("-mmopt", "--mmopt", default="",
+                   help="(accepted for compat; the internal overlapper replaces minimap2)")
+    p.add_argument("-c", "--mincov", type=float, default=1,
+                   help="minimum k-mer coverage [1]")
+    p.add_argument("-e", "--errcorritr", type=int, default=2,
+                   help="error-correction iterations per read [2]")
+    p.add_argument("-grad", "--maxcovgrad", type=float, default=0.50,
+                   help="max k-mer coverage gradient for error correction [0.50]")
+    p.add_argument("-indel", "--indel", type=int, default=1,
+                   help="max size of indels to be collapsed [1]")
+    p.add_argument("-p", "--percent", type=float, default=0.90,
+                   help="min percent identity of sequences to be collapsed [0.90]")
+    p.add_argument("-lookahead", "--lookahead", type=int, default=3,
+                   help="k-mers to look ahead during graph traversal [3]")
+    p.add_argument("-tiplength", "--tiplength", type=int, default=-1,
+                   help="max number of bases in a tip [auto]")
+    p.add_argument("-extend", "--extend", action="store_true",
+                   help="extend fragments outward during fragment reconstruction")
+    p.add_argument("-nofc", "--nofc", action="store_true",
+                   help="turn off assembly consistency with fragment paired k-mers")
+    p.add_argument("-artifact", "--artifact", action="store_true",
+                   help="keep potential sequencing artifacts")
+    p.add_argument("-chimera", "--chimera", action="store_true",
+                   help="keep potential chimeras")
+    p.add_argument("-stratum", "--stratum", default="e0",
+                   choices=("01", "e0", "e1", "e2", "e3", "e4", "e5"),
+                   help="fragments below this stratum extend only if branch-free [e0]")
+    p.add_argument("-a", "--polya", type=int, default=0,
+                   help="prioritize poly-A transcripts with tails of this min length [0]")
     p.add_argument("-n", "--name", default="rnabloom",
                    help="assembly name (output file prefix) [rnabloom]")
     p.add_argument("-prefix", "--prefix", default="",
@@ -140,7 +201,39 @@ def main(argv=None) -> int:
         no_reduce=args.norr and not args.mergepool,  # -mergepool overrides -norr
         stop_stage=args.stage,
         sample_size=args.sample,
+        min_kmer_cov=args.mincov,
+        err_corr_iters=args.errcorritr,
+        max_cov_gradient=args.maxcovgrad,
+        max_indel=args.indel,
+        percent_identity=args.percent,
+        lookahead=args.lookahead,
+        max_tip_length=args.tiplength,
+        extend_fragments=args.extend,
+        frag_consistency=not args.nofc,
+        keep_artifacts=args.artifact,
+        keep_chimeras=args.chimera,
+        branch_free_stratum=args.stratum,
+        polya_min_len=args.polya,
+        sbf_hash=args.sbf_hash,
+        dbgbf_hash=args.dbgbf_hash,
+        cbf_hash=args.cbf_hash,
+        pkbf_hash=args.pkbf_hash,
+        sbf_mem_bytes=int(args.sbf_mem * (1 << 30)),
+        dbgbf_mem_bytes=int(args.dbgbf_mem * (1 << 30)),
+        cbf_mem_bytes=int(args.cbf_mem * (1 << 30)),
+        pkbf_mem_bytes=int(args.pkbf_mem * (1 << 30)),
+        revcomp_long=args.revcomp_long,
+        lr_min_depth=args.lrrd,
+        lr_overlap_prop=args.lrop,
+        minimizer_size=args.minimizer,
+        minimizer_window=args.minimizer_window,
+        sketch_overlap_prop=args.sop,
+        sketch_overlap_num=args.son,
+        hpc=args.hpc,
     )
+    if args.mmopt:
+        print("note: -mmopt ignored (internal overlapper replaces minimap2)",
+              file=sys.stderr)
     if not args.nk and args.hist:
         params.expected_num_kmers = kselect.NTCardHistogram(args.hist).num_unique
     elif not args.nk and args.ntcard:

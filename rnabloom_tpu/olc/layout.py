@@ -249,12 +249,17 @@ def ava_clustered_olc(
     k: int,
     params: Optional[OverlapParams] = None,
     max_cluster: int = 5000,
+    hpc: bool = False,
 ) -> List[np.ndarray]:
     """Legacy clustered assembly (avaClusteredOLC,
     olc/OverlapLayoutConsensus.java:1230): all-vs-all overlaps, cluster by
     connectivity, then per-cluster junction-resolved greedy layout.
     Superseded by unique_olc in the current pipeline; kept for parity with
-    the reference's alternate flow."""
+    the reference's alternate flow.
+
+    ``hpc`` (-hpc): cluster membership is decided on homopolymer-compressed
+    minimizers (the reference's HPC clustering option); layout coordinates
+    still come from raw-read overlaps."""
     params = params or OverlapParams()
     if not reads:
         return []
@@ -265,8 +270,17 @@ def ava_clustered_olc(
     for rec in records:
         by_pair.setdefault((rec.q, rec.t), []).append(rec)
 
+    cluster_records = records
+    if hpc:
+        from ..utils import align as alignutils
+
+        hpc_reads = [alignutils.homopolymer_compress(np.asarray(r)) for r in reads]
+        hcodes, hlens = _pad_batch(hpc_reads)
+        hmins = extract_minimizers(hcodes, hlens, k, params.w)
+        cluster_records = find_overlaps(hmins, params)
+
     out: List[np.ndarray] = []
-    for cluster in cluster_reads(records, len(reads)):
+    for cluster in cluster_reads(cluster_records, len(reads)):
         if len(cluster) == 1:
             out.append(np.array(reads[cluster[0]], np.uint8))
             continue

@@ -31,11 +31,19 @@ from ..ops import nthash
 @dataclass
 class OverlapParams:
     w: int = 10  # minimizer window
-    min_shared: int = 4  # minimizers supporting an overlap
+    min_shared: int = 4  # minimizers supporting an overlap (-son analog)
     diag_band: int = 100  # diagonal tolerance (bases)
     min_overlap: int = 150  # bases
     max_overhang: int = 100  # dovetail tolerance (maxEdgeClip)
     max_occ: int = 512  # drop minimizer keys seen more often (repeat filter)
+    # -lrop: per-base identity proxy.  An overlap of span S at identity a
+    # carries ~a**k * 2S/(w+1) shared minimizers; acceptance requires that
+    # density for a = min_match_prop (PafUtils.hasGoodOverlap's aln-identity
+    # test, util/PafUtils.java:26-40, recast in minimizer space).  0 = off.
+    min_match_prop: float = 0.0
+    # -sop: min fraction of the expected perfect-identity minimizer count
+    # shared (sketch-overlap proportion).  0 = off.
+    min_shared_frac: float = 0.0
 
 
 @dataclass
@@ -227,6 +235,7 @@ def _chain(
             best[p] = g
 
     out: List[OverlapRecord] = []
+    exp_density = 2.0 / (params.w + 1)  # minimizers per base at identity 1
     for p in range(puniq.shape[0]):
         g = best[p]
         if g < 0 or counts[g] < params.min_shared:
@@ -234,6 +243,15 @@ def _chain(
         q_span = qe[g] - qs[g] + k
         t_span = te[g] - ts[g] + k
         if q_span < params.min_overlap and t_span < params.min_overlap:
+            continue
+        span = min(q_span, t_span)
+        if params.min_shared_frac > 0 and counts[g] < (
+            params.min_shared_frac * exp_density * span
+        ):
+            continue
+        if params.min_match_prop > 0 and counts[g] < (
+            (params.min_match_prop**k) * exp_density * span
+        ):
             continue
         out.append(
             OverlapRecord(

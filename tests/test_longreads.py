@@ -176,3 +176,51 @@ def test_minimizer_subsampler_and_minimal_set():
     # minimal set: duplicates contribute nothing new
     keep2 = lrmod.minimal_set(cfg, reads)
     assert keep2 == [0, 8] or (8 in keep2 and len(keep2) == 2)
+
+
+def test_long_pipeline_knobs(tmp_path):
+    """-rc/-lrrd/-mw/-son wiring through the long-read pipeline."""
+    import gzip
+
+    from rnabloom_tpu.assembly import pipeline
+    from rnabloom_tpu.utils import seq as sequtils
+
+    rng = np.random.default_rng(5)
+    t = "".join(rng.choice(list("ACGT"), size=800))
+    with gzip.open(tmp_path / "lr.fa.gz", "wt") as f:
+        for i in range(60):
+            s0 = rng.integers(0, 300)
+            w = t[s0 : s0 + 500]
+            f.write(f">r{i}\n{w}\n")
+
+    params = pipeline.PipelineParams(
+        total_mem_bytes=1 << 22,
+        revcomp_long=True,  # all reads flipped; assembly must still work
+        lr_min_depth=2,
+        minimizer_window=12,
+        sketch_overlap_num=3,
+    )
+    report = pipeline.assemble_long([str(tmp_path / "lr.fa.gz")], str(tmp_path / "out"), params)
+    assert report.num_transcripts >= 1
+    out = [
+        s for _, s in __import__("rnabloom_tpu.io.fastx", fromlist=["x"]).read_fasta(
+            str(tmp_path / "out" / "rnabloom.transcripts.fa")
+        )
+    ]
+    # revcomp-long flips every read, so the assembly matches the rc strand
+    rc = sequtils.revcomp(t)
+    assert any(s.upper() in rc or s.upper() in t for s in out)
+
+
+def test_hpc_clustered_olc():
+    from rnabloom_tpu.olc import layout as olc_layout
+    from rnabloom_tpu.utils import seq as sequtils
+
+    rng = np.random.default_rng(9)
+    base = "".join(rng.choice(list("ACGT"), size=600))
+    reads = []
+    for i in range(20):
+        s0 = rng.integers(0, 200)
+        reads.append(sequtils.encode(base[s0 : s0 + 400]))
+    out = olc_layout.ava_clustered_olc(reads, 25, hpc=True)
+    assert len(out) >= 1

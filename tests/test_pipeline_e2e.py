@@ -246,3 +246,23 @@ def test_fpr_autoresize_rebuilds_undersized_filters(tmp_path):
     report = pipeline.assemble_pe(left, right, str(tmp_path / "out"), params)
     worst = max(report.stage1.fprs.values())
     assert worst <= 0.01, f"autosize failed: FPRs {report.stage1.fprs}"
+
+
+@pytest.mark.slow
+def test_option_knobs_pe(tmp_path):
+    """-extend/-nofc/-chimera/-artifact/-stratum/-a wiring: the PE pipeline
+    runs with all behavioral knobs flipped and still assembles."""
+    transcripts = [rand_seq(400) + "A" * 20 for _ in range(2)]
+    left, right = write_pe_fastq(transcripts, str(tmp_path), coverage=10, n_min=30)
+
+    params = pipeline.PipelineParams(
+        total_mem_bytes=1 << 22, batch_size=128, sample_size=50,
+        extend_fragments=True, frag_consistency=False,
+        keep_artifacts=True, keep_chimeras=True,
+        branch_free_stratum="e1", polya_min_len=10,
+        lookahead=2, max_tip_length=10, err_corr_iters=1,
+        max_cov_gradient=0.4, no_reduce=True,
+    )
+    report = pipeline.assemble_pe(left, right, str(tmp_path / "out"), params)
+    assert report.num_fragments > 0
+    assert report.num_transcripts > 0

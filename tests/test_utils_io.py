@@ -187,3 +187,33 @@ def test_expected_kmers_sizing():
     # ~1M keys at 1% FPR with h=2 needs ~2^24 cells -> pow2-rounded
     assert 23 <= cfg.cbf.size_log2 <= 25
     assert cfg.dbgbf.size_log2 == cfg.cbf.size_log2
+
+
+def test_per_filter_overrides():
+    from rnabloom_tpu.assembly import stage1
+
+    cfg = stage1.default_graph_config(
+        25, False, 1 << 30,
+        dbgbf_hash=3, cbf_hash=4, pkbf_hash=5,
+        dbgbf_mem_bytes=1 << 20, cbf_mem_bytes=1 << 22, pkbf_mem_bytes=1 << 21,
+    )
+    assert cfg.dbgbf.num_hash == 3 and cfg.dbgbf.size_log2 == 20
+    assert cfg.cbf.num_hash == 4 and cfg.cbf.size_log2 == 20  # bytes/4 cells
+    assert cfg.pkbf.num_hash == 5 and cfg.pkbf.size_log2 == 21
+
+
+def test_cli_parses_reference_option_surface():
+    from rnabloom_tpu.cli import build_parser
+
+    p = build_parser()
+    a = p.parse_args([
+        "-left", "1.fq", "-right", "2.fq", "-sh", "3", "-dm", "0.5",
+        "-c", "2", "-e", "1", "-grad", "0.4", "-indel", "2", "-p", "0.95",
+        "-lookahead", "5", "-tiplength", "20", "-extend", "-nofc",
+        "-artifact", "-chimera", "-stratum", "e2", "-a", "12",
+        "-n", "asm", "-prefix", "S1_", "-norr", "-stage", "2",
+        "-fpr", "0.05", "-sample", "500",
+    ])
+    assert a.sbf_hash == 3 and a.dbgbf_mem == 0.5
+    assert a.mincov == 2 and a.errcorritr == 1 and a.maxcovgrad == 0.4
+    assert a.stratum == "e2" and a.polya == 12 and a.stage == 2
