@@ -869,8 +869,26 @@ def assemble_pe(
             report.elapsed_s = time.time() - t0
             return report
 
-    # ---- stage 0: read length params
-    lengths = stage1.sample_read_lengths([left_path, right_path], params.sample_size)
+    # ---- stage 0: read length params (quartiles persisted to .readstats so
+    # reruns skip the sampling pass, RNABloom.java:2669-2714)
+    readstats_path = os.path.join(outdir, f"{params.name}.readstats")
+    lengths = None
+    if not force and os.path.exists(readstats_path):
+        try:
+            with open(readstats_path) as fh:
+                lengths = np.asarray(json.load(fh)["lengths"], np.int64)
+        except (json.JSONDecodeError, KeyError):
+            lengths = None
+    if lengths is None:
+        lengths = stage1.sample_read_lengths(
+            [left_path, right_path], params.sample_size
+        )
+        with open(readstats_path, "w") as fh:
+            q = sequtils.quartiles(lengths) if len(lengths) else (0, 0, 0)
+            json.dump(
+                {"lengths": [int(x) for x in lengths], "quartiles": list(map(int, q))},
+                fh,
+            )
     d_read, max_tip = stage1.read_length_params(lengths, k, params.min_num_kmer_pairs)
     if params.max_tip_length >= 0:  # -tiplength overrides the auto value
         max_tip = params.max_tip_length
