@@ -413,6 +413,31 @@ def _pair_support_at(
     return np.asarray(sup), np.asarray(valid)
 
 
+@partial(jax.jit, static_argnames=("cfg", "d_frag", "d_read"))
+def _pair_support_both_jit(
+    graph: GraphState, cfg: GraphConfig, codes: jnp.ndarray, d_frag: int, d_read: int
+):
+    """Fragment + read pair support in ONE dispatch, packed into one array
+    (each host readback costs ~200 ms of tunnel latency)."""
+    fh, rh, base, valid = dbg.seq_hashes(cfg, codes)
+    B, P = valid.shape
+    out = []
+    for d, which in ((d_frag, "frag"), (d_read, "read")):
+        if d <= 0:
+            out.append(jnp.zeros((B, P), bool))
+            continue
+        pair_base, np_ = dbg.pair_base_hashes(cfg, fh, rh, d)
+        sup = (
+            dbg.lookup_fragment_pair(graph, cfg, pair_base)
+            if which == "frag"
+            else dbg.lookup_read_pair(graph, cfg, pair_base)
+        )
+        pv = jnp.logical_and(valid[..., :np_], valid[..., d:])
+        padded = jnp.zeros((B, P), bool).at[:, :np_].set(jnp.logical_and(sup, pv))
+        out.append(padded)
+    return jnp.stack(out)
+
+
 def _best_range(segments, orig) -> Optional[Tuple[int, int]]:
     if not segments:
         return None
@@ -448,10 +473,15 @@ def break_check(
     )
     have_read = graph.rpkbf is not None and cfg.read_pair_distance > 0
     sup_f = sup_r = None
-    if have_frag:
-        sup_f, _ = _pair_support_at(graph, cfg, jc, cfg.fragment_pair_distance, "frag")
-    if have_read:
-        sup_r, _ = _pair_support_at(graph, cfg, jc, cfg.read_pair_distance, "read")
+    if have_frag or have_read:
+        both = np.asarray(
+            _pair_support_both_jit(
+                graph, cfg, jc,
+                cfg.fragment_pair_distance if have_frag else 0,
+                cfg.read_pair_distance if have_read else 0,
+            )
+        )
+        sup_f, sup_r = both[0], both[1]
 
     out: List[Optional[Tuple[int, int]]] = []
     for b in range(codes.shape[0]):

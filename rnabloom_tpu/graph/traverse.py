@@ -683,6 +683,56 @@ def resolve_branches(
     return st._replace(status=new_status.astype(jnp.int32))
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "wcfg", "mode", "superstep_hops", "max_supersteps", "has_term"
+    ),
+)
+def _extend_walks_fused(
+    state: WalkState,
+    graph: GraphState,
+    cfg: GraphConfig,
+    wcfg: WalkConfig,
+    min_cov: jax.Array,
+    bound: jax.Array,
+    terminators: jax.Array,
+    mode: str,
+    superstep_hops: int,
+    max_supersteps: int,
+    has_term: bool,
+) -> WalkState:
+    """One device dispatch for the whole extension: lax.while_loop
+    alternating walk supersteps and branch resolution.
+
+    The previous host driver read back every lane's status between
+    supersteps; on a tunneled TPU each readback costs ~200 ms of latency,
+    which dominated stage-2/3 wall clock.  Fusing the loop keeps the
+    branch-resolution control flow entirely on device."""
+    term = terminators if has_term else None
+
+    def step(carry):
+        st, i = carry
+        st = walk_superstep(
+            st, graph, cfg, wcfg, min_cov, bound, superstep_hops, terminators=term
+        )
+        st = jax.lax.cond(
+            jnp.any(st.status == BRANCH),
+            lambda s: resolve_branches(s, graph, cfg, wcfg, min_cov, mode=mode),
+            lambda s: s,
+            st,
+        )
+        return st, i + 1
+
+    def cond(carry):
+        st, i = carry
+        live = jnp.any((st.status == ACTIVE) | (st.status == BRANCH))
+        return live & (i < max_supersteps)
+
+    state, _ = jax.lax.while_loop(cond, step, (state, jnp.int32(0)))
+    return state
+
+
 def extend_walks(
     state: WalkState,
     graph: GraphState,
@@ -695,22 +745,22 @@ def extend_walks(
     superstep_hops: int = 64,
     max_supersteps: int = 64,
 ) -> WalkState:
-    """Host driver: alternate walk supersteps and branch resolution."""
+    """Extend all walk lanes to completion (single fused device dispatch)."""
     W = state.pos.shape[0]
     min_cov = jnp.broadcast_to(jnp.asarray(min_cov, jnp.float32), (W,))
     bound = jnp.broadcast_to(jnp.asarray(bound, jnp.int32), (W,))
-    for _ in range(max_supersteps):
-        state = walk_superstep(
-            state, graph, cfg, wcfg, min_cov, bound, superstep_hops, terminators=terminators
+    if terminators is None:
+        dummy = jnp.zeros((1,), jnp.uint8)
+        return _extend_walks_fused(
+            state, graph, cfg, wcfg, min_cov, bound, dummy,
+            mode, superstep_hops, max_supersteps, False,
         )
-        status = np.asarray(state.status)
-        if (status == BRANCH).any():
-            state = resolve_branches(state, graph, cfg, wcfg, min_cov, mode=mode)
-        elif not (status == ACTIVE).any():
-            break
-    return state
+    return _extend_walks_fused(
+        state, graph, cfg, wcfg, min_cov, bound, terminators,
+        mode, superstep_hops, max_supersteps, True,
+    )
 
 
 def harvest(state: WalkState) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(buf, pos, status) as numpy — the walks' emitted code sequences."""
-    return np.asarray(state.buf), np.asarray(state.pos), np.asarray(state.status)
+    return tuple(jax.device_get((state.buf, state.pos, state.status)))
