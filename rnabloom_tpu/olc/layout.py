@@ -342,6 +342,76 @@ def trim_split_by_read_depth(
     return out
 
 
+def overlap_layout_consensus(
+    reads: Sequence[np.ndarray],
+    k: int,
+    params: Optional[OverlapParams] = None,
+    polish_rounds: int = 1,
+) -> List[np.ndarray]:
+    """Basic OLC flow (overlapLayoutConsensus,
+    olc/OverlapLayoutConsensus.java:915; ``polish_rounds=2`` mirrors
+    overlapLayoutConsensus2 :956): one all-vs-all overlap pass, unitig
+    layout, then N pileup-polish rounds with all reads mapped back."""
+    params = params or OverlapParams()
+    if not reads:
+        return []
+    layouts, _, _ = layout_unitigs(reads, k, params)
+    if not layouts:
+        return [np.array(r, np.uint8) for r in reads]
+    codes, lens = _pad_batch(reads)
+    all_mins = extract_minimizers(codes, lens, k, params.w)
+    for _ in range(max(polish_rounds, 1)):
+        ucodes, ulens = _pad_batch(layouts)
+        umins = extract_minimizers(ucodes, ulens, k, params.w)
+        placements = cns.place_reads(all_mins, umins, lens, params)
+        layouts = cns.polish(layouts, reads, placements, min_depth=1)
+    return layouts
+
+
+def map_clustered_olc(
+    reads: Sequence[np.ndarray],
+    k: int,
+    params: Optional[OverlapParams] = None,
+    min_cluster: int = 1,
+) -> List[np.ndarray]:
+    """Mapping-based clustered assembly (mapClusteredOLC,
+    olc/OverlapLayoutConsensus.java:1336): unique seed extraction, all
+    reads mapped onto the seeds, reads grouped by best seed, per-cluster
+    junction-resolved layout (the per-cluster `<id>.DONE` orchestration of
+    the reference collapses into one in-process loop)."""
+    params = params or OverlapParams()
+    if not reads:
+        return []
+    codes, lens = _pad_batch(reads)
+    mins = extract_minimizers(codes, lens, k, params.w)
+    overlaps = find_overlaps(mins, params)
+    seeds = extract_unique(overlaps, lens, params, 1, None)
+    if not seeds:
+        seeds = list(range(len(reads)))
+    scodes, slens = _pad_batch([reads[i] for i in seeds])
+    smins = extract_minimizers(scodes, slens, k, params.w)
+    placements = cns.place_reads(mins, smins, lens, params)
+
+    best_shared: Dict[int, int] = {}
+    best_seed: Dict[int, int] = {}
+    for pl in placements:
+        span = pl.q_end - pl.q_start
+        if span > best_shared.get(pl.read, 0):
+            best_shared[pl.read] = span
+            best_seed[pl.read] = pl.target
+    clusters: Dict[int, List[int]] = {}
+    for r in range(len(reads)):
+        clusters.setdefault(best_seed.get(r, -1), []).append(r)
+
+    out: List[np.ndarray] = []
+    for sid, members in sorted(clusters.items(), key=lambda kv: -len(kv[1])):
+        if sid < 0 or len(members) < min_cluster:
+            out.extend(np.array(reads[r], np.uint8) for r in members)
+            continue
+        out.extend(ava_clustered_olc([reads[r] for r in members], k, params))
+    return out
+
+
 def seeded_unique_olc(
     reads: Sequence[np.ndarray],
     seeds: Sequence[np.ndarray],

@@ -303,3 +303,51 @@ def test_seeded_unique_olc():
     s = sequtils.decode(best)
     assert s in t or revcomp(s) in t
     assert len(s) >= 1200
+
+
+def test_overlap_layout_consensus_flow():
+    """overlapLayoutConsensus / overlapLayoutConsensus2 equivalents: layout +
+    N polish rounds reconstruct the source sequence from noisy windows."""
+    from rnabloom_tpu.olc import layout as olc_layout
+    from rnabloom_tpu.utils import seq as sequtils
+
+    rng = np.random.default_rng(11)
+    base = "".join(rng.choice(list("ACGT"), size=900))
+    reads = []
+    # staggered tiling windows: unambiguous dovetails chain into one unitig
+    # (dense random coverage would leave junctions, as in the reference's
+    # layoutSimple)
+    for s0 in range(0, 500, 100):
+        w = list(base[s0 : s0 + 400])
+        for j in range(len(w)):
+            if rng.random() < 0.005:
+                w[j] = rng.choice(list("ACGT"))
+        reads.append(sequtils.encode("".join(w)))
+    for rounds in (1, 2):
+        out = olc_layout.overlap_layout_consensus(reads, 25, polish_rounds=rounds)
+        assert out
+        best = max(out, key=len)
+        assert len(best) >= 500
+
+
+def test_map_clustered_olc_flow():
+    """mapClusteredOLC equivalent: two separate transcripts come out as two
+    clusters, each assembled."""
+    from rnabloom_tpu.olc import layout as olc_layout
+    from rnabloom_tpu.utils import seq as sequtils
+
+    rng = np.random.default_rng(13)
+    bases = ["".join(rng.choice(list("ACGT"), size=600)) for _ in range(2)]
+    reads = []
+    for b in bases:
+        for i in range(25):
+            s0 = rng.integers(0, 200)
+            reads.append(sequtils.encode(b[s0 : s0 + 400]))
+    out = olc_layout.map_clustered_olc(reads, 25)
+    assert out
+    for b in bases:
+        assert any(
+            sequtils.decode(o) in b or sequtils.revcomp(sequtils.decode(o)) in b
+            for o in out
+            if len(o) >= 400
+        ), "cluster not reconstructed"
