@@ -201,6 +201,67 @@ def _iter_pair_batches(
         yield lbuf, llen, rbuf, rlen
 
 
+def _ingest_se_fragments(
+    state: dbg.GraphState,
+    cfg: dbg.GraphConfig,
+    sef_paths: Sequence[str],
+    ser_paths: Sequence[str],
+    read_L: int,
+    params: PipelineParams,
+    all_frags: List["fragmod.Fragment"],
+    frag_lengths: List[int],
+    report: "PipelineReport",
+) -> None:
+    """Unpaired reads (-sef/-ser) become error-corrected unconnected
+    fragments (SingleEndReadExtractor, RNABloom.java:1935-2036).  The -Q
+    average-quality gate applies here exactly as for paired batches."""
+    k = cfg.k
+    ecp = params.correct_params()
+    for path, rc in [(p, False) for p in sef_paths] + [(p, True) for p in ser_paths]:
+        buf = np.full((params.batch_size, read_L), 4, np.uint8)
+        lens = np.zeros(params.batch_size, np.int32)
+        n = 0
+
+        def flush_se(n):
+            if n == 0:
+                return
+            fixed, _ = correct.correct_batch(state, cfg, buf[:n], lens[:n], ecp)
+            counts_d, valid_d = dbg.count_step(state, cfg, jnp.asarray(fixed))
+            counts_np = np.asarray(counts_d)
+            valid_np = np.asarray(valid_d)
+            for i in range(n):
+                nk = lens[i] - k + 1
+                v = valid_np[i, :nk]
+                if nk <= 0 or not v.any():
+                    continue
+                mc = float(counts_np[i, :nk][v].min())
+                all_frags.append(
+                    fragmod.Fragment(
+                        codes=fixed[i, : lens[i]].copy(), min_cov=mc,
+                        length=int(lens[i]), connected=False,
+                    )
+                )
+                frag_lengths.append(int(lens[i]))
+
+        for _, rs, rq in fastx.read_seqs(path):
+            if params.min_avg_qual > 0 and not _avg_qual_ok(rq, params.min_avg_qual):
+                continue
+            codes_r = sequtils.encode(rs)[:read_L]
+            if rc:
+                codes_r = sequtils.revcomp_codes(codes_r)
+            if len(codes_r) < k:
+                continue
+            buf[n, : len(codes_r)] = codes_r
+            buf[n, len(codes_r) :] = 4
+            lens[n] = len(codes_r)
+            n += 1
+            report.num_pairs += 1
+            if n == params.batch_size:
+                flush_se(n)
+                n = 0
+        flush_se(n)
+
+
 def _run_stage3(
     state: dbg.GraphState,
     cfg: dbg.GraphConfig,
@@ -453,20 +514,42 @@ def merge_pool(outdir: str, sample_names: Sequence[str], params: PipelineParams)
     return len(merged_seqs)
 
 
-def parse_pool_list(path: str) -> List[Tuple[str, str, str]]:
-    """Parse a -pool READSLIST: '<name> <left> <right>' per line
-    (getPooledReadPaths, RNABloom.java:5066-5224; the sef/ser columns of the
-    reference's table are not yet supported)."""
+def parse_pool_list(path: str) -> List[Tuple[str, str, str, Tuple[str, ...], Tuple[str, ...]]]:
+    """Parse a -pool READSLIST (getPooledReadPaths, RNABloom.java:5066-5224).
+
+    Lines are '<name> <left> <right> [sef] [ser]'; a header line starting
+    with '#' may name the columns (any order of left/right/sef/ser after
+    name).  sef/ser cells may hold comma-separated lists or '-' for none.
+    Returns (name, left, right, sef_paths, ser_paths) tuples.
+    """
     out = []
+    columns = ["name", "left", "right", "sef", "ser"]
     with open(path) as f:
         for line in f:
             line = line.strip()
-            if not line or line.startswith("#"):
+            if not line:
+                continue
+            if line.startswith("#"):
+                # optional header row names the columns (RNABloom.java:5092)
+                hdr = line.lstrip("#").split()
+                if hdr and all(h in ("name", "left", "right", "sef", "ser") for h in hdr):
+                    columns = hdr
                 continue
             parts = line.split()
             if len(parts) < 3:
                 raise ValueError(f"pool list line needs '<name> <left> <right>': {line!r}")
-            out.append((parts[0], parts[1], parts[2]))
+            row = dict(zip(columns, parts))
+            if not {"name", "left", "right"} <= row.keys():
+                raise ValueError(f"pool list line missing name/left/right: {line!r}")
+
+            def paths(cell: Optional[str]) -> Tuple[str, ...]:
+                if not cell or cell == "-":
+                    return ()
+                return tuple(p for p in cell.split(",") if p)
+
+            out.append(
+                (row["name"], row["left"], row["right"], paths(row.get("sef")), paths(row.get("ser")))
+            )
     return out
 
 
@@ -486,7 +569,7 @@ def assemble_pool(
     samples = sorted(parse_pool_list(readslist_path))
     k = params.k
 
-    all_paths = [p for _, l, r in samples for p in (l, r)]
+    all_paths = [p for _, l, r, sef, ser in samples for p in (l, r) + sef + ser]
     lengths = stage1.sample_read_lengths(all_paths, params.sample_size)
     d_read, _ = stage1.read_length_params(lengths, k, params.min_num_kmer_pairs)
     read_L = int(max(lengths.max(initial=150), k + d_read + 1))
@@ -502,9 +585,9 @@ def assemble_pool(
     )
     flags = []
     paths = []
-    for _, l, r in samples:
-        paths += [l, r]
-        flags += [revcomp_left, revcomp_right]
+    for _, l, r, sef, ser in samples:
+        paths += [l, r] + list(sef) + list(ser)
+        flags += [revcomp_left, revcomp_right] + [False] * len(sef) + [True] * len(ser)
     shared, s1_stats, cfg = stage1.build_graph_autosized(
         paths, cfg, s1p, max_fpr=params.max_fpr,
         revcomp_flags=flags, add_read_pairs=True,
@@ -518,7 +601,7 @@ def assemble_pool(
         lookahead=params.lookahead, extend_fragments=params.extend_fragments,
         ec_params=params.correct_params(),
     )
-    for name, left, right in samples:
+    for name, left, right, sef, ser in samples:
         sample_dir = os.path.join(outdir, name)
         os.makedirs(sample_dir, exist_ok=True)
         report = PipelineReport()
@@ -535,6 +618,11 @@ def assemble_pool(
                 if f is not None:
                     all_frags.append(f)
                     frag_lengths.append(f.length)
+        if sef or ser:
+            _ingest_se_fragments(
+                shared, cfg, sef, ser, read_L, params,
+                all_frags, frag_lengths, report,
+            )
         report.num_fragments = len(all_frags)
         if not all_frags or params.stop_stage <= 2:
             report.elapsed_s = time.time() - t0
@@ -592,6 +680,7 @@ def assemble_long(
     lr_min_cov: float = 2.0,
     subsample_multiplicity: int = 0,
     subsample_spec: str = "",
+    force: bool = False,
 ) -> "PipelineReport":
     """Long-read (ONT/PacBio cDNA) assembly (-long path).
 
@@ -600,52 +689,78 @@ def assemble_long(
     subsampling, then overlap-layout with the internal minimizer engine in
     place of the external minimap2/racon pipeline (uniqueOLC,
     olc/OverlapLayoutConsensus.java:1129-1228).
+
+    Resume protocol (RNABloom.java:5818-5825, :6451-6500): a rerun with the
+    LONGREADS.CORRECTED stamp present reloads the corrected reads and jumps
+    straight to the OLC stage; LONGREADS.ASSEMBLED marks completion.
     """
     from ..olc import layout as olc_layout, overlap as olc_overlap
+    from ..utils import checkpoint as ckpt
     from . import longreads as lrmod
 
     t0 = time.time()
     os.makedirs(outdir, exist_ok=True)
+    if force:
+        ckpt.clear_stamps(outdir)
     report = PipelineReport()
     k = params.k
+    corrected_path = os.path.join(outdir, f"{params.name}.longreads.corrected.fa")
 
+    corrected: List[np.ndarray] = []
+    polya_flags: List[bool] = []
+    resumed = (
+        not force
+        and ckpt.has_stamp(outdir, ckpt.STAMP_LONGREADS_CORRECTED)
+        and os.path.exists(corrected_path)
+    )
     cfg = stage1.default_graph_config(
-        k, params.stranded, params.total_mem_bytes, params.num_hash, -1, with_pkbf=True,
-        expected_num_kmers=params.expected_num_kmers,
+        k, params.stranded, params.total_mem_bytes, params.num_hash, -1,
+        with_pkbf=True, expected_num_kmers=params.expected_num_kmers,
         **params.graph_config_overrides(),
     )
-    s1p = stage1.Stage1Params(
-        k=k, stranded=params.stranded, min_qual=params.min_qual, max_seq_len=512
-    )
-    state, s1_stats, cfg = stage1.build_graph_autosized(
-        long_paths, cfg, s1p, max_fpr=params.max_fpr
-    )
-    report.stage1 = s1_stats
-    if params.stop_stage <= 1:
-        report.elapsed_s = time.time() - t0
-        return report
+    if resumed:
+        # crash after correction: skip graph build + correction entirely
+        for header, seq in fastx.read_fasta(corrected_path, full_header=True):
+            corrected.append(sequtils.encode(seq.upper()))
+            polya_flags.append("polya" in header)
+        report.num_fragments = len(corrected)
+        if not corrected or params.stop_stage <= 2:
+            report.elapsed_s = time.time() - t0
+            return report
+    else:
+        s1p = stage1.Stage1Params(
+            k=k, stranded=params.stranded, min_qual=params.min_qual, max_seq_len=512
+        )
+        state, s1_stats, cfg = stage1.build_graph_autosized(
+            long_paths, cfg, s1p, max_fpr=params.max_fpr
+        )
+        report.stage1 = s1_stats
+        ckpt.touch_stamp(outdir, ckpt.STAMP_DBG_DONE)
+        if params.stop_stage <= 1:
+            report.elapsed_s = time.time() - t0
+            return report
 
-    # stage 2: correction
-    raw: List[np.ndarray] = []
-    for path in long_paths:
-        for _, s, _ in fastx.read_seqs(path):
-            codes = sequtils.encode(s)
-            if params.revcomp_long:  # -rc (RNABloom.java optRevCompLong)
-                codes = sequtils.revcomp_codes(codes)
-            if len(codes) >= k:
-                raw.append(codes)
-    report.num_pairs = len(raw)
-    lrp = lrmod.LongReadParams(min_kmer_cov=lr_min_cov)
-    corrected, polya_flags = lrmod.correct_long_reads(state, cfg, raw, lrp)
-    report.num_fragments = len(corrected)
-    corrected_path = os.path.join(outdir, f"{params.name}.longreads.corrected.fa")
-    with fastx.FastaWriter(corrected_path) as w:
-        for i, c in enumerate(corrected):
-            tag = " polya" if polya_flags[i] else ""
-            w.write(f"lr.{i}", sequtils.decode(c), f"l={len(c)}{tag}")
-    if not corrected or params.stop_stage <= 2:
-        report.elapsed_s = time.time() - t0
-        return report
+        # stage 2: correction
+        raw: List[np.ndarray] = []
+        for path in long_paths:
+            for _, s, _ in fastx.read_seqs(path):
+                codes = sequtils.encode(s)
+                if params.revcomp_long:  # -rc (RNABloom.java optRevCompLong)
+                    codes = sequtils.revcomp_codes(codes)
+                if len(codes) >= k:
+                    raw.append(codes)
+        report.num_pairs = len(raw)
+        lrp = lrmod.LongReadParams(min_kmer_cov=lr_min_cov)
+        corrected, polya_flags = lrmod.correct_long_reads(state, cfg, raw, lrp)
+        report.num_fragments = len(corrected)
+        with fastx.FastaWriter(corrected_path) as w:
+            for i, c in enumerate(corrected):
+                tag = " polya" if polya_flags[i] else ""
+                w.write(f"lr.{i}", sequtils.decode(c), f"l={len(c)}{tag}")
+        ckpt.touch_stamp(outdir, ckpt.STAMP_LONGREADS_CORRECTED)
+        if not corrected or params.stop_stage <= 2:
+            report.elapsed_s = time.time() - t0
+            return report
 
     sample_lengths = np.array([len(c) for c in corrected], np.int64)
 
@@ -697,7 +812,7 @@ def assemble_long(
     tparams = txmod.TranscriptParams(
         min_transcript_length=params.min_transcript_length
     )
-    keep = txmod.reduce_redundancy(state, cfg, scfg, assembled, tparams)
+    keep = txmod.reduce_redundancy(cfg, scfg, assembled, tparams)
     tx_path = os.path.join(outdir, f"{params.name}.transcripts.fa")
     short_path = os.path.join(outdir, f"{params.name}.transcripts.short.fa")
     with fastx.FastaWriter(tx_path, uracil=params.write_uracil) as wtx, fastx.FastaWriter(
@@ -713,6 +828,7 @@ def assemble_long(
                 wsh.write(f"{params.header_prefix}{params.name}.s{report.num_short}", seq)
                 report.num_short += 1
 
+    ckpt.touch_stamp(outdir, ckpt.STAMP_LONGREADS_ASSEMBLED)
     report.elapsed_s = time.time() - t0
     return report
 
@@ -981,48 +1097,10 @@ def assemble_pe(
 
     # mixed input: unpaired reads become error-corrected unconnected fragments
     if sef_paths or ser_paths:
-        ecp = params.correct_params()
-        for path, rc in [(p, False) for p in sef_paths] + [(p, True) for p in ser_paths]:
-            buf = np.full((params.batch_size, read_L), 4, np.uint8)
-            lens = np.zeros(params.batch_size, np.int32)
-            n = 0
-
-            def flush_se(n):
-                if n == 0:
-                    return
-                fixed, _ = correct.correct_batch(state, cfg, buf[:n], lens[:n], ecp)
-                counts_d, valid_d = dbg.count_step(state, cfg, jnp.asarray(fixed))
-                counts_np = np.asarray(counts_d)
-                valid_np = np.asarray(valid_d)
-                for i in range(n):
-                    nk = lens[i] - k + 1
-                    v = valid_np[i, :nk]
-                    if nk <= 0 or not v.any():
-                        continue
-                    mc = float(counts_np[i, :nk][v].min())
-                    all_frags.append(
-                        fragmod.Fragment(
-                            codes=fixed[i, : lens[i]].copy(), min_cov=mc,
-                            length=int(lens[i]), connected=False,
-                        )
-                    )
-                    frag_lengths.append(int(lens[i]))
-
-            for _, rs, _ in fastx.read_seqs(path):
-                codes_r = sequtils.encode(rs)[:read_L]
-                if rc:
-                    codes_r = sequtils.revcomp_codes(codes_r)
-                if len(codes_r) < k:
-                    continue
-                buf[n, : len(codes_r)] = codes_r
-                buf[n, len(codes_r) :] = 4
-                lens[n] = len(codes_r)
-                n += 1
-                report.num_pairs += 1
-                if n == params.batch_size:
-                    flush_se(n)
-                    n = 0
-            flush_se(n)
+        _ingest_se_fragments(
+            state, cfg, sef_paths, ser_paths, read_L, params,
+            all_frags, frag_lengths, report,
+        )
         report.num_fragments = len(all_frags)
 
     timer.done("fragments assembled", f"{len(all_frags)}/{report.num_pairs} pairs connected")

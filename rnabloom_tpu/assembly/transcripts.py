@@ -16,9 +16,11 @@ TPU-native equivalent of TranscriptAssemblyWorker / TranscriptWriter
     4. re-screen, commit k-mers to the screening filter, emit with the
        min-transcript-length split (transcripts.fa vs .short.fa).
 
-Round-1 deviations (flagged for the parity checker): chimera / blunt-end
-artifact and reverse-complement artifact trimming are not yet applied;
-poly-A annotation is deferred.
+Artifact screens applied here: chimera (isChimera :7674), blunt-end
+(isBluntEndArtifact :8535, opt-in via max_edge_clip), template-switch
+(isTemplateSwitch :8305/:8434, opt-in), and reverse-complement-fold trimming
+(trimReverseComplementArtifact :7762).  Poly-A annotation happens in the
+pipeline's writer (pipeline._run_stage3).
 """
 
 from __future__ import annotations
@@ -295,7 +297,6 @@ def sequential_dedup(
 
 
 def reduce_redundancy(
-    graph: GraphState,
     cfg: GraphConfig,
     scfg: BloomConfig,
     seqs: List[np.ndarray],

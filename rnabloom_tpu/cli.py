@@ -266,7 +266,8 @@ def main(argv=None) -> int:
         return 0
     if args.long_reads:
         report = pipeline.assemble_long(
-            args.long_reads, args.outdir, params, subsample_spec=args.lrsub
+            args.long_reads, args.outdir, params, subsample_spec=args.lrsub,
+            force=args.force,
         )
     elif args.left and args.right:
         report = pipeline.assemble_pe(

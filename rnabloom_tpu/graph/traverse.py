@@ -382,7 +382,37 @@ def _expand_scores(
     path_min = jnp.minimum(
         jnp.minimum(cand_counts[:, :, None, None], c_l1[:, :, :, None]), c_l2
     )
-    return jnp.max(path_min, axis=(-2, -1))
+    if wcfg.lookahead == 3:
+        return jnp.max(path_min, axis=(-2, -1))
+
+    # lookahead > 3: the first three levels expand exhaustively (64 paths per
+    # candidate); each leaf then continues with a greedy max-count descent
+    # for the remaining depth, extending the path minimum.  Exact when the
+    # best deep path follows max counts from its depth-3 leaf (the common
+    # case); the reference expands exhaustively at any depth
+    # (getMaxMedianCoverageRight GraphUtils.java:249-499).
+    leaves = W * 64
+    fh_c = u64.reshape(fh_l2, (leaves,))
+    rh_c = u64.reshape(rh_l2, (leaves,))
+    pmin = path_min.reshape(leaves)
+
+    def body(i, carry):
+        fh_c, rh_c, pmin = carry
+        off = jnp.maximum(pos - cfg.k + 3 + i, 0)
+        outc = jnp.take_along_axis(buf, off[:, None], axis=1)[:, 0]
+        outc = jnp.broadcast_to(outc[:, None], (W, 64)).reshape(leaves)
+        f4, r4 = nthash.successor_hashes(fh_c, outc, cfg.k, rh=rh_c)
+        qq = _query_hash(cfg, wcfg, f4, r4)
+        cc = _counts_of(graph, cfg, qq)  # (leaves, 4)
+        best = jnp.argmax(cc, axis=1).astype(jnp.int32)
+        rows = jnp.arange(leaves)
+        fh_n = u64.U64(f4.lo[rows, best], f4.hi[rows, best])
+        rh_n = u64.U64(r4.lo[rows, best], r4.hi[rows, best])
+        pmin_n = jnp.minimum(pmin, cc[rows, best])
+        return fh_n, rh_n, pmin_n
+
+    _, _, pmin = jax.lax.fori_loop(0, wcfg.lookahead - 3, body, (fh_c, rh_c, pmin))
+    return jnp.max(pmin.reshape(W, 4, 16), axis=-1)
 
 
 def _tip_probe(

@@ -71,8 +71,12 @@ def read_fastq(path: str) -> Iterator[Tuple[str, str, str]]:
             yield header[1:].split(" ", 1)[0], seq, qual
 
 
-def read_fasta(path: str) -> Iterator[Tuple[str, str]]:
-    """Yield (name, seq); multi-line records are joined."""
+def read_fasta(path: str, full_header: bool = False) -> Iterator[Tuple[str, str]]:
+    """Yield (name, seq); multi-line records are joined.
+
+    ``full_header`` keeps the whole header line (name + comment) instead of
+    the first whitespace-delimited token.
+    """
     name = None
     parts: List[str] = []
     with _open_text(path) as f:
@@ -83,7 +87,7 @@ def read_fasta(path: str) -> Iterator[Tuple[str, str]]:
             if line.startswith(">"):
                 if name is not None:
                     yield name, "".join(parts)
-                name = line[1:].split(" ", 1)[0]
+                name = line[1:] if full_header else line[1:].split(" ", 1)[0]
                 parts = []
             else:
                 parts.append(line)

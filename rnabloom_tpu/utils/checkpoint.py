@@ -54,8 +54,21 @@ def clear_stamps(outdir: str) -> None:
             os.remove(p)
 
 
-def save_graph(prefix: str, state: dbg.GraphState, cfg: dbg.GraphConfig) -> None:
-    """Persist the graph: {prefix}.graph.json + per-filter .npy arrays."""
+def save_graph(
+    prefix: str, state: dbg.GraphState, cfg: dbg.GraphConfig,
+    compact_counters: bool = True,
+) -> None:
+    """Persist the graph: {prefix}.graph.json + per-filter .npy arrays.
+
+    ``compact_counters`` stores the int32 cbf counters as 8-bit MiniFloat
+    bytes — the reference's on-disk counter format (CountingBloomFilter
+    buffers hold MiniFloat bytes, util/MiniFloat.java:40-45) — quartering
+    checkpoint size.  Restored counts carry MiniFloat quantization error
+    (exact through 7, ~6% relative above), which the reference tolerates
+    at runtime, not just on disk.
+    """
+    from ..ops import minifloat
+
     desc = {
         "k": cfg.k,
         "stranded": cfg.stranded,
@@ -66,13 +79,18 @@ def save_graph(prefix: str, state: dbg.GraphState, cfg: dbg.GraphConfig) -> None
         "cbf": asdict(cfg.cbf),
         "pkbf": asdict(cfg.pkbf) if cfg.pkbf else None,
         "filters": {},
+        "codecs": {},
     }
     for name in ("dbgbf", "cbf", "rpkbf", "fpkbf"):
         arr = getattr(state, name)
         if arr is None:
             continue
         path = f"{prefix}.{name}.npy"
-        np.save(path, np.asarray(arr))
+        host = np.asarray(arr)
+        if name == "cbf" and compact_counters:
+            host = np.asarray(minifloat.encode(jnp.asarray(host)))
+            desc["codecs"][name] = "minifloat"
+        np.save(path, host)
         desc["filters"][name] = os.path.basename(path)
     with open(f"{prefix}.graph.json", "w") as f:
         json.dump(desc, f, indent=1)
@@ -104,10 +122,17 @@ def load_graph(prefix: str):
     )
     arrays = {}
     base = os.path.dirname(prefix)
+    codecs = desc.get("codecs", {})
     for name in ("dbgbf", "cbf", "rpkbf", "fpkbf"):
         fname = desc["filters"].get(name)
-        arrays[name] = (
-            jnp.asarray(np.load(os.path.join(base, fname))) if fname else None
-        )
+        if not fname:
+            arrays[name] = None
+            continue
+        host = np.load(os.path.join(base, fname))
+        if codecs.get(name) == "minifloat":
+            from ..ops import minifloat
+
+            host = np.rint(np.asarray(minifloat.decode(jnp.asarray(host)))).astype(np.int32)
+        arrays[name] = jnp.asarray(host)
     state = dbg.GraphState(**arrays)
     return state, cfg

@@ -47,3 +47,34 @@ def test_stamps(tmp_path):
     assert checkpoint.has_stamp(d, checkpoint.STAMP_DBG_DONE)
     checkpoint.clear_stamps(d)
     assert not checkpoint.has_stamp(d, checkpoint.STAMP_DBG_DONE)
+
+
+def test_minifloat_compact_counters(tmp_path):
+    """save_graph stores cbf counters as 8-bit MiniFloat (the reference's
+    counter byte format, util/MiniFloat.java:40-45); restored counts stay
+    within MiniFloat quantization error (exact through 7, 1/16 relative)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from rnabloom_tpu.bloom.filters import BloomConfig, CountingConfig
+    from rnabloom_tpu.graph import dbg
+    from rnabloom_tpu.utils import checkpoint as ckpt
+
+    cfg = dbg.GraphConfig(
+        k=25, stranded=False,
+        dbgbf=BloomConfig(14, 2), cbf=CountingConfig(14, 2, 12),
+        pkbf=BloomConfig(14, 2), read_pair_distance=40,
+    )
+    rng = np.random.default_rng(7)
+    counts = rng.integers(0, 5000, size=1 << 14).astype(np.int32)
+    state = dbg.GraphState(dbgbf=None, cbf=jnp.asarray(counts), rpkbf=None, fpkbf=None)
+    prefix = str(tmp_path / "g")
+    ckpt.save_graph(prefix, state, cfg)
+    # on-disk cbf is one byte per cell
+    assert np.load(prefix + ".cbf.npy").dtype == np.uint8
+    restored, cfg2 = ckpt.load_graph(prefix)
+    got = np.asarray(restored.cbf).astype(np.float64)
+    want = counts.astype(np.float64)
+    exact = want <= 7
+    assert (got[exact] == want[exact]).all()
+    rel = np.abs(got[~exact] - want[~exact]) / want[~exact]
+    assert rel.max() <= 1.0 / 16.0 + 1e-6

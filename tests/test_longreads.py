@@ -224,3 +224,31 @@ def test_hpc_clustered_olc():
         reads.append(sequtils.encode(base[s0 : s0 + 400]))
     out = olc_layout.ava_clustered_olc(reads, 25, hpc=True)
     assert len(out) >= 1
+
+
+@pytest.mark.slow
+def test_long_pipeline_resume(tmp_path):
+    """LONGREADS.CORRECTED stamp lets a rerun skip stages 1-2
+    (RNABloom.java:5818-5825, :6451-6500)."""
+    from rnabloom_tpu.assembly import pipeline as pl
+    from rnabloom_tpu.utils import checkpoint as ckpt
+
+    t = rand_seq(800)
+    path = os.path.join(str(tmp_path), "long.fa")
+    with open(path, "w") as f:
+        for rid in range(20):
+            s = RNG.integers(0, 200)
+            f.write(f">lr{rid}\n{add_noise(t[s : s + 600], 0.03)}\n")
+
+    out = tmp_path / "out"
+    params = pl.PipelineParams(total_mem_bytes=1 << 24, stop_stage=2)
+    r1 = pl.assemble_long([path], str(out), params)
+    assert r1.num_fragments > 0
+    assert ckpt.has_stamp(str(out), ckpt.STAMP_LONGREADS_CORRECTED)
+
+    # rerun resumes from the corrected reads: no stage-1 stats this time
+    params2 = pl.PipelineParams(total_mem_bytes=1 << 24)
+    r2 = pl.assemble_long([path], str(out), params2)
+    assert r2.stage1 is None  # stages 1-2 skipped
+    assert r2.num_fragments == r1.num_fragments
+    assert ckpt.has_stamp(str(out), ckpt.STAMP_LONGREADS_ASSEMBLED)

@@ -129,3 +129,16 @@ def test_batch_of_walks():
         out = sequtils.decode(buf[i, : pos[i]])
         ok += out == t
     assert ok >= 15  # rare k-mer collisions between random transcripts allowed
+
+
+def test_lookahead_beyond_three():
+    """lookahead > 3 is honored: depth-3 exhaustive + greedy leaf descent
+    (round-1 silently capped at 3)."""
+    prefix = rand_seq(100)
+    high = prefix + rand_seq(150)
+    low = prefix + rand_seq(150)
+    cfg, graph = build_graph_from([high, low], copies=[8, 2])
+    wcfg = traverse.WalkConfig(max_len=512, lookahead=5)
+    out, status = extend_from_seed(cfg, graph, prefix, wcfg=wcfg)
+    assert out == high
+    assert status == traverse.DEAD

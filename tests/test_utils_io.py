@@ -161,7 +161,18 @@ def test_pool_list_parsing(tmp_path):
     f = tmp_path / "pool.txt"
     f.write_text("# comment\nA a_1.fq a_2.fq\n\nB b_1.fq b_2.fq\n")
     assert parse_pool_list(str(f)) == [
-        ("A", "a_1.fq", "a_2.fq"), ("B", "b_1.fq", "b_2.fq")
+        ("A", "a_1.fq", "a_2.fq", (), ()), ("B", "b_1.fq", "b_2.fq", (), ())
+    ]
+    # 5-column form with sef/ser lists and '-' placeholders
+    # (getPooledReadPaths, RNABloom.java:5066-5224)
+    f.write_text(
+        "#name left right sef ser\n"
+        "A a_1.fq a_2.fq a_se1.fq,a_se2.fq -\n"
+        "B b_1.fq b_2.fq - b_ser.fq\n"
+    )
+    assert parse_pool_list(str(f)) == [
+        ("A", "a_1.fq", "a_2.fq", ("a_se1.fq", "a_se2.fq"), ()),
+        ("B", "b_1.fq", "b_2.fq", (), ("b_ser.fq",)),
     ]
 
 
