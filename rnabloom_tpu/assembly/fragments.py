@@ -8,17 +8,17 @@ connect :5092-5325, breakWithReadPairedKmers :4184-4311):
   orientation):
     1. error-correct both mates (shared PE threshold),
     2. try a direct suffix-prefix overlap (vectorized exact-match scan),
-    3. otherwise bridge the gap with a bounded greedy graph walk from the
-       left mate, anchored by the right mate's leading k-mer,
+    3. otherwise bridge the gap bidirectionally (connect :5092-5325): a
+       bounded greedy walk right from the left mate AND a bounded greedy
+       walk left from the right mate run as one batch; a pair connects when
+       (a) the right mate's head k-mer lies on the right walk, (b) the left
+       mate's tail k-mer lies on the left walk, or (c) the two walks meet
+       in the middle at a shared k-mer.  Greedy lookahead scoring plays the
+       reference's coverage-gradient tie-break role at branches,
     4. validate with read-paired k-mers (consecutive supported (i, i+d)
        pairs; the longest supported range survives),
     5. score fragments by minimum k-mer coverage for stratified storage
        (getCoverageOrderOfMagnitude, RNABloom.java:2353).
-
-Deviation (round 1): the reference's connect() walks both directions and
-meets in the middle with coverage-gradient tie-breaks; here the bridge walk
-runs left-to-right only.  Quality-split reads contribute their longest
-segment (connect(segments) :4836 re-joins splits through the graph).
 """
 
 from __future__ import annotations
@@ -189,32 +189,62 @@ def assemble_fragments_batch(
     # 2. direct overlap
     overlaps = find_overlaps(left, left_len, right, right_len, params.min_overlap)
 
-    # 3. bridge unconnected pairs through the graph
+    # 3. bridge unconnected pairs through the graph — bidirectional connect
+    # with meet-in-the-middle (GraphUtils.connect :5092-5325)
     need_bridge = np.flatnonzero((overlaps == 0) & (left_len >= k) & (right_len >= k))
     bridges: dict = {}
     if len(need_bridge) > 0:
-        seeds = np.stack([left[b, left_len[b] - k : left_len[b]] for b in need_bridge])
-        Wb = len(need_bridge)
+        # right-going walk from the left mate's tail k-mer and left-going
+        # walk from the right mate's head k-mer (as a right walk of its
+        # reverse complement), one device dispatch each
+        seeds_r = np.stack([left[b, left_len[b] - k : left_len[b]] for b in need_bridge])
+        seeds_l = np.stack(
+            [sequtils.revcomp_codes(right[b, :k]) for b in need_bridge]
+        )
         wcfg = traverse.WalkConfig(max_len=k + params.bound, lookahead=params.lookahead)
-        st = traverse.make_walks(cfg, wcfg, seeds.astype(np.uint8))
+        wcfg_l = traverse.WalkConfig(
+            max_len=k + params.bound, lookahead=params.lookahead, left=True
+        )
+        st = traverse.make_walks(cfg, wcfg, seeds_r.astype(np.uint8))
         st = traverse.extend_walks(st, graph, cfg, wcfg, 1.0, params.bound, mode="greedy")
-        buf, pos, status = traverse.harvest(st)
+        buf, pos, _ = traverse.harvest(st)
+        st = traverse.make_walks(cfg, wcfg_l, seeds_l.astype(np.uint8))
+        st = traverse.extend_walks(st, graph, cfg, wcfg_l, 1.0, params.bound, mode="greedy")
+        buf_l, pos_l, _ = traverse.harvest(st)
+
         for j, b in enumerate(need_bridge):
-            ext = buf[j, k : pos[j]]  # bases appended beyond the seed
-            if len(ext) == 0:
+            # LW: left mate's tail k-mer + right extension (fragment orient.)
+            lw = buf[j, : pos[j]]
+            # RW: left extension + right mate's head k-mer (fragment orient.)
+            rw = sequtils.revcomp_codes(buf_l[j, : pos_l[j]])
+            er = len(rw) - k  # extension bases preceding the right mate
+
+            # (a) right mate's head k-mer on the right-going walk
+            idx = _find_subarray(lw, right[b, :k])
+            if idx >= 0:
+                if idx >= k:
+                    bridges[b] = lw[k:idx]  # gap bases between the mates
+                else:
+                    overlaps[b] = k - idx  # mates overlap by k - idx bases
                 continue
-            anchor = right[b, :k]
-            # find the right mate's leading k-mer inside seed+extension
-            walk = np.concatenate([left[b, left_len[b] - k : left_len[b]], ext])
-            idx = _find_subarray(walk, anchor)
-            if idx < 0:
+            if er <= 0:
                 continue
-            if idx >= k:
-                # gap bases between left mate end and right mate start
-                bridges[b] = walk[k:idx]
-            else:
-                # right mate overlaps the left mate's tail by k - idx bases
-                overlaps[b] = k - idx
+            # (b) left mate's tail k-mer on the left-going walk
+            jdx = _find_subarray(rw, left[b, left_len[b] - k : left_len[b]])
+            if jdx >= 0:
+                if jdx + k <= er:
+                    bridges[b] = rw[jdx + k : er]
+                else:
+                    overlaps[b] = jdx + k - er
+                continue
+            # (c) meet in the middle: first shared k-mer between the walks.
+            # The meeting k-mer must end before the right mate's head (its
+            # on-head placements are exactly cases (a)/(b), already failed).
+            if len(lw) > k and er >= k:
+                ij = _first_common_kmer(lw, rw[:er], k)
+                if ij is not None:
+                    i, jj = ij
+                    bridges[b] = np.concatenate([lw[k : i + k], rw[jj + k : er]])
 
     # 4. build fragment sequences
     frags_codes: List[Optional[np.ndarray]] = []
@@ -314,6 +344,28 @@ def _naive_extend_fragments(
             codes=seq, min_cov=f.min_cov, length=len(seq), connected=f.connected
         )
     return results
+
+
+def _first_common_kmer(
+    lw: np.ndarray, rw: np.ndarray, k: int
+) -> Optional[Tuple[int, int]]:
+    """First (i, j) with lw[i:i+k] == rw[j:j+k]; j is the LAST occurrence in
+    rw (shortest splice).  Host-side dict scan over two bounded walks."""
+    if len(rw) < k:
+        return None
+    seen: dict = {}
+    for j in range(len(rw) - k + 1):
+        w = rw[j : j + k]
+        if (w == 4).any():
+            continue
+        seen[w.tobytes()] = j  # later j wins
+    if not seen:
+        return None
+    for i in range(len(lw) - k + 1):
+        j = seen.get(lw[i : i + k].tobytes())
+        if j is not None:
+            return i, j
+    return None
 
 
 def _find_subarray(haystack: np.ndarray, needle: np.ndarray) -> int:

@@ -169,3 +169,62 @@ def test_rescue_unconnected_bridges_with_fragment_graph():
     assert res2[0] is not None
     assert sequtils.decode(res2[0].codes) in t
     assert res2[0].length >= 290
+
+
+def test_right_only_connectable_pair():
+    """Bidirectional connect (GraphUtils.connect :5092-5325): a gap walkable
+    only from the right — a high-coverage decoy branch derails the
+    left-to-right greedy walk — still connects via the right-to-left walk."""
+    A, G, B = rand_seq(100), rand_seq(60), rand_seq(100)
+    t = A + G + B
+    decoy = A[-50:] + rand_seq(80)
+    # pair k-mers from reads tiling the true transcript (low coverage) and
+    # the decoy at much higher coverage
+    cov_reads = [t[i : i + READ] for i in range(0, len(t) - READ + 1, 10)] * 2 + [
+        decoy[i : i + READ] for i in range(0, len(decoy) - READ + 1, 5)
+    ] * 8
+    cfg, graph = build_graph(cov_reads)
+
+    out = fragments.assemble_fragments_batch(
+        graph,
+        cfg,
+        encode_batch([A], READ),
+        np.array([len(A)], np.int32),
+        encode_batch([B], READ),
+        np.array([len(B)], np.int32),
+        fragments.FragmentParams(),
+        error_correct=False,
+    )
+    assert out[0] is not None, "right-to-left walk should connect this pair"
+    s = sequtils.decode(out[0].codes)
+    assert s in t and len(s) >= 200
+
+
+def test_meet_in_middle_connect():
+    """Both walks stall mid-gap on opposing decoy branches; the pair still
+    connects because the walks share the mid-gap k-mers."""
+    A, G, B = rand_seq(100), rand_seq(120), rand_seq(100)
+    t = A + G + B
+    # decoys: one hijacks the rightward walk past the gap midpoint is fine —
+    # the walks only need to OVERLAP somewhere inside the gap
+    decoy_r = G[60:90] + rand_seq(80)  # hijacks the leftward walk after mid-gap
+    decoy_l = rand_seq(80) + G[30:60]  # hijacks the rightward walk pre-mid... 
+    cov_reads = (
+        [t[i : i + READ] for i in range(0, len(t) - READ + 1, 10)] * 2
+        + [decoy_r[i : i + READ] for i in range(0, len(decoy_r) - READ + 1, 5)] * 8
+        + [decoy_l[i : i + READ] for i in range(0, len(decoy_l) - READ + 1, 5)] * 8
+    )
+    cfg, graph = build_graph(cov_reads)
+    out = fragments.assemble_fragments_batch(
+        graph,
+        cfg,
+        encode_batch([A], READ),
+        np.array([len(A)], np.int32),
+        encode_batch([B], READ),
+        np.array([len(B)], np.int32),
+        fragments.FragmentParams(),
+        error_correct=False,
+    )
+    assert out[0] is not None
+    s = sequtils.decode(out[0].codes)
+    assert len(s) >= 150
