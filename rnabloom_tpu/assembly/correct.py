@@ -1,25 +1,26 @@
-"""Batched short-read error correction (substitution model).
+"""Batched short-read error correction (substitutions + small indels).
 
 Mirrors the reference's coverage-threshold + variant-substitution scheme
-(GraphUtils.correctErrorsPE :4051-4182, correctMismatches :3914-3997):
+(GraphUtils.correctErrorsPE :4051-4182, correctMismatches :3914-3997,
+correctErrorHelper :3711-3913):
 
   * Per read, k-mer coverages are sorted; the threshold walks down from the
     top (minus covFPR false positives allowed) until consecutive sorted
     values drop by ``maxCovGradient`` — vectorized here as an adjacent-gap
     scan over the sorted axis.
-  * A single substitution error at base p makes exactly the k-mers covering
-    p drop below threshold.  Low-coverage runs are classified (interior run
-    of length k -> candidate at run_start + k - 1; runs touching a read end
-    anchor one-sided), the 3 alternative bases are evaluated by re-hashing
-    the affected window in one device batch, and the best variant is applied
-    when its min coverage passes ``min_kmer_cov`` and its median beats the
-    current window median.
-  * Iterated ``rounds`` times (errors < k apart resolve across rounds).
-
-Deviation (round 1): the reference additionally repairs indels and
-re-anchors edges via greedy path search with percent-identity checks
-(correctErrorHelper :3711-3913, maxIndelSize); this module corrects
-substitutions only and leaves indel bridging to the fragment connector.
+  * A single error at base p makes exactly the k-mers covering p drop below
+    threshold.  Low-coverage runs are classified (interior run of length k
+    -> candidate at run_start + k - 1; runs touching a read end anchor
+    one-sided), and candidate edits are evaluated by re-hashing the affected
+    window in one device batch: the 3 substitutions at p, deletion of
+    1..max_indel bases at p, and single-base insertions before p.  The best
+    variant is applied when its min coverage passes ``min_kmer_cov`` and its
+    median beats the current window median; indel edits additionally require
+    window percent identity >= ``percent_identity`` (the correctErrorHelper
+    path-acceptance rule, SeqUtils.getPercentIdentity :164-272) and
+    ``max_indel`` > 0.
+  * Iterated ``rounds`` times (errors < k apart, and multi-base indels one
+    base at a time, resolve across rounds).
 """
 
 from __future__ import annotations
@@ -43,6 +44,8 @@ class CorrectParams:
     min_cov_threshold: float = 2.0
     min_kmer_cov: float = 1.0
     rounds: int = 2
+    max_indel: int = 1  # -indel: max indel bases repaired per site
+    percent_identity: float = 0.90  # -p: min identity of indel-edited windows
 
 
 @partial(jax.jit, static_argnames=("grad",))
@@ -84,14 +87,16 @@ def _runs(mask: np.ndarray):
 
 def find_candidates(
     counts: np.ndarray, valid: np.ndarray, thr: np.ndarray, found: np.ndarray, k: int
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Candidate (read, pos1, pos2) error sites from low-coverage runs.
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Candidate (read, pos1, pos2, interior) error sites from low-cov runs.
 
     pos2 == -1 for single-substitution runs (length <= k).  Runs of length
     (k, 2k] are two nearby substitutions whose low windows merged
     (correctErrorHelper handles these by re-walking the whole segment;
-    here both implied positions are corrected jointly)."""
-    reads, pos1, pos2 = [], [], []
+    here both implied positions are corrected jointly).  ``interior`` marks
+    candidates anchored on both sides — the only ones where indel edits are
+    well-posed."""
+    reads, pos1, pos2, interior = [], [], [], []
     B, P = counts.shape
     for b in range(B):
         if not found[b]:
@@ -110,10 +115,12 @@ def find_candidates(
             touches_right = e >= P or not v[e:].any()
             if touches_left and touches_right:
                 continue
+            inter = False
             if touches_left:
                 p, q = e - 1, -1  # error at last base covered only by low k-mers
             elif run <= k:
                 p, q = s + k - 1, -1  # interior single error (or right-edge run)
+                inter = not touches_right
             elif run <= 2 * k:
                 p, q = s + k - 1, e - 1  # two nearby errors in one merged run
             else:
@@ -121,10 +128,12 @@ def find_candidates(
             reads.append(b)
             pos1.append(p)
             pos2.append(q)
+            interior.append(inter)
     return (
         np.asarray(reads, np.int32),
         np.asarray(pos1, np.int32),
         np.asarray(pos2, np.int32),
+        np.asarray(interior, bool),
     )
 
 
@@ -157,18 +166,20 @@ def correct_batch(
     lengths: np.ndarray,
     params: CorrectParams,
     pair_ids: Optional[np.ndarray] = None,
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Correct substitution errors in a batch of reads.
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Correct substitution and small-indel errors in a batch of reads.
 
     codes: (B, L) uint8 (4 = pad/N); lengths: (B,) bases per row.
     pair_ids: optional (B,) grouping — rows with the same id share the
     minimum threshold (correctErrorsPE's min(left, right) rule).
 
-    Returns (corrected codes, corrected_mask (B,) bool).
+    Returns (corrected codes, new lengths, corrected_mask (B,) bool) —
+    indel edits change row lengths.
     """
     k = cfg.k
     B, L = codes.shape
     codes = codes.copy()
+    lengths = np.asarray(lengths).astype(np.int64).copy()
     changed = np.zeros(B, dtype=bool)
 
     for _ in range(params.rounds):
@@ -202,27 +213,30 @@ def correct_batch(
         else:
             found = found & (thr >= params.min_cov_threshold)
 
-        reads, pos1, pos2 = find_candidates(counts, valid, thr, found, k)
+        reads, pos1, pos2, interior = find_candidates(counts, valid, thr, found, k)
         if len(reads) == 0:
             break
 
         # build variant windows: single-site candidates try the 3 other
-        # bases at p; dual-site candidates (two errors within k) try the
-        # 3x3 combinations at (p, q).  One window width (3k-1, spanning
-        # both sites) keeps the device kernel shape fixed.
+        # bases at p, deletions of 1..max_indel bases at p, and single-base
+        # insertions before p (interior sites only — indels need anchors on
+        # both sides); dual-site candidates (two errors within k) try the
+        # 3x3 substitution combinations at (p, q).  One window width
+        # (3k-1, spanning both sites) keeps the device kernel shape fixed.
         win_len = 3 * k - 1
         wins, meta, groups = [], [], []
-        for b, p, q in zip(reads, pos1, pos2):
-            n = lengths[b]
+        for b, p, q, inter in zip(reads, pos1, pos2, interior):
+            n = int(lengths[b])
             right = q if q >= 0 else p
             w0 = max(p - k + 1, 0)
             w1 = min(right + k, n)
+            wlen = w1 - w0
             base_win = np.full(win_len, 4, np.uint8)
-            base_win[: w1 - w0] = codes[b, w0:w1]
+            base_win[:wlen] = codes[b, w0:w1]
             rel_p, rel_q = p - w0, (q - w0 if q >= 0 else -1)
             start = len(wins)
             wins.append(base_win.copy())  # current window (comparison row)
-            meta.append((-1, -1))
+            meta.append(("cur", 0, 0))
             cur_p = codes[b, p]
             if q < 0:
                 for v in range(4):
@@ -231,7 +245,29 @@ def correct_batch(
                     wv = base_win.copy()
                     wv[rel_p] = v
                     wins.append(wv)
-                    meta.append((v, -1))
+                    meta.append(("sub", v, 0))
+                if inter and params.max_indel > 0:
+                    # identity of a d-base indel edit over this window
+                    # (SeqUtils.getPercentIdentity acceptance in
+                    # correctErrorHelper)
+                    for d in range(1, params.max_indel + 1):
+                        if (wlen - d) / wlen < params.percent_identity:
+                            break
+                        if p + d > n:
+                            break
+                        wv = np.full(win_len, 4, np.uint8)
+                        tail = codes[b, p + d : min(w1 + d, n)]
+                        wv[:rel_p] = base_win[:rel_p]
+                        wv[rel_p : rel_p + len(tail)] = tail
+                        wins.append(wv)
+                        meta.append(("del", d, 0))
+                    if (wlen - 1) / wlen >= params.percent_identity:
+                        for v in range(4):
+                            wv = base_win.copy()
+                            wv[rel_p] = v
+                            wv[rel_p + 1 : wlen] = base_win[rel_p : wlen - 1]
+                            wins.append(wv)
+                            meta.append(("ins", v, 0))
             else:
                 cur_q = codes[b, q]
                 for v in range(4):
@@ -244,7 +280,7 @@ def correct_batch(
                         wv[rel_p] = v
                         wv[rel_q] = u
                         wins.append(wv)
-                        meta.append((v, u))
+                        meta.append(("sub", v, u))
             groups.append((b, p, q, start, len(wins)))
 
         # pad the row count to a power of two to bound recompilation
@@ -257,20 +293,37 @@ def correct_batch(
         med = np.asarray(med)[:M]
 
         applied = False
+        indel_rows = set()  # one indel per read per round: later sites shift
         for b, p, q, start, end in groups:
+            if b in indel_rows:
+                continue
             cur_med = med[start]
             best_j, best_med = -1, cur_med
             for j in range(start + 1, end):
                 if mn[j] >= params.min_kmer_cov and med[j] > best_med:
                     best_j, best_med = j, med[j]
-            if best_j >= 0:
-                v, u = meta[best_j]
+            if best_j < 0:
+                continue
+            kind, v, u = meta[best_j]
+            n = int(lengths[b])
+            if kind == "sub":
                 codes[b, p] = v
                 if q >= 0:
                     codes[b, q] = u
-                changed[b] = True
-                applied = True
+            elif kind == "del":
+                codes[b, p : n - v] = codes[b, p + v : n]
+                codes[b, n - v :] = 4
+                lengths[b] = n - v
+                indel_rows.add(b)
+            else:  # ins
+                stop = min(n + 1, L)
+                codes[b, p + 1 : stop] = codes[b, p : stop - 1]
+                codes[b, p] = v
+                lengths[b] = stop
+                indel_rows.add(b)
+            changed[b] = True
+            applied = True
         if not applied:
             break
 
-    return codes, changed
+    return codes, lengths, changed

@@ -177,14 +177,16 @@ def assemble_fragments_batch(
     B, L = left.shape
 
     if error_correct:
-        # 1. error correction with shared pair thresholds
+        # 1. error correction with shared pair thresholds (indel repairs
+        # change mate lengths)
         both = np.concatenate([left, right], axis=0)
         both_len = np.concatenate([left_len, right_len])
         pair_ids = np.concatenate([np.arange(B), np.arange(B)])
-        both, _ = correct.correct_batch(
+        both, both_len, _ = correct.correct_batch(
             graph, cfg, both, both_len, params.ec_params, pair_ids
         )
         left, right = both[:B], both[B:]
+        left_len, right_len = both_len[:B], both_len[B:]
 
     # 2. direct overlap
     overlaps = find_overlaps(left, left_len, right, right_len, params.min_overlap)

@@ -111,6 +111,8 @@ class PipelineParams:
             max_cov_gradient=self.max_cov_gradient,
             min_kmer_cov=self.min_kmer_cov,
             rounds=self.err_corr_iters,
+            max_indel=self.max_indel,
+            percent_identity=self.percent_identity,
         )
 
 
@@ -225,23 +227,23 @@ def _ingest_se_fragments(
         def flush_se(n):
             if n == 0:
                 return
-            fixed, _ = correct.correct_batch(state, cfg, buf[:n], lens[:n], ecp)
+            fixed, flens, _ = correct.correct_batch(state, cfg, buf[:n], lens[:n], ecp)
             counts_d, valid_d = dbg.count_step(state, cfg, jnp.asarray(fixed))
             counts_np = np.asarray(counts_d)
             valid_np = np.asarray(valid_d)
             for i in range(n):
-                nk = lens[i] - k + 1
+                nk = int(flens[i]) - k + 1
                 v = valid_np[i, :nk]
                 if nk <= 0 or not v.any():
                     continue
                 mc = float(counts_np[i, :nk][v].min())
                 all_frags.append(
                     fragmod.Fragment(
-                        codes=fixed[i, : lens[i]].copy(), min_cov=mc,
-                        length=int(lens[i]), connected=False,
+                        codes=fixed[i, : flens[i]].copy(), min_cov=mc,
+                        length=int(flens[i]), connected=False,
                     )
                 )
-                frag_lengths.append(int(lens[i]))
+                frag_lengths.append(int(flens[i]))
 
         for _, rs, rq in fastx.read_seqs(path):
             if params.min_avg_qual > 0 and not _avg_qual_ok(rq, params.min_avg_qual):
@@ -444,9 +446,9 @@ def assemble_se(
         nonlocal n
         if n == 0:
             return
-        fixed, _ = correct.correct_batch(state, cfg, buf[:n], lens[:n], ecp)
+        fixed, flens, _ = correct.correct_batch(state, cfg, buf[:n], lens[:n], ecp)
         for i in range(n):
-            frag_rows.append(fixed[i, : lens[i]].copy())
+            frag_rows.append(fixed[i, : flens[i]].copy())
         n = 0
 
     for path, rc in zip(se_paths, revcomp_flags):

@@ -70,7 +70,7 @@ def test_interior_substitution_corrected():
     for pos in [50, 30, 70]:
         bad = mutate(clean, pos)
         codes = encode_batch([bad], 100)
-        fixed, changed = correct.correct_batch(
+        fixed, _, changed = correct.correct_batch(
             graph, cfg, codes, np.array([100]), correct.CorrectParams()
         )
         assert changed[0], f"pos {pos} not corrected"
@@ -84,7 +84,7 @@ def test_edge_substitution_corrected():
     for pos in [5, 94]:
         bad = mutate(clean, pos)
         codes = encode_batch([bad], 100)
-        fixed, changed = correct.correct_batch(
+        fixed, _, changed = correct.correct_batch(
             graph, cfg, codes, np.array([100]), correct.CorrectParams()
         )
         assert changed[0], f"edge pos {pos} not corrected"
@@ -96,7 +96,7 @@ def test_clean_reads_untouched():
     cfg, graph = make_graph(t)
     reads = [t[i : i + 100] for i in range(0, 300, 50)]
     codes = encode_batch(reads, 100)
-    fixed, changed = correct.correct_batch(
+    fixed, _, changed = correct.correct_batch(
         graph, cfg, codes, np.full(len(reads), 100), correct.CorrectParams()
     )
     assert not changed.any()
@@ -109,7 +109,7 @@ def test_two_errors_far_apart():
     clean = t[100:200]
     bad = mutate(mutate(clean, 20), 80)
     codes = encode_batch([bad], 100)
-    fixed, changed = correct.correct_batch(
+    fixed, _, changed = correct.correct_batch(
         graph, cfg, codes, np.array([100]), correct.CorrectParams()
     )
     assert changed[0]
@@ -122,7 +122,7 @@ def test_pair_threshold_sharing():
     left = mutate(t[100:200], 50)
     right = t[300:400]
     codes = encode_batch([left, right], 100)
-    fixed, changed = correct.correct_batch(
+    fixed, _, changed = correct.correct_batch(
         graph,
         cfg,
         codes,
@@ -133,3 +133,55 @@ def test_pair_threshold_sharing():
     assert changed[0]
     assert sequtils.decode(fixed[0, :100]) == t[100:200]
     assert sequtils.decode(fixed[1, :100]) == right
+
+
+def test_planted_insertion_corrected():
+    """A 1-base insertion error is repaired by the indel path
+    (correctErrorHelper, GraphUtils.java:3711-3913)."""
+    t = rand_seq(500)
+    cfg, graph = make_graph(t)
+    clean = t[100:200]
+    for pos in [40, 60]:
+        bad = clean[:pos] + "A" + clean[pos:]  # 101 bases
+        if bad[pos] == clean[pos]:
+            bad = clean[:pos] + "C" + clean[pos:]
+        codes = encode_batch([bad], 110)
+        fixed, new_len, changed = correct.correct_batch(
+            graph, cfg, codes, np.array([101]), correct.CorrectParams()
+        )
+        assert changed[0], f"insertion at {pos} not repaired"
+        assert new_len[0] == 100
+        assert sequtils.decode(fixed[0, :100]) == clean
+
+
+def test_planted_deletion_corrected():
+    """A 1-base deletion error is repaired by inserting the missing base."""
+    t = rand_seq(500)
+    cfg, graph = make_graph(t)
+    clean = t[100:200]
+    for pos in [40, 60]:
+        bad = clean[:pos] + clean[pos + 1 :]  # 99 bases
+        codes = encode_batch([bad], 110)
+        fixed, new_len, changed = correct.correct_batch(
+            graph, cfg, codes, np.array([99]), correct.CorrectParams()
+        )
+        assert changed[0], f"deletion at {pos} not repaired"
+        assert new_len[0] == 100
+        assert sequtils.decode(fixed[0, :100]) == clean
+
+
+def test_indel_flags_gate_repair():
+    """-indel 0 and -p 1.0 demonstrably disable indel repair."""
+    t = rand_seq(500)
+    cfg, graph = make_graph(t)
+    clean = t[100:200]
+    bad = clean[:50] + clean[51:]  # 1-base deletion
+    codes = encode_batch([bad], 110)
+    for params in (
+        correct.CorrectParams(max_indel=0),
+        correct.CorrectParams(percent_identity=1.0),
+    ):
+        fixed, new_len, changed = correct.correct_batch(
+            graph, cfg, codes, np.array([99]), params
+        )
+        assert new_len[0] == 99  # no indel edit applied
