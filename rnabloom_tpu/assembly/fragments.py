@@ -194,59 +194,9 @@ def assemble_fragments_batch(
     # 3. bridge unconnected pairs through the graph — bidirectional connect
     # with meet-in-the-middle (GraphUtils.connect :5092-5325)
     need_bridge = np.flatnonzero((overlaps == 0) & (left_len >= k) & (right_len >= k))
-    bridges: dict = {}
-    if len(need_bridge) > 0:
-        # right-going walk from the left mate's tail k-mer and left-going
-        # walk from the right mate's head k-mer (as a right walk of its
-        # reverse complement), one device dispatch each
-        seeds_r = np.stack([left[b, left_len[b] - k : left_len[b]] for b in need_bridge])
-        seeds_l = np.stack(
-            [sequtils.revcomp_codes(right[b, :k]) for b in need_bridge]
-        )
-        wcfg = traverse.WalkConfig(max_len=k + params.bound, lookahead=params.lookahead)
-        wcfg_l = traverse.WalkConfig(
-            max_len=k + params.bound, lookahead=params.lookahead, left=True
-        )
-        st = traverse.make_walks(cfg, wcfg, seeds_r.astype(np.uint8))
-        st = traverse.extend_walks(st, graph, cfg, wcfg, 1.0, params.bound, mode="greedy")
-        buf, pos, _ = traverse.harvest(st)
-        st = traverse.make_walks(cfg, wcfg_l, seeds_l.astype(np.uint8))
-        st = traverse.extend_walks(st, graph, cfg, wcfg_l, 1.0, params.bound, mode="greedy")
-        buf_l, pos_l, _ = traverse.harvest(st)
-
-        for j, b in enumerate(need_bridge):
-            # LW: left mate's tail k-mer + right extension (fragment orient.)
-            lw = buf[j, : pos[j]]
-            # RW: left extension + right mate's head k-mer (fragment orient.)
-            rw = sequtils.revcomp_codes(buf_l[j, : pos_l[j]])
-            er = len(rw) - k  # extension bases preceding the right mate
-
-            # (a) right mate's head k-mer on the right-going walk
-            idx = _find_subarray(lw, right[b, :k])
-            if idx >= 0:
-                if idx >= k:
-                    bridges[b] = lw[k:idx]  # gap bases between the mates
-                else:
-                    overlaps[b] = k - idx  # mates overlap by k - idx bases
-                continue
-            if er <= 0:
-                continue
-            # (b) left mate's tail k-mer on the left-going walk
-            jdx = _find_subarray(rw, left[b, left_len[b] - k : left_len[b]])
-            if jdx >= 0:
-                if jdx + k <= er:
-                    bridges[b] = rw[jdx + k : er]
-                else:
-                    overlaps[b] = jdx + k - er
-                continue
-            # (c) meet in the middle: first shared k-mer between the walks.
-            # The meeting k-mer must end before the right mate's head (its
-            # on-head placements are exactly cases (a)/(b), already failed).
-            if len(lw) > k and er >= k:
-                ij = _first_common_kmer(lw, rw[:er], k)
-                if ij is not None:
-                    i, jj = ij
-                    bridges[b] = np.concatenate([lw[k : i + k], rw[jj + k : er]])
+    bridges = bridge_pairs(
+        graph, cfg, left, left_len, right, right_len, need_bridge, params, overlaps
+    )
 
     # 4. build fragment sequences
     frags_codes: List[Optional[np.ndarray]] = []
@@ -346,6 +296,146 @@ def _naive_extend_fragments(
             codes=seq, min_cov=f.min_cov, length=len(seq), connected=f.connected
         )
     return results
+
+
+def bridge_pairs(
+    graph: GraphState,
+    cfg: GraphConfig,
+    left: np.ndarray,
+    left_len: np.ndarray,
+    right: np.ndarray,
+    right_len: np.ndarray,
+    rows: np.ndarray,
+    params: FragmentParams,
+    overlaps: np.ndarray,
+) -> dict:
+    """Bidirectional gap bridging for ``rows`` (GraphUtils.connect
+    :5092-5325).
+
+    Runs one batched greedy walk right from each left sequence's tail k-mer
+    and one left from each right sequence's head k-mer, then connects via
+    (a) the right head on the right-going walk, (b) the left tail on the
+    left-going walk, or (c) a shared mid-gap k-mer (meet in the middle).
+    Mutates ``overlaps`` in place for pairs that turn out to overlap;
+    returns {row: gap codes} for bridged pairs.
+    """
+    k = cfg.k
+    bridges: dict = {}
+    if len(rows) == 0:
+        return bridges
+    seeds_r = np.stack([left[b, left_len[b] - k : left_len[b]] for b in rows])
+    seeds_l = np.stack([sequtils.revcomp_codes(right[b, :k]) for b in rows])
+    wcfg = traverse.WalkConfig(max_len=k + params.bound, lookahead=params.lookahead)
+    wcfg_l = traverse.WalkConfig(
+        max_len=k + params.bound, lookahead=params.lookahead, left=True
+    )
+    st = traverse.make_walks(cfg, wcfg, seeds_r.astype(np.uint8))
+    st = traverse.extend_walks(st, graph, cfg, wcfg, 1.0, params.bound, mode="greedy")
+    buf, pos, _ = traverse.harvest(st)
+    st = traverse.make_walks(cfg, wcfg_l, seeds_l.astype(np.uint8))
+    st = traverse.extend_walks(st, graph, cfg, wcfg_l, 1.0, params.bound, mode="greedy")
+    buf_l, pos_l, _ = traverse.harvest(st)
+
+    for j, b in enumerate(rows):
+        # LW: left sequence's tail k-mer + right extension (fragment orient.)
+        lw = buf[j, : pos[j]]
+        # RW: left extension + right sequence's head k-mer (fragment orient.)
+        rw = sequtils.revcomp_codes(buf_l[j, : pos_l[j]])
+        er = len(rw) - k  # extension bases preceding the right sequence
+
+        # (a) right head k-mer on the right-going walk
+        idx = _find_subarray(lw, right[b, :k])
+        if idx >= 0:
+            if idx >= k:
+                bridges[b] = lw[k:idx]  # gap bases between the sequences
+            else:
+                overlaps[b] = k - idx  # sequences overlap by k - idx bases
+            continue
+        if er <= 0:
+            continue
+        # (b) left tail k-mer on the left-going walk
+        jdx = _find_subarray(rw, left[b, left_len[b] - k : left_len[b]])
+        if jdx >= 0:
+            if jdx + k <= er:
+                bridges[b] = rw[jdx + k : er]
+            else:
+                overlaps[b] = jdx + k - er
+            continue
+        # (c) meet in the middle: first shared k-mer between the walks.
+        # The meeting k-mer must end before the right head (its on-head
+        # placements are exactly cases (a)/(b), already failed).
+        if len(lw) > k and er >= k:
+            ij = _first_common_kmer(lw, rw[:er], k)
+            if ij is not None:
+                i, jj = ij
+                bridges[b] = np.concatenate([lw[k : i + k], rw[jj + k : er]])
+    return bridges
+
+
+def connect_segments_batch(
+    graph: GraphState,
+    cfg: GraphConfig,
+    segments: List[List[np.ndarray]],
+    params: FragmentParams,
+) -> List[np.ndarray]:
+    """Re-join each read's quality-split segments through the graph
+    (GraphUtils.connect(segments) :4836-4897).
+
+    ``segments``: per read, its kept segments in read order (each >= k
+    bases).  Segments are chained left-to-right: consecutive segments join
+    by direct overlap or a bidirectional bridge walk; when a junction
+    cannot be joined the longest chain wins.  Junction waves are batched —
+    wave j joins every read's chain with its (j+1)-th segment in one
+    device dispatch.  Returns one code array per read (empty for reads
+    with no usable segment).
+    """
+    k = cfg.k
+    chains: List[np.ndarray] = [
+        (segs[0] if segs else np.zeros(0, np.uint8)) for segs in segments
+    ]
+    best: List[np.ndarray] = list(chains)
+    max_segs = max((len(s) for s in segments), default=0)
+    for wave in range(1, max_segs):
+        rows = [
+            i for i, segs in enumerate(segments)
+            if len(segs) > wave and len(chains[i]) >= k and len(segs[wave]) >= k
+        ]
+        if not rows:
+            break
+        Lc = max(len(chains[i]) for i in rows)
+        Rc = max(len(segments[i][wave]) for i in rows)
+        B = len(rows)
+        lbuf = np.full((B, Lc), 4, np.uint8)
+        llen = np.zeros(B, np.int64)
+        rbuf = np.full((B, Rc), 4, np.uint8)
+        rlen = np.zeros(B, np.int64)
+        for j, i in enumerate(rows):
+            c, s = chains[i], segments[i][wave]
+            lbuf[j, : len(c)] = c
+            llen[j] = len(c)
+            rbuf[j, : len(s)] = s
+            rlen[j] = len(s)
+        overlaps = find_overlaps(lbuf, llen, rbuf, rlen, params.min_overlap)
+        need = np.flatnonzero(overlaps == 0)
+        bridges = bridge_pairs(
+            graph, cfg, lbuf, llen, rbuf, rlen, need, params, overlaps
+        )
+        for j, i in enumerate(rows):
+            seg = segments[i][wave]
+            if overlaps[j] > 0:
+                chains[i] = np.concatenate([chains[i], seg[overlaps[j] :]])
+            elif j in bridges:
+                chains[i] = np.concatenate([chains[i], bridges[j], seg])
+            else:
+                # junction failed: the longest chain survives; restart
+                if len(chains[i]) > len(best[i]):
+                    best[i] = chains[i]
+                chains[i] = seg
+        # reads whose later segments start a new chain keep competing
+    for i in range(len(segments)):
+        if len(chains[i]) > len(best[i]):
+            best[i] = chains[i]
+    return best
 
 
 def _first_common_kmer(

@@ -151,6 +151,22 @@ def _avg_qual_ok(qual: Optional[str], min_avg: int) -> bool:
     return float(q.mean()) - 33.0 >= min_avg
 
 
+def _segments_of(
+    seq: str, qual: Optional[str], min_qual: int, k: int, L: int, revcomp: bool
+) -> List[np.ndarray]:
+    """Quality-split segments of one read, in fragment orientation."""
+    codes = sequtils.encode(seq)[:L]
+    quals = (
+        np.frombuffer(qual.encode("ascii"), np.uint8)[: len(codes)]
+        if qual
+        else None
+    )
+    segs = sequtils.segment_read(codes, quals, min_qual, k)
+    if revcomp:
+        segs = [sequtils.revcomp_codes(s) for s in reversed(segs)]
+    return segs
+
+
 def _iter_pair_batches(
     left_path: str,
     right_path: str,
@@ -160,47 +176,85 @@ def _iter_pair_batches(
     revcomp_right: bool,
     L: int,
 ):
-    """Yield (left_codes, left_len, right_codes, right_len) batches.
+    """Yield (left_codes, left_len, right_codes, right_len, multi) batches.
 
     The right mate is flipped into fragment orientation (the reference's
     FR convention: fragment = left .. rc(right) unless flags say otherwise).
+    Reads are quality-segmented exactly as in stage 1 (the reference's
+    FastqFilteredReader feeds PairedReadSegments to stage 2); a read with
+    one segment contributes that segment, and a multi-segment read's
+    longest segment goes in the buffer while ``multi`` records
+    (side, row) -> all segments for connect(segments) re-joining.
     """
     B = params.batch_size
     lbuf = np.full((B, L), 4, np.uint8)
     rbuf = np.full((B, L), 4, np.uint8)
     llen = np.zeros(B, np.int32)
     rlen = np.zeros(B, np.int32)
+    multi: dict = {}
     n = 0
     for (ln, ls, lq), (rn, rs, rq) in fastx.read_paired(left_path, right_path):
         if params.min_avg_qual > 0 and not (
             _avg_qual_ok(lq, params.min_avg_qual) and _avg_qual_ok(rq, params.min_avg_qual)
         ):
             continue
-        lcodes = sequtils.encode(ls)[:L]
-        rcodes = sequtils.encode(rs)[:L]
-        if revcomp_left:
-            lcodes = sequtils.revcomp_codes(lcodes)
-        if revcomp_right:
-            # FR layout: the right mate reads back toward the fragment start
-            rcodes = sequtils.revcomp_codes(rcodes)
-        if len(lcodes) < k or len(rcodes) < k:
+        lsegs = _segments_of(ls, lq, params.min_qual, k, L, revcomp_left)
+        rsegs = _segments_of(rs, rq, params.min_qual, k, L, revcomp_right)
+        if not lsegs or not rsegs:
             continue
-        lbuf[n, : len(lcodes)] = lcodes
-        llen[n] = len(lcodes)
-        rbuf[n, : len(rcodes)] = rcodes
-        rlen[n] = len(rcodes)
+        lbest = max(lsegs, key=len)
+        rbest = max(rsegs, key=len)
+        lbuf[n, : len(lbest)] = lbest
+        llen[n] = len(lbest)
+        rbuf[n, : len(rbest)] = rbest
+        rlen[n] = len(rbest)
+        if len(lsegs) > 1:
+            multi[("l", n)] = lsegs
+        if len(rsegs) > 1:
+            multi[("r", n)] = rsegs
         n += 1
         if n == B:
-            yield lbuf, llen, rbuf, rlen
+            yield lbuf, llen, rbuf, rlen, multi
             lbuf = np.full((B, L), 4, np.uint8)
             rbuf = np.full((B, L), 4, np.uint8)
             llen = np.zeros(B, np.int32)
             rlen = np.zeros(B, np.int32)
+            multi = {}
             n = 0
     if n:
         # keep the full (B, L) shape — a different batch size would trigger
         # fresh TPU compilations of every downstream kernel
-        yield lbuf, llen, rbuf, rlen
+        yield lbuf, llen, rbuf, rlen, multi
+
+
+def _connect_multi_segments(
+    state: dbg.GraphState,
+    cfg: dbg.GraphConfig,
+    lbuf: np.ndarray,
+    llen: np.ndarray,
+    rbuf: np.ndarray,
+    rlen: np.ndarray,
+    multi: dict,
+    fparams: "fragmod.FragmentParams",
+) -> None:
+    """Re-join quality-split mates through the graph before pairing
+    (connect(segments), GraphUtils.java:4836-4897).  Buffers are updated
+    in place when the joined sequence beats the longest-segment fallback."""
+    if not multi:
+        return
+    keys = sorted(multi.keys())
+    joined = fragmod.connect_segments_batch(
+        state, cfg, [multi[key] for key in keys], fparams
+    )
+    L = lbuf.shape[1]
+    for key, seq in zip(keys, joined):
+        side, row = key
+        n = min(len(seq), L)
+        buf, lens = (lbuf, llen) if side == "l" else (rbuf, rlen)
+        if n > lens[row]:
+            buf[row, :n] = seq[:n]
+            buf[row, n:] = 4
+            lens[row] = n
 
 
 def _ingest_se_fragments(
@@ -290,6 +344,8 @@ def _run_stage3(
         # -a > 0 disables the blunt-end clip screen (RNABloom.java:1820)
         max_edge_clip=0 if params.polya_min_len > 0 else params.max_edge_clip,
         template_switch_filter=params.template_switch_filter,
+        max_indel=params.max_indel,
+        percent_identity=params.percent_identity,
         lookahead=params.lookahead,
         tip_probe_depth=(
             min(params.max_tip_length, cfg.k - 1)
@@ -611,10 +667,11 @@ def assemble_pool(
 
         all_frags: List[fragmod.Fragment] = []
         frag_lengths: List[int] = []
-        for lb, ll, rb, rl in _iter_pair_batches(
+        for lb, ll, rb, rl, multi in _iter_pair_batches(
             left, right, params, k, revcomp_left, revcomp_right, read_L
         ):
             report.num_pairs += lb.shape[0]
+            _connect_multi_segments(shared, cfg, lb, ll, rb, rl, multi, fparams)
             outs = fragmod.assemble_fragments_batch(shared, cfg, lb, ll, rb, rl, fparams)
             for f in outs:
                 if f is not None:
@@ -1069,10 +1126,11 @@ def assemble_pe(
     all_frags: List[fragmod.Fragment] = []
     frag_lengths: List[int] = []
     learned = False
-    for lb, ll, rb, rl in _iter_pair_batches(
+    for lb, ll, rb, rl, multi in _iter_pair_batches(
         left_path, right_path, params, k, revcomp_left, revcomp_right, read_L
     ):
         report.num_pairs += int((ll > 0).sum())
+        _connect_multi_segments(state, cfg, lb, ll, rb, rl, multi, fparams)
         outs = fragmod.assemble_fragments_batch(state, cfg, lb, ll, rb, rl, fparams)
         for f in outs:
             if f is not None and f.min_cov >= params.min_fragment_cov:

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 from functools import partial
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -49,6 +49,8 @@ class TranscriptParams:
     pair_ring: int = 1024
     screen_min_frac: float = 0.95
     screen_max_gap: Optional[int] = None  # default k
+    max_indel: int = 1  # -indel: indel-bubble tolerance in the screen
+    percent_identity: float = 0.90  # -p: identity floor for gap repairs
     max_edge_clip: int = 0  # >0 enables the blunt-end artifact filter
     template_switch_filter: bool = False  # enable isTemplateSwitch screening
     lookahead: int = 3  # -lookahead: traversal lookahead depth
@@ -170,14 +172,18 @@ def screen_represented(
     gap_max = params.screen_max_gap or k
     out = np.zeros(codes.shape[0], bool)
 
-    # pass 1: repair error bubbles.  A single residual substitution in an
-    # otherwise-assembled sequence leaves an unseen run of <= k k-mers; the
-    # reference re-walks such gaps through the graph restricted to the
-    # screen, tolerating bubbles (represented, GraphUtils.java:711-824).
-    # Here each short gap is tested directly: if one of the 3 substitution
-    # variants at the implied error base makes the gap's k-mers assembled,
-    # the gap counts as seen.
-    jobs: List[Tuple[int, int, int, np.ndarray]] = []  # (row, g0, g1, segment)
+    # pass 1: repair error bubbles.  A residual substitution or small indel
+    # in an otherwise-assembled sequence leaves an unseen run of ~k k-mers;
+    # the reference re-walks such gaps through the graph restricted to the
+    # screen with percent-identity acceptance (represented,
+    # GraphUtils.java:711-824).  Here each short gap is tested directly
+    # against the bubble's edit variants: the 3 substitutions at the implied
+    # error base, deletions of 1..max_indel bases, and single-base
+    # insertions.  A variant whose k-mers are all assembled marks the gap
+    # seen; indel variants respect the percent-identity floor.
+    wins: List[np.ndarray] = []
+    groups: List[Tuple[int, int, int, int, int]] = []  # (b, g0, g1, start, end)
+    mi = params.max_indel
     for b in range(codes.shape[0]):
         n = max(int(lengths[b]) - k + 1, 0)
         if n == 0:
@@ -189,34 +195,51 @@ def screen_represented(
         padded = np.concatenate(([False], bad, [False]))
         d = np.diff(padded.astype(np.int8))
         for g0, g1 in zip(np.flatnonzero(d == 1), np.flatnonzero(d == -1)):
-            if g1 - g0 > k + 2:
+            if g1 - g0 > k + 2 + mi:
                 continue
-            p = g1 - 1 if g0 == 0 else min(g0 + k - 1, int(lengths[b]) - 1)
-            seg = codes[b, g0 : g1 + k - 1].copy()
-            jobs.append((b, g0, g1, (seg, p - g0)))
-    repaired: Dict[Tuple[int, int], bool] = {}
-    if jobs:
-        seg_len = max(len(j[3][0]) for j in jobs)
-        batch = np.full((3 * len(jobs), max(seg_len, k)), 4, np.uint8)
-        for i, (_, _, _, (seg, rel)) in enumerate(jobs):
-            orig = seg[rel]
+            nb = int(lengths[b])
+            p = g1 - 1 if g0 == 0 else min(g0 + k - 1, nb - 1)
+            glen = g1 + k - 1 - g0  # nominal gap segment length (bases)
+            # segment with up to max_indel extra tail bases for deletions
+            seg = codes[b, g0 : min(g1 + k - 1 + mi, nb)].copy()
+            rel = p - g0
+            start = len(wins)
+            orig = seg[rel] if rel < len(seg) else 4
             alts = [c for c in range(4) if c != orig][:3] if orig < 4 else [0, 1, 2]
-            for a, alt in enumerate(alts):
-                var = seg.copy()
-                var[rel] = alt
-                batch[3 * i + a, : len(var)] = var
+            for alt in alts:
+                var = seg[:glen].copy()
+                if rel < len(var):
+                    var[rel] = alt
+                wins.append(var)
+            interior = g0 > 0 and g1 < n  # anchored both sides
+            if interior and mi > 0 and rel < glen:
+                for dd in range(1, mi + 1):
+                    if (glen - dd) / glen < params.percent_identity:
+                        break
+                    if len(seg) >= glen + dd:
+                        wins.append(
+                            np.concatenate([seg[:rel], seg[rel + dd : glen + dd]])
+                        )
+                if (glen - 1) / glen >= params.percent_identity:
+                    for alt in range(4):
+                        wins.append(
+                            np.concatenate([seg[:rel], [alt], seg[rel : glen - 1]]).astype(np.uint8)
+                        )
+            groups.append((b, g0, g1, start, len(wins)))
+    if wins:
+        seg_len = max(len(w) for w in wins)
+        batch = np.full((len(wins), max(seg_len, k)), 4, np.uint8)
+        for i, w in enumerate(wins):
+            batch[i, : len(w)] = w
         vseen_d, vvalid_d = _screen_lookup(screen, scfg, cfg, jnp.asarray(batch))
         vseen, vvalid = np.asarray(vseen_d), np.asarray(vvalid_d)
-        for i, (b, g0, g1, _) in enumerate(jobs):
-            ok = False
-            for a in range(3):
-                vv = vvalid[3 * i + a]
-                if vv.any() and vseen[3 * i + a][vv].all():
-                    ok = True
+        for b, g0, g1, start, end in groups:
+            for i in range(start, end):
+                nk = max(len(wins[i]) - k + 1, 0)
+                vv = vvalid[i, :nk]
+                if nk > 0 and vv.any() and vseen[i, :nk][vv].all():
+                    seen[b, g0:g1] = True
                     break
-            repaired[(b, g0)] = ok
-            if ok:
-                seen[b, g0:g1] = True
 
     for b in range(codes.shape[0]):
         if chimera_out is not None:

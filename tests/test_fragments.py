@@ -228,3 +228,26 @@ def test_meet_in_middle_connect():
     assert out[0] is not None
     s = sequtils.decode(out[0].codes)
     assert len(s) >= 150
+
+
+def test_connect_segments_rejoins_split_read():
+    """connect(segments) (GraphUtils.java:4836-4897): quality-split
+    segments re-join through the graph, recovering the masked bases."""
+    t = rand_seq(400)
+    cov_reads = [t[i : i + READ] for i in range(0, len(t) - READ + 1, 20)] * 3
+    cfg, graph = build_graph(cov_reads)
+
+    read = t[50:250]  # 200bp read; base 100 is masked (Q0)
+    segs = [ref.encode(read[:100]), ref.encode(read[101:])]
+    out = fragments.connect_segments_batch(
+        graph, cfg, [segs], fragments.FragmentParams()
+    )
+    joined = sequtils.decode(out[0])
+    assert joined == read, f"joined {len(joined)} bases vs read {len(read)}"
+
+    # unjoinable segments fall back to the longest one
+    far = [ref.encode(rand_seq(60)), ref.encode(read[101:])]
+    out2 = fragments.connect_segments_batch(
+        graph, cfg, [far], fragments.FragmentParams()
+    )
+    assert len(out2[0]) == len(read) - 101

@@ -266,3 +266,37 @@ def test_option_knobs_pe(tmp_path):
     report = pipeline.assemble_pe(left, right, str(tmp_path / "out"), params)
     assert report.num_fragments > 0
     assert report.num_transcripts > 0
+
+
+@pytest.mark.slow
+def test_quality_split_reads_still_connect(tmp_path):
+    """A mid-read Q0 base splits the mate into segments; stage 2 re-joins
+    them through the graph (connect(segments)) and the pair still yields a
+    connected fragment."""
+    import gzip as _gzip
+
+    t = rand_seq(500)
+    left = str(tmp_path / "q_1.fq.gz")
+    right = str(tmp_path / "q_2.fq.gz")
+    read_len, frag_len = 100, 250
+    with _gzip.open(left, "wt") as fl, _gzip.open(right, "wt") as fr:
+        rid = 0
+        for _ in range(150):
+            s = RNG.integers(0, len(t) - frag_len + 1)
+            frag = t[s : s + frag_len]
+            l, r = frag[:read_len], sequtils.revcomp(frag[-read_len:])
+            lq = list("I" * read_len)
+            lq[50] = "!"  # Q0 base mid-read on every left mate
+            fl.write(f"@r{rid}/1\n{l}\n+\n{''.join(lq)}\n")
+            fr.write(f"@r{rid}/2\n{r}\n+\n{'I' * read_len}\n")
+            rid += 1
+
+    params = pipeline.PipelineParams(
+        total_mem_bytes=1 << 24, batch_size=256, sample_size=100, no_reduce=True
+    )
+    report = pipeline.assemble_pe(left, right, str(tmp_path / "out"), params)
+    # most pairs connect despite every left mate being split at base 50
+    assert report.num_fragments >= 0.8 * report.num_pairs, (
+        f"{report.num_fragments}/{report.num_pairs} connected"
+    )
+    assert report.num_transcripts > 0

@@ -170,3 +170,54 @@ def test_template_switch_screening_end_to_end():
     flags = txmod.screen_template_switch(screen, scfg, cfg, batch, lens)
     assert flags[0]
     assert not flags[1]
+
+
+def test_represented_collapses_indel_bubble():
+    """represented() gap repair (GraphUtils.java:711-824): a copy of an
+    assembled transcript differing by one indel screens as redundant; with
+    -indel 0 (or -p 1.0) it does not."""
+    import jax.numpy as jnp
+    import numpy as np
+    from rnabloom_tpu.assembly import transcripts as txmod
+    from rnabloom_tpu.bloom import filters
+    from rnabloom_tpu.bloom.filters import BloomConfig, CountingConfig
+    from rnabloom_tpu.graph import dbg
+
+    k = 25
+    cfg = dbg.GraphConfig(
+        k=k, stranded=False,
+        dbgbf=BloomConfig(18, 2), cbf=CountingConfig(18, 2, 16),
+        pkbf=BloomConfig(18, 2),
+    )
+    scfg = BloomConfig(18, 2)
+    rng = np.random.default_rng(123)
+    t = rng.integers(0, 4, size=400).astype(np.uint8)
+    screen = filters.make_bloom(scfg)
+    base = np.full((1, 512), 4, np.uint8)
+    base[0, :400] = t
+    screen = txmod.screen_add(screen, scfg, cfg, jnp.asarray(base))
+
+    for variant in (
+        np.concatenate([t[:200], t[201:]]),          # 1-base deletion
+        np.concatenate([t[:200], [t[200] ^ 1], t[200:]]),  # 1-base insertion
+        np.concatenate([t[:200], [(t[200] + 1) % 4], t[201:]]),  # substitution
+    ):
+        codes = np.full((1, 512), 4, np.uint8)
+        codes[0, : len(variant)] = variant
+        lens = np.asarray([len(variant)], np.int32)
+        rep = txmod.screen_represented(
+            screen, scfg, cfg, codes, lens, txmod.TranscriptParams()
+        )
+        assert rep[0], f"variant len {len(variant)} not collapsed"
+
+    # indel variants are NOT collapsed when -indel 0 / -p 1.0
+    deletion = np.concatenate([t[:200], t[201:]])
+    codes = np.full((1, 512), 4, np.uint8)
+    codes[0, : len(deletion)] = deletion
+    lens = np.asarray([len(deletion)], np.int32)
+    for p in (
+        txmod.TranscriptParams(max_indel=0),
+        txmod.TranscriptParams(percent_identity=1.0),
+    ):
+        rep = txmod.screen_represented(screen, scfg, cfg, codes, lens, p)
+        assert not rep[0]
