@@ -111,19 +111,35 @@ def polish(
     placements: Sequence[Placement],
     min_depth: int = 2,
     batch_reads: int = 2048,
+    indel_band: int = 16,
+    max_error: float = 0.35,
 ) -> List[np.ndarray]:
-    """Majority-vote consensus over placed reads (device scatter-add)."""
+    """Consensus over placed reads (racon's role).
+
+    With ``indel_band`` > 0 every placed read realigns to its unitig in a
+    narrow diagonal band and the alignments vote on substitutions AND
+    indels — a column vote alone cannot fix a frameshift in the unitig's
+    backbone read, and worse, rewrites everything downstream of it with
+    shifted majorities.  ``indel_band`` = 0 falls back to the pure
+    device column vote (gapless placements).  ``max_error`` drops
+    alignments with more edits than this fraction of the read.
+    """
     if not unitigs:
         return []
     U = len(unitigs)
+    placed = [p for p in placements if 0 <= p.target < U]
+    if not placed:
+        return [np.array(u, np.uint8) for u in unitigs]
+    if indel_band > 0:
+        return _indel_polish(
+            [np.asarray(u, np.uint8) for u in unitigs],
+            reads, placed, min_depth, batch_reads, indel_band, max_error,
+        )
+
     L = max(len(u) for u in unitigs)
     ucodes = np.full((U, L), 4, np.uint8)
     for i, u in enumerate(unitigs):
         ucodes[i, : len(u)] = u
-
-    placed = [p for p in placements if 0 <= p.target < U]
-    if not placed:
-        return [np.array(u, np.uint8) for u in unitigs]
     Lr = max(len(reads[p.read]) for p in placed)
     polished = jnp.asarray(ucodes)
     for s in range(0, len(placed), batch_reads):
@@ -144,6 +160,64 @@ def polish(
         )
     out = np.asarray(polished)
     return [out[i, : len(unitigs[i])].copy() for i in range(U)]
+
+
+def _indel_polish(
+    unitigs: List[np.ndarray],
+    reads: Sequence[np.ndarray],
+    placed: Sequence[Placement],
+    min_depth: int,
+    batch_reads: int,
+    w: int,
+    max_error: float,
+) -> List[np.ndarray]:
+    """Banded realignment + majority indel/substitution edits
+    (consensusWithRacon's indel repair, OverlapLayoutConsensus.java:849).
+    A frameshift in the unitig's backbone read shows up as a majority
+    insertion/deletion vote at one column and is excised."""
+    from . import realign
+
+    U = len(unitigs)
+    ulens = np.asarray([len(u) for u in unitigs], np.int64)
+    Lmax = int(ulens.max(initial=0))
+    base_v = np.zeros((U, Lmax, 4), np.int32)
+    del_v = np.zeros((U, Lmax), np.int32)
+    ins_v = np.zeros((U, Lmax + 1, 4), np.int32)
+    cov = np.zeros((U, Lmax), np.int32)
+
+    Lr = max(len(reads[p.read]) for p in placed)
+    for s in range(0, len(placed), batch_reads):
+        chunk = placed[s : s + batch_reads]
+        R = len(chunk)
+        rcodes = np.full((R, Lr), 4, np.uint8)
+        rlens = np.zeros(R, np.int32)
+        wins = np.full((R, Lr + 2 * w), 4, np.uint8)
+        wstart = np.zeros(R, np.int32)
+        tgt = np.zeros(R, np.int32)
+        for i, p in enumerate(chunk):
+            r = reads[p.read]
+            if p.orient == 1:
+                r = _RC[r[::-1]]
+            rcodes[i, : len(r)] = r
+            rlens[i] = len(r)
+            tgt[i] = p.target
+            # window leads the read by w bases (band center)
+            s0 = p.start - w
+            wstart[i] = s0
+            u = unitigs[p.target]
+            a, b = max(s0, 0), min(s0 + Lr + 2 * w, len(u))
+            if b > a:
+                wins[i, a - s0 : b - s0] = u[a:b]
+        tb, end_off, dist = realign.banded_align_batch(rcodes, rlens, wins, w)
+        bv, dv, iv, cv = realign.alignment_votes(
+            tb, end_off, rcodes, rlens, wstart, tgt, ulens, w,
+            np.maximum((rlens * max_error).astype(np.int32), 4), dist,
+        )
+        base_v += bv
+        del_v += dv
+        ins_v += iv
+        cov += cv
+    return realign.apply_edits(unitigs, base_v, del_v, ins_v, cov, min_depth)
 
 
 def normalized_read_counts(

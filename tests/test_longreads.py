@@ -252,3 +252,41 @@ def test_long_pipeline_resume(tmp_path):
     assert r2.stage1 is None  # stages 1-2 skipped
     assert r2.num_fragments == r1.num_fragments
     assert ckpt.has_stamp(str(out), ckpt.STAMP_LONGREADS_ASSEMBLED)
+
+
+@pytest.mark.slow
+def test_long_e2e_exact_sequences(tmp_path):
+    """6% error including indels: emitted transcripts must be EXACT
+    substrings of the truth (no residual frameshifts) — the indel-aware
+    consensus polish at work (racon's role, OverlapLayoutConsensus:849)."""
+    from rnabloom_tpu.assembly import pipeline as pl
+    from rnabloom_tpu.io import fastx
+
+    transcripts = [rand_seq(1200), rand_seq(900)]
+    path = os.path.join(str(tmp_path), "long6.fa")
+    with open(path, "w") as f:
+        rid = 0
+        for t in transcripts:
+            for _ in range(40):
+                s = RNG.integers(0, max(len(t) - 600, 1))
+                e = min(len(t), s + 600 + RNG.integers(0, 150))
+                read = add_noise(t[s:e], 0.06)
+                if RNG.random() < 0.5:
+                    read = sequtils.revcomp(read)
+                f.write(f">lr{rid}\n{read}\n")
+                rid += 1
+
+    params = pl.PipelineParams(total_mem_bytes=1 << 24, min_transcript_length=300)
+    report = pl.assemble_long([path], str(tmp_path / "out"), params)
+    assert report.num_transcripts > 0
+    assembled = [
+        s.upper()
+        for _, s in fastx.read_fasta(str(tmp_path / "out" / "rnabloom.transcripts.fa"))
+    ]
+    exact = 0
+    for a in assembled:
+        rc = sequtils.revcomp(a)
+        exact += any(a in t or rc in t for t in transcripts)
+    assert exact >= max(1, int(0.8 * len(assembled))), (
+        f"only {exact}/{len(assembled)} emitted transcripts are exact"
+    )
