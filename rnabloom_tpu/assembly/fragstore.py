@@ -1,0 +1,158 @@
+"""Streaming stratified fragment store (stage 2 -> stage 3 handoff).
+
+TPU-native equivalent of FragmentWriterWorker's stratified `.nbits` files
+(RNABloom.java:4214-4301, FragmentPaths :4303-4434): stage 2 appends each
+fragment to the file of its (coverage magnitude, length class, polyA)
+stratum as it is assembled, and stage 3 iterates the files in the
+reference's priority order — magnitude E5..E0, long before short before
+unconnected, polyA-tailed first within a class when prioritized
+(assembleTranscriptsMultiThreaded :4886-4954).  Nothing is ever held in
+host RAM beyond one fixed-size batch, which bounds stage-2/3 memory
+with respect to input size.
+
+Per-fragment minimum coverages ride in the meta JSON (floats, O(1k) per
+million fragments) in write order, aligned with the `.nbits` records.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from ..io import nbits
+
+_MAGS = range(5, -1, -1)  # E5 .. E0
+_CLASSES = ("long", "short", "un")
+
+
+def _magnitude(c: float) -> int:
+    from .fragments import coverage_order_of_magnitude
+
+    return min(coverage_order_of_magnitude(c), 5)
+
+
+class FragmentStore:
+    """Append-only stratified fragment files under {outdir}/fragments/."""
+
+    META = "fragments.meta.json"
+
+    def __init__(self, outdir: str, long_threshold: int, polya_priority: bool = False):
+        self.dir = os.path.join(outdir, "fragments")
+        self.long_threshold = long_threshold
+        self.polya_priority = polya_priority
+        self._writers: dict = {}
+        self._covs: dict = {}
+        self.count = 0
+        self.max_len = 0
+
+    # -- writing ----------------------------------------------------------
+
+    def _key(self, min_cov: float, length: int, connected: bool, polya: bool) -> str:
+        cls = ("long" if length >= self.long_threshold else "short") if connected else "un"
+        pa = ".polya" if (self.polya_priority and polya) else ""
+        return f"E{_magnitude(min_cov)}.{cls}{pa}"
+
+    def add(self, codes: np.ndarray, min_cov: float, connected: bool, polya: bool = False) -> None:
+        os.makedirs(self.dir, exist_ok=True)
+        key = self._key(min_cov, len(codes), connected, polya)
+        w = self._writers.get(key)
+        if w is None:
+            w = nbits.NbitsWriter(os.path.join(self.dir, f"fragments.{key}.nbits"))
+            self._writers[key] = w
+            self._covs[key] = []
+        w.write_codes(codes)
+        self._covs[key].append(float(min_cov))
+        self.count += 1
+        self.max_len = max(self.max_len, len(codes))
+
+    def close(self) -> None:
+        for w in self._writers.values():
+            w.close()
+        self._writers.clear()
+        os.makedirs(self.dir, exist_ok=True)
+        with open(os.path.join(self.dir, self.META), "w") as f:
+            json.dump(
+                {
+                    "long_threshold": self.long_threshold,
+                    "polya_priority": self.polya_priority,
+                    "count": self.count,
+                    "max_len": self.max_len,
+                    "strata": {k: {"min_covs": v} for k, v in self._covs.items()},
+                },
+                f,
+            )
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- reading ----------------------------------------------------------
+
+    @classmethod
+    def open(cls, outdir: str) -> Optional["FragmentStore"]:
+        store = cls(outdir, long_threshold=0)
+        meta_path = os.path.join(store.dir, cls.META)
+        if not os.path.exists(meta_path):
+            return None
+        with open(meta_path) as f:
+            meta = json.load(f)
+        store.long_threshold = meta["long_threshold"]
+        store.polya_priority = meta.get("polya_priority", False)
+        store.count = meta["count"]
+        store.max_len = meta["max_len"]
+        store._covs = {k: v["min_covs"] for k, v in meta["strata"].items()}
+        return store
+
+    def _ordered_keys(self) -> List[str]:
+        keys = []
+        for mag in _MAGS:
+            for cl in _CLASSES:
+                for pa in (".polya", "") if self.polya_priority else ("",):
+                    k = f"E{mag}.{cl}{pa}"
+                    if k in self._covs:
+                        keys.append(k)
+        return keys
+
+    def iter_batches(
+        self, batch_size: int, width: Optional[int] = None
+    ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
+        """Yield (codes (B, W), lens, min_covs, connected) in priority order.
+
+        Rows are fragments; the final batch of a stratum may be padded with
+        zero-length rows so every yield has the same (batch_size, W) shape
+        (stable device kernel shapes).
+        """
+        W = width or self.max_len
+        for key in self._ordered_keys():
+            covs = self._covs[key]
+            path = os.path.join(self.dir, f"fragments.{key}.nbits")
+            conn = not key.split(".")[1].startswith("un")
+            buf = np.full((batch_size, W), 4, np.uint8)
+            lens = np.zeros(batch_size, np.int32)
+            cvs = np.zeros(batch_size, np.float32)
+            n = 0
+            for i, codes in enumerate(nbits.read_nbits_codes(path)):
+                m = min(len(codes), W)
+                buf[n, :m] = codes[:m]
+                lens[n] = m
+                cvs[n] = covs[i] if i < len(covs) else 1.0
+                n += 1
+                if n == batch_size:
+                    yield buf, lens, cvs, np.full(batch_size, conn)
+                    buf = np.full((batch_size, W), 4, np.uint8)
+                    lens = np.zeros(batch_size, np.int32)
+                    cvs = np.zeros(batch_size, np.float32)
+                    n = 0
+            if n:
+                yield buf, lens, cvs, np.full(batch_size, conn)
+
+    def iter_lengths(self) -> Iterator[int]:
+        for key in self._ordered_keys():
+            path = os.path.join(self.dir, f"fragments.{key}.nbits")
+            for codes in nbits.read_nbits_codes(path):
+                yield len(codes)

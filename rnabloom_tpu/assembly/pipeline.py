@@ -35,7 +35,7 @@ from ..graph import dbg
 from ..io import fastx
 from ..utils import polya, seq as sequtils
 from ..utils.timer import Timer
-from . import correct, fragments as fragmod, stage1, transcripts as txmod
+from . import correct, fragments as fragmod, fragstore, stage1, transcripts as txmod
 
 
 @dataclass
@@ -264,7 +264,7 @@ def _ingest_se_fragments(
     ser_paths: Sequence[str],
     read_L: int,
     params: PipelineParams,
-    all_frags: List["fragmod.Fragment"],
+    store: "fragstore.FragmentStore",
     frag_lengths: List[int],
     report: "PipelineReport",
 ) -> None:
@@ -291,11 +291,13 @@ def _ingest_se_fragments(
                 if nk <= 0 or not v.any():
                     continue
                 mc = float(counts_np[i, :nk][v].min())
-                all_frags.append(
+                _store_fragment(
+                    store,
                     fragmod.Fragment(
                         codes=fixed[i, : flens[i]].copy(), min_cov=mc,
                         length=int(flens[i]), connected=False,
-                    )
+                    ),
+                    params,
                 )
                 frag_lengths.append(int(flens[i]))
 
@@ -321,14 +323,17 @@ def _ingest_se_fragments(
 def _run_stage3(
     state: dbg.GraphState,
     cfg: dbg.GraphConfig,
-    frag_batch: np.ndarray,
-    frag_len: np.ndarray,
-    covs: np.ndarray,
+    store: "fragstore.FragmentStore",
     outdir: str,
     params: PipelineParams,
     report: "PipelineReport",
 ) -> None:
-    """Shared stage-3: stratified transcript assembly + nr reduction."""
+    """Shared stage-3: stratified transcript assembly + nr reduction.
+
+    Fragments stream from the stratified store in the reference's priority
+    order (E5..E0, long/short/unconnected, polyA first when prioritized) in
+    fixed-size batches — host memory stays bounded w.r.t. input size
+    (assembleTranscriptsMultiThreaded, RNABloom.java:4886-4954)."""
     from ..bloom.filters import pow2_size
 
     sbf_log2 = (
@@ -356,30 +361,10 @@ def _run_stage3(
         keep_artifacts=params.keep_artifacts,
         frag_consistency=params.frag_consistency,
     )
-    # stratified order: coverage magnitude desc, then length desc; with -a,
-    # poly-A-tailed fragments lead each stratum (the reference stratifies
-    # fragment files by polyA and assembles those first, RNABloom.java:4886+)
-    polya_prio = np.zeros(len(covs))
-    if params.polya_min_len > 0:
-        for i in range(len(covs)):
-            t = polya.find_polya_tail(frag_batch[i, : frag_len[i]])
-            polya_prio[i] = 1.0 if t is not None else 0.0
-    order = np.argsort(
-        [
-            -(
-                fragmod.coverage_order_of_magnitude(c) * 1e12
-                + p * 1e10
-                + l
-            )
-            for c, l, p in zip(covs, frag_len, polya_prio)
-        ]
-    )
     # -stratum: fragments in strata below the threshold extend only when
     # branch-free (RNABloom.java:4912-4954)
     thr_rank = _stratum_rank(params.branch_free_stratum)
-    require_bf = np.array(
-        [_stratum_rank(_fragment_stratum(c)) < thr_rank for c in covs], bool
-    )
+    frag_L = int(min(max(store.max_len, cfg.k), params.max_walk_len))
     tx_path = os.path.join(outdir, f"{params.name}.transcripts.fa")
     short_path = os.path.join(outdir, f"{params.name}.transcripts.short.fa")
     n_tx = 0
@@ -387,19 +372,14 @@ def _run_stage3(
     with fastx.FastaWriter(tx_path, uracil=params.write_uracil) as wtx, fastx.FastaWriter(
         short_path, uracil=params.write_uracil
     ) as wsh:
-        for s in range(0, len(order), 256):
-            idx = order[s : s + 256]
-            sel = frag_batch[idx]
-            sel_len = frag_len[idx]
-            if len(idx) < 256:  # fixed batch shape avoids recompiles
-                pad = 256 - len(idx)
-                sel = np.concatenate(
-                    [sel, np.full((pad, sel.shape[1]), 4, np.uint8)]
-                )
-                sel_len = np.concatenate([sel_len, np.zeros(pad, np.int32)])
-            sel_bf = require_bf[idx]
-            if len(idx) < 256:
-                sel_bf = np.concatenate([sel_bf, np.zeros(256 - len(idx), bool)])
+        for sel, sel_len, covs, _conn in store.iter_batches(256, width=frag_L):
+            sel_bf = np.array(
+                [
+                    l > 0 and _stratum_rank(_fragment_stratum(c)) < thr_rank
+                    for c, l in zip(covs, sel_len)
+                ],
+                bool,
+            )
             txs, shorts, screen = txmod.assemble_transcripts_batch(
                 state, cfg, screen, scfg, sel, sel_len, tparams,
                 require_branch_free=sel_bf if sel_bf.any() else None,
@@ -491,8 +471,9 @@ def assemble_se(
         return report
 
     # stage 2: error-correct reads; each becomes an unconnected fragment
+    # streamed straight into the stratified store
     ecp = params.correct_params()
-    frag_rows: List[np.ndarray] = []
+    store = _new_fragment_store(outdir, params)
     B = params.batch_size
     buf = np.full((B, read_L), 4, np.uint8)
     lens = np.zeros(B, np.int32)
@@ -504,7 +485,15 @@ def assemble_se(
             return
         fixed, flens, _ = correct.correct_batch(state, cfg, buf[:n], lens[:n], ecp)
         for i in range(n):
-            frag_rows.append(fixed[i, : flens[i]].copy())
+            if flens[i] >= k:
+                _store_fragment(
+                    store,
+                    fragmod.Fragment(
+                        codes=fixed[i, : flens[i]].copy(), min_cov=1.0,
+                        length=int(flens[i]), connected=False,
+                    ),
+                    params,
+                )
         n = 0
 
     for path, rc in zip(se_paths, revcomp_flags):
@@ -522,26 +511,20 @@ def assemble_se(
             if n == B:
                 flush()
     flush()
-    report.num_fragments = len(frag_rows)
-    if not frag_rows:
+    store.close()
+    report.num_fragments = store.count
+    if store.count == 0:
         report.elapsed_s = time.time() - t0
         return report
 
-    # stage 2b: rebuild counters from corrected reads (no fpkbf)
-    frag_L = read_L
+    # stage 2b: rebuild counters from corrected reads (no fpkbf), streaming
     state = dbg.GraphState(
         dbgbf=None, cbf=jnp.zeros_like(state.cbf), rpkbf=state.rpkbf, fpkbf=None
     )
-    frag_batch = np.full((len(frag_rows), frag_L), 4, np.uint8)
-    frag_len = np.zeros(len(frag_rows), np.int32)
-    for i, r in enumerate(frag_rows):
-        frag_batch[i, : len(r)] = r
-        frag_len[i] = len(r)
-    for s in range(0, len(frag_rows), 1024):
-        state = dbg.build_step(state, cfg, jnp.asarray(frag_batch[s : s + 1024]))
+    for codes, _l, _c, _conn in store.iter_batches(1024, width=read_L):
+        state = dbg.build_step(state, cfg, jnp.asarray(codes))
 
-    covs = np.ones(len(frag_rows), np.float32)
-    _run_stage3(state, cfg, frag_batch, frag_len, covs, outdir, params, report)
+    _run_stage3(state, cfg, store, outdir, params, report)
     report.elapsed_s = time.time() - t0
     return report
 
@@ -665,7 +648,7 @@ def assemble_pool(
         report = PipelineReport()
         report.stage1 = s1_stats
 
-        all_frags: List[fragmod.Fragment] = []
+        store = _new_fragment_store(sample_dir, params)
         frag_lengths: List[int] = []
         for lb, ll, rb, rl, multi in _iter_pair_batches(
             left, right, params, k, revcomp_left, revcomp_right, read_L
@@ -675,15 +658,16 @@ def assemble_pool(
             outs = fragmod.assemble_fragments_batch(shared, cfg, lb, ll, rb, rl, fparams)
             for f in outs:
                 if f is not None:
-                    all_frags.append(f)
+                    _store_fragment(store, f, params)
                     frag_lengths.append(f.length)
         if sef or ser:
             _ingest_se_fragments(
                 shared, cfg, sef, ser, read_L, params,
-                all_frags, frag_lengths, report,
+                store, frag_lengths, report,
             )
-        report.num_fragments = len(all_frags)
-        if not all_frags or params.stop_stage <= 2:
+        store.close()
+        report.num_fragments = store.count
+        if store.count == 0 or params.stop_stage <= 2:
             report.elapsed_s = time.time() - t0
             reports[name] = report
             continue
@@ -699,33 +683,21 @@ def assemble_pool(
         # per-sample fragment graph: fresh counters + fpkbf; the pooled
         # rpkbf is shared across samples (copied — build_step donates its
         # input buffers, and the shared array must survive for later samples)
-        frag_L = int(min(max(f.length for f in all_frags), params.max_walk_len))
+        frag_L = int(min(max(store.max_len, 2 * k), params.max_walk_len))
         sample_state = dbg.GraphState(
             dbgbf=None,
             cbf=jnp.zeros_like(shared.cbf),
             rpkbf=jnp.array(shared.rpkbf, copy=True),
             fpkbf=make_bloom(cfg.pkbf),
         )
-        frag_batch = np.full((len(all_frags), frag_L), 4, np.uint8)
-        frag_len = np.zeros(len(all_frags), np.int32)
-        for i, f in enumerate(all_frags):
-            n = min(f.length, frag_L)
-            frag_batch[i, :n] = f.codes[:n]
-            frag_len[i] = n
-        n_chunks = (len(all_frags) + 1023) // 1024
-        padded = np.full((n_chunks * 1024, frag_L), 4, np.uint8)
-        padded[: len(all_frags)] = frag_batch
-        for s in range(0, n_chunks * 1024, 1024):
+        add_pairs = frag_L - k + 1 > d_frag
+        for codes, _l, _c, _conn in store.iter_batches(1024, width=frag_L):
             sample_state = dbg.rebuild_step(
-                sample_state, sample_cfg, jnp.asarray(padded[s : s + 1024]),
-                add_frag_pairs=frag_L - k + 1 > d_frag,
+                sample_state, sample_cfg, jnp.asarray(codes),
+                add_frag_pairs=add_pairs,
             )
 
-        covs = np.asarray([f.min_cov for f in all_frags])
-        _run_stage3(
-            sample_state, sample_cfg, frag_batch, frag_len, covs, sample_dir,
-            params, report,
-        )
+        _run_stage3(sample_state, sample_cfg, store, sample_dir, params, report)
         report.elapsed_s = time.time() - t0
         reports[name] = report
 
@@ -799,23 +771,36 @@ def assemble_long(
             report.elapsed_s = time.time() - t0
             return report
 
-        # stage 2: correction
-        raw: List[np.ndarray] = []
-        for path in long_paths:
-            for _, s, _ in fastx.read_seqs(path):
-                codes = sequtils.encode(s)
-                if params.revcomp_long:  # -rc (RNABloom.java optRevCompLong)
-                    codes = sequtils.revcomp_codes(codes)
-                if len(codes) >= k:
-                    raw.append(codes)
-        report.num_pairs = len(raw)
+        # stage 2: correction — raw reads stream from disk in bounded
+        # chunks and corrected reads stream straight to the output FASTA
+        # (the reference's reader -> workers -> writer queue,
+        # RNABloom.java:3948-4046)
         lrp = lrmod.LongReadParams(min_kmer_cov=lr_min_cov)
-        corrected, polya_flags = lrmod.correct_long_reads(state, cfg, raw, lrp)
-        report.num_fragments = len(corrected)
+        chunk: List[np.ndarray] = []
         with fastx.FastaWriter(corrected_path) as w:
-            for i, c in enumerate(corrected):
-                tag = " polya" if polya_flags[i] else ""
-                w.write(f"lr.{i}", sequtils.decode(c), f"l={len(c)}{tag}")
+
+            def flush_chunk():
+                fixed, flags = lrmod.correct_long_reads(state, cfg, chunk, lrp)
+                for c, fl in zip(fixed, flags):
+                    tag = " polya" if fl else ""
+                    w.write(f"lr.{len(corrected)}", sequtils.decode(c), f"l={len(c)}{tag}")
+                    corrected.append(c)
+                    polya_flags.append(fl)
+                chunk.clear()
+
+            for path in long_paths:
+                for _, s, _ in fastx.read_seqs(path):
+                    codes = sequtils.encode(s)
+                    if params.revcomp_long:  # -rc (RNABloom.java optRevCompLong)
+                        codes = sequtils.revcomp_codes(codes)
+                    if len(codes) >= k:
+                        chunk.append(codes)
+                        report.num_pairs += 1
+                    if len(chunk) >= 4096:
+                        flush_chunk()
+            if chunk:
+                flush_chunk()
+        report.num_fragments = len(corrected)
         ckpt.touch_stamp(outdir, ckpt.STAMP_LONGREADS_CORRECTED)
         if not corrected or params.stop_stage <= 2:
             report.elapsed_s = time.time() - t0
@@ -895,7 +880,7 @@ def assemble_long(
 def _finish_pe_stage3(
     state: dbg.GraphState,
     cfg: dbg.GraphConfig,
-    all_frags: List["fragmod.Fragment"],
+    store: "fragstore.FragmentStore",
     outdir: str,
     params: PipelineParams,
     report: "PipelineReport",
@@ -903,33 +888,27 @@ def _finish_pe_stage3(
 ) -> None:
     """Stage 2b (fragment-graph rebuild) + stage 3 for the PE path.
 
-    ``ref_paths``: reference transcript FASTAs whose k-mers and fragment
-    pairs augment the fragment graph (-ref, populateGraphFromFragments
-    refFastas branch, RNABloom.java:1553-1560)."""
+    Both passes stream fragments from the stratified store in fixed-size
+    batches — the reference's bounded-queue + strata-file flow
+    (RNABloom.java:4214-4301, :4886) — instead of materializing one dense
+    matrix.  ``ref_paths``: reference transcript FASTAs whose k-mers and
+    fragment pairs augment the fragment graph (-ref,
+    populateGraphFromFragments refFastas branch, RNABloom.java:1553-1560)."""
     from ..utils import checkpoint as ckpt
 
     k = cfg.k
     d_frag = cfg.fragment_pair_distance
-    frag_L = int(min(max(f.length for f in all_frags), params.max_walk_len))
+    frag_L = int(min(max(store.max_len, 2 * k), params.max_walk_len))
     state = dbg.GraphState(
         dbgbf=None,
         cbf=jnp.zeros_like(state.cbf),
         rpkbf=state.rpkbf,
         fpkbf=make_bloom(cfg.pkbf),
     )
-    frag_batch = np.full((len(all_frags), frag_L), 4, np.uint8)
-    frag_len = np.zeros(len(all_frags), np.int32)
-    for i, f in enumerate(all_frags):
-        n = min(f.length, frag_L)
-        frag_batch[i, :n] = f.codes[:n]
-        frag_len[i] = n
-    n_chunks = (len(all_frags) + 1023) // 1024
-    padded = np.full((n_chunks * 1024, frag_L), 4, np.uint8)
-    padded[: len(all_frags)] = frag_batch
-    for s in range(0, n_chunks * 1024, 1024):
+    add_pairs = frag_L - k + 1 > d_frag
+    for codes, _lens, _covs, _conn in store.iter_batches(1024, width=frag_L):
         state = dbg.rebuild_step(
-            state, cfg, jnp.asarray(padded[s : s + 1024]),
-            add_frag_pairs=frag_L - k + 1 > d_frag,
+            state, cfg, jnp.asarray(codes), add_frag_pairs=add_pairs
         )
 
     # -ref augmentation: add reference transcript k-mers + fragment pairs
@@ -947,51 +926,27 @@ def _finish_pe_stage3(
                     add_frag_pairs=params.max_walk_len - k + 1 > d_frag,
                 )
 
-    covs = np.asarray([f.min_cov for f in all_frags])
-    _run_stage3(state, cfg, frag_batch, frag_len, covs, outdir, params, report)
+    _run_stage3(state, cfg, store, outdir, params, report)
     ckpt.touch_stamp(outdir, ckpt.STAMP_TRANSCRIPTS_DONE)
     ckpt.touch_stamp(outdir, ckpt.STAMP_TRANSCRIPTS_NR_DONE)
 
 
-def _save_fragments(outdir: str, frags: List["fragmod.Fragment"]) -> None:
-    """Persist stage-2 fragments, stratified by coverage magnitude
-    (FragmentWriterWorker's E0..E5 .nbits files, RNABloom.java:4214-4301)."""
-    from ..io import nbits
-
-    frag_dir = os.path.join(outdir, "fragments")
-    os.makedirs(frag_dir, exist_ok=True)
-    by_mag: dict = {}
-    for f in frags:
-        by_mag.setdefault(fragmod.coverage_order_of_magnitude(f.min_cov), []).append(f)
-    meta = {}
-    for mag, fl in by_mag.items():
-        path = os.path.join(frag_dir, f"fragments.E{mag}.nbits")
-        with nbits.NbitsWriter(path) as w:
-            for f in fl:
-                w.write(sequtils.decode(f.codes))
-        meta[f"E{mag}"] = {"count": len(fl), "min_covs": [f.min_cov for f in fl]}
-    with open(os.path.join(frag_dir, "fragments.meta.json"), "w") as fh:
-        json.dump(meta, fh)
+def _new_fragment_store(outdir: str, params: PipelineParams) -> "fragstore.FragmentStore":
+    return fragstore.FragmentStore(
+        outdir,
+        long_threshold=params.min_transcript_length,
+        polya_priority=params.polya_min_len > 0,
+    )
 
 
-def _load_fragments(outdir: str) -> Optional[List["fragmod.Fragment"]]:
-    from ..io import nbits
-
-    frag_dir = os.path.join(outdir, "fragments")
-    meta_path = os.path.join(frag_dir, "fragments.meta.json")
-    if not os.path.exists(meta_path):
-        return None
-    with open(meta_path) as fh:
-        meta = json.load(fh)
-    out: List[fragmod.Fragment] = []
-    for key, info in meta.items():
-        path = os.path.join(frag_dir, f"fragments.{key}.nbits")
-        for seq, mc in zip(nbits.read_nbits(path), info["min_covs"]):
-            codes = sequtils.encode(seq)
-            out.append(
-                fragmod.Fragment(codes=codes, min_cov=mc, length=len(codes), connected=True)
-            )
-    return out
+def _store_fragment(
+    store: "fragstore.FragmentStore", f: "fragmod.Fragment", params: PipelineParams
+) -> None:
+    pa = (
+        params.polya_min_len > 0
+        and polya.find_polya_tail(f.codes) is not None
+    )
+    store.add(f.codes, f.min_cov, f.connected, polya=pa)
 
 
 def assemble_pe(
@@ -1035,12 +990,12 @@ def assemble_pe(
         and ckpt.has_stamp(outdir, ckpt.STAMP_FRAGMENTS_DONE)
         and os.path.exists(graph_prefix + ".graph.json")
     ):
-        frags = _load_fragments(outdir)
-        if frags:
+        store = fragstore.FragmentStore.open(outdir)
+        if store is not None and store.count > 0:
             state, cfg = ckpt.load_graph(graph_prefix)
-            report.num_fragments = len(frags)
+            report.num_fragments = store.count
             report.fragment_pair_distance = cfg.fragment_pair_distance
-            _finish_pe_stage3(state, cfg, frags, outdir, params, report)
+            _finish_pe_stage3(state, cfg, store, outdir, params, report)
             report.elapsed_s = time.time() - t0
             return report
 
@@ -1123,7 +1078,7 @@ def assemble_pe(
         lookahead=params.lookahead, extend_fragments=params.extend_fragments,
         ec_params=params.correct_params(),
     )
-    all_frags: List[fragmod.Fragment] = []
+    store = _new_fragment_store(outdir, params)
     frag_lengths: List[int] = []
     learned = False
     for lb, ll, rb, rl, multi in _iter_pair_batches(
@@ -1134,15 +1089,16 @@ def assemble_pe(
         outs = fragmod.assemble_fragments_batch(state, cfg, lb, ll, rb, rl, fparams)
         for f in outs:
             if f is not None and f.min_cov >= params.min_fragment_cov:
-                all_frags.append(f)
+                _store_fragment(store, f, params)
                 frag_lengths.append(f.length)
         if not learned and len(frag_lengths) >= params.sample_size:
             learned = True
             q1, _, q3 = sequtils.quartiles(np.asarray(frag_lengths))
             fparams.bound = int(q3 + (q3 - q1) * 3 // 2)
 
-    report.num_fragments = len(all_frags)
-    if not all_frags:
+    report.num_fragments = store.count
+    if store.count == 0:
+        store.close()
         report.elapsed_s = time.time() - t0
         return report
 
@@ -1159,12 +1115,12 @@ def assemble_pe(
     if sef_paths or ser_paths:
         _ingest_se_fragments(
             state, cfg, sef_paths, ser_paths, read_L, params,
-            all_frags, frag_lengths, report,
+            store, frag_lengths, report,
         )
-        report.num_fragments = len(all_frags)
+        report.num_fragments = store.count
 
-    timer.done("fragments assembled", f"{len(all_frags)}/{report.num_pairs} pairs connected")
-    _save_fragments(outdir, all_frags)
+    store.close()
+    timer.done("fragments assembled", f"{store.count}/{report.num_pairs} pairs connected")
     if save_graph:
         ckpt.save_graph(graph_prefix, state, cfg)
         ckpt.update_fragment_distance(graph_prefix, d_frag)
@@ -1174,7 +1130,7 @@ def assemble_pe(
         return report
 
     timer.start("stage 3: transcript assembly")
-    _finish_pe_stage3(state, cfg, all_frags, outdir, params, report, ref_paths=ref_paths)
+    _finish_pe_stage3(state, cfg, store, outdir, params, report, ref_paths=ref_paths)
     timer.done("transcripts assembled", f"{report.num_transcripts} transcripts, {report.num_nr} nr")
     report.elapsed_s = time.time() - t0
     with open(os.path.join(outdir, f"{params.name}.report.json"), "w") as f:

@@ -31,9 +31,14 @@ class NbitsWriter:
     def write(self, sequence: str) -> None:
         codes = sequtils.encode(sequence)
         assert (codes < 4).all(), "nbits cannot store ambiguous bases"
+        self.write_codes(codes)
+
+    def write_codes(self, codes: np.ndarray) -> None:
+        """Write a 2-bit code array (rare residual N/4 codes store as A,
+        matching the reference's ACGT-only format)."""
         n = len(codes)
         padded = np.zeros((n + 3) // 4 * 4, dtype=np.uint8)
-        padded[:n] = codes
+        padded[:n] = np.where(codes < 4, codes, 0)
         quads = padded.reshape(-1, 4)
         packed = quads[:, 0] | (quads[:, 1] << 2) | (quads[:, 2] << 4) | (quads[:, 3] << 6)
         self._f.write(struct.pack("<i", n))
@@ -49,7 +54,8 @@ class NbitsWriter:
         self.close()
 
 
-def read_nbits(path: str) -> Iterator[str]:
+def read_nbits_codes(path: str) -> Iterator[np.ndarray]:
+    """Yield 2-bit code arrays, one per stored fragment."""
     with _open(path, "rb") as f:
         while True:
             head = f.read(4)
@@ -63,4 +69,9 @@ def read_nbits(path: str) -> Iterator[str]:
             codes[1::4] = (data >> 2) & 3
             codes[2::4] = (data >> 4) & 3
             codes[3::4] = (data >> 6) & 3
-            yield sequtils.decode(codes[:n])
+            yield codes[:n]
+
+
+def read_nbits(path: str) -> Iterator[str]:
+    for codes in read_nbits_codes(path):
+        yield sequtils.decode(codes)
