@@ -180,6 +180,28 @@ def _query_hash(cfg: GraphConfig, wcfg: WalkConfig, fh: U64, rh: U64) -> U64:
     return u64.min_signed(fh, rh)
 
 
+class DeviceBackend:
+    """Single-device graph queries (the default).
+
+    The traversal engine routes every filter access through a backend so
+    the same walk kernels run over hash-range-sharded filters on a device
+    mesh (parallel.sharded.ShardedBackend): counts/lookups become routed
+    all-to-all gathers and the loop-control predicates become global
+    reductions so every shard agrees on each collective's schedule."""
+
+    def counts(self, graph: GraphState, cfg: GraphConfig, base: U64) -> jax.Array:
+        return dbgmod.get_counts(graph, cfg, base)
+
+    def bloom_lookup(self, lanes, bcfg, hashes: U64) -> jax.Array:
+        return filters.bloom_lookup(lanes, bcfg, hashes)
+
+    def any_global(self, x: jax.Array) -> jax.Array:
+        return jnp.any(x)
+
+
+DEVICE_BACKEND = DeviceBackend()
+
+
 def _counts_of(graph: GraphState, cfg: GraphConfig, base: U64) -> jax.Array:
     return dbgmod.get_counts(graph, cfg, base)
 
@@ -270,7 +292,7 @@ def _apply_advance(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "wcfg", "max_hops"),
+    static_argnames=("cfg", "wcfg", "max_hops", "backend"),
     donate_argnames=("state",),
 )
 def walk_superstep(
@@ -282,6 +304,7 @@ def walk_superstep(
     bound: jax.Array,  # (W,) int32 max hops per lane
     max_hops: int,
     terminators: Optional[jax.Array] = None,  # screening BF lanes
+    backend: DeviceBackend = DEVICE_BACKEND,
 ) -> WalkState:
     """Advance all active lanes while each has exactly one viable successor.
 
@@ -294,7 +317,7 @@ def walk_superstep(
         active = st.status == ACTIVE
         out_codes = _gather_out_codes(st.buf, st.pos, cfg.k)
         fh4, rh4, q4 = _successors(cfg, wcfg, st.fh, st.rh, out_codes)
-        counts = _counts_of(graph, cfg, q4)  # (W, 4)
+        counts = backend.counts(graph, cfg, q4)  # (W, 4)
         viable = counts >= jnp.maximum(min_cov, 1.0)[:, None]
         nviable = jnp.sum(viable.astype(jnp.int32), axis=1)
 
@@ -308,7 +331,7 @@ def walk_superstep(
         if wcfg.use_terminators and terminators is not None:
             tcfg = wcfg.term_cfg
             th = nthash.multi_hash(qn, cfg.k, tcfg.num_hash)
-            term = filters.bloom_lookup(terminators, tcfg, th)
+            term = backend.bloom_lookup(terminators, tcfg, th)
 
         full = (st.pos >= wcfg.max_len - 1) | (st.hops >= bound)
 
@@ -330,7 +353,7 @@ def walk_superstep(
         return st._replace(status=new_status.astype(jnp.int32))
 
     def cond(st: WalkState) -> jax.Array:
-        return jnp.any(st.status == ACTIVE)
+        return backend.any_global(st.status == ACTIVE)
 
     def outer(i, st):
         return jax.lax.cond(cond(st), body, lambda s: s, st)
@@ -347,6 +370,7 @@ def _expand_scores(
     fh4: U64,
     rh4: U64,
     q4: U64,
+    backend: DeviceBackend = DEVICE_BACKEND,
 ) -> jax.Array:
     """Greedy lookahead scores per candidate (W, 4).
 
@@ -355,7 +379,7 @@ def _expand_scores(
     shorter than ``lookahead`` scores 0; lookahead == 1 scores count(c)).
     """
     W = pos.shape[0]
-    cand_counts = _counts_of(graph, cfg, q4)  # (W, 4)
+    cand_counts = backend.counts(graph, cfg, q4)  # (W, 4)
     if wcfg.lookahead == 1:
         return cand_counts
 
@@ -365,7 +389,7 @@ def _expand_scores(
     out1 = jnp.broadcast_to(out1[:, None], (W, 4))
     fh_l1, rh_l1 = nthash.successor_hashes(fh4, out1, cfg.k, rh=rh4)  # (W,4,4)
     q_l1 = _query_hash(cfg, wcfg, fh_l1, rh_l1)
-    c_l1 = _counts_of(graph, cfg, q_l1)  # (W,4,4)
+    c_l1 = backend.counts(graph, cfg, q_l1)  # (W,4,4)
 
     if wcfg.lookahead == 2:
         # path = [cand, n1]: min(count(c), count(n1)), max over n1
@@ -376,7 +400,7 @@ def _expand_scores(
     out2 = jnp.broadcast_to(out2[:, None, None], (W, 4, 4))
     fh_l2, rh_l2 = nthash.successor_hashes(fh_l1, out2, cfg.k, rh=rh_l1)  # (W,4,4,4)
     q_l2 = _query_hash(cfg, wcfg, fh_l2, rh_l2)
-    c_l2 = _counts_of(graph, cfg, q_l2)  # (W,4,4,4)
+    c_l2 = backend.counts(graph, cfg, q_l2)  # (W,4,4,4)
 
     # path = [cand, n1, n2]
     path_min = jnp.minimum(
@@ -403,7 +427,7 @@ def _expand_scores(
         outc = jnp.broadcast_to(outc[:, None], (W, 64)).reshape(leaves)
         f4, r4 = nthash.successor_hashes(fh_c, outc, cfg.k, rh=rh_c)
         qq = _query_hash(cfg, wcfg, f4, r4)
-        cc = _counts_of(graph, cfg, qq)  # (leaves, 4)
+        cc = backend.counts(graph, cfg, qq)  # (leaves, 4)
         best = jnp.argmax(cc, axis=1).astype(jnp.int32)
         rows = jnp.arange(leaves)
         fh_n = u64.U64(f4.lo[rows, best], f4.hi[rows, best])
@@ -425,12 +449,13 @@ def _tip_probe(
     rh4: U64,
     q4: U64,
     min_cov: jax.Array,
+    backend: DeviceBackend = DEVICE_BACKEND,
 ) -> jax.Array:
     """Greedy depth probe per candidate: depth reached following max-count
     successors, up to tip_probe_depth.  Returns (W, 4) int32 depths
     (candidate itself = depth 1 when viable)."""
     W = pos.shape[0]
-    counts = _counts_of(graph, cfg, q4)
+    counts = backend.counts(graph, cfg, q4)
     viable0 = counts >= jnp.maximum(min_cov, 1.0)[:, None]
     depth = viable0.astype(jnp.int32)
 
@@ -446,7 +471,7 @@ def _tip_probe(
         outc = jnp.broadcast_to(outc[:, None], (W, 4)).reshape(W * 4)
         f4, r4 = nthash.successor_hashes(fh_c, outc, cfg.k, rh=rh_c)
         qq = _query_hash(cfg, wcfg, f4, r4)
-        cc = _counts_of(graph, cfg, qq)  # (W*4, 4)
+        cc = backend.counts(graph, cfg, qq)  # (W*4, 4)
         mc = jnp.broadcast_to(jnp.maximum(min_cov, 1.0)[:, None], (W, 4)).reshape(W * 4)
         ok = cc >= mc[:, None]
         best = jnp.argmax(jnp.where(ok, cc, -1.0), axis=1).astype(jnp.int32)
@@ -481,6 +506,7 @@ def _probe_with_hashes(
     rh4: U64,
     q4: U64,
     min_cov: jax.Array,
+    backend: DeviceBackend = DEVICE_BACKEND,
 ):
     """Greedy naive descent of depth pair_probe_depth per candidate,
     recording each probe k-mer's (fh, rh, count, alive).
@@ -492,7 +518,7 @@ def _probe_with_hashes(
     W = pos.shape[0]
     D = wcfg.pair_probe_depth
     assert D <= cfg.k - 1, "pair_probe_depth must stay below k"
-    counts0 = _counts_of(graph, cfg, q4)
+    counts0 = backend.counts(graph, cfg, q4)
     alive0 = counts0 >= jnp.maximum(min_cov, 1.0)[:, None]
 
     fh_c = u64.reshape(fh4, (W * 4,))
@@ -509,7 +535,7 @@ def _probe_with_hashes(
         outc = jnp.broadcast_to(outc[:, None], (W, 4)).reshape(W * 4)
         f4, r4 = nthash.successor_hashes(fh_c, outc, cfg.k, rh=rh_c)
         qq = _query_hash(cfg, wcfg, f4, r4)
-        cc = _counts_of(graph, cfg, qq)  # (W*4, 4)
+        cc = backend.counts(graph, cfg, qq)  # (W*4, 4)
         ok = cc >= mc[:, None]
         best = jnp.argmax(jnp.where(ok, cc, -1.0), axis=1).astype(jnp.int32)
         alive_n = alive & jnp.any(ok, axis=1)
@@ -553,6 +579,7 @@ def _pair_scores(
     rh_p: U64,
     counts_p: jax.Array,
     alive_p: jax.Array,
+    backend: DeviceBackend = DEVICE_BACKEND,
 ):
     """extendRightPE candidate scores from read+fragment pair support.
 
@@ -587,7 +614,7 @@ def _pair_scores(
             else:
                 ph = nthash.combine_canonical(pf, pr, fh_p, rh_p)
         hp = nthash.multi_hash(ph, cfg.k, cfg.pkbf.num_hash)
-        sup = filters.bloom_lookup(pkbf_lanes, cfg.pkbf, hp)
+        sup = backend.bloom_lookup(pkbf_lanes, cfg.pkbf, hp)
         sup = sup & reachable & alive_p
         return sup, jnp.any(reachable & alive_p, axis=-1)
 
@@ -633,7 +660,7 @@ def _pair_scores(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "wcfg", "mode"),
+    static_argnames=("cfg", "wcfg", "mode", "backend"),
     donate_argnames=("state",),
 )
 def resolve_branches(
@@ -643,6 +670,7 @@ def resolve_branches(
     wcfg: WalkConfig,
     min_cov: jax.Array,
     mode: str = "greedy",
+    backend: DeviceBackend = DEVICE_BACKEND,
 ) -> WalkState:
     """Resolve lanes frozen with BRANCH status.
 
@@ -658,11 +686,13 @@ def resolve_branches(
     at_branch = state.status == BRANCH
     out_codes = _gather_out_codes(state.buf, state.pos, cfg.k)
     fh4, rh4, q4 = _successors(cfg, wcfg, state.fh, state.rh, out_codes)
-    counts = _counts_of(graph, cfg, q4)
+    counts = backend.counts(graph, cfg, q4)
     viable = counts >= jnp.maximum(min_cov, 1.0)[:, None]
 
     if mode == "greedy":
-        scores = _expand_scores(graph, cfg, wcfg, state.buf, state.pos, fh4, rh4, q4)
+        scores = _expand_scores(
+            graph, cfg, wcfg, state.buf, state.pos, fh4, rh4, q4, backend=backend
+        )
         scores = jnp.where(viable, scores, -1.0)
         # lexicographic: best score, then higher candidate count, then first
         # base order (argmax takes the first maximum — the reference's
@@ -675,10 +705,12 @@ def resolve_branches(
         new_status = jnp.where(at_branch, ACTIVE, state.status)
     elif mode == "pair":
         fh_p, rh_p, counts_p, alive_p = _probe_with_hashes(
-            graph, cfg, wcfg, state.buf, state.pos, fh4, rh4, q4, min_cov
+            graph, cfg, wcfg, state.buf, state.pos, fh4, rh4, q4, min_cov,
+            backend=backend,
         )
         scores, med, ok = _pair_scores(
-            state, graph, cfg, wcfg, fh_p, rh_p, counts_p, alive_p
+            state, graph, cfg, wcfg, fh_p, rh_p, counts_p, alive_p,
+            backend=backend,
         )
         scores = jnp.where(viable, scores, -1.0)
         any_ok = jnp.any(scores >= 0.0, axis=1)
@@ -689,7 +721,10 @@ def resolve_branches(
             at_branch, jnp.where(any_ok, ACTIVE, STOPPED_BRANCH), state.status
         )
     else:
-        depth = _tip_probe(graph, cfg, wcfg, state.buf, state.pos, fh4, rh4, q4, min_cov)
+        depth = _tip_probe(
+            graph, cfg, wcfg, state.buf, state.pos, fh4, rh4, q4, min_cov,
+            backend=backend,
+        )
         deep = depth >= wcfg.tip_probe_depth
         ndeep = jnp.sum(deep.astype(jnp.int32), axis=1)
         best = jnp.argmax(jnp.where(deep, counts, -1.0), axis=1).astype(jnp.uint8)
@@ -716,7 +751,8 @@ def resolve_branches(
 @partial(
     jax.jit,
     static_argnames=(
-        "cfg", "wcfg", "mode", "superstep_hops", "max_supersteps", "has_term"
+        "cfg", "wcfg", "mode", "superstep_hops", "max_supersteps", "has_term",
+        "backend",
     ),
 )
 def _extend_walks_fused(
@@ -731,6 +767,7 @@ def _extend_walks_fused(
     superstep_hops: int,
     max_supersteps: int,
     has_term: bool,
+    backend: DeviceBackend = DEVICE_BACKEND,
 ) -> WalkState:
     """One device dispatch for the whole extension: lax.while_loop
     alternating walk supersteps and branch resolution.
@@ -744,11 +781,14 @@ def _extend_walks_fused(
     def step(carry):
         st, i = carry
         st = walk_superstep(
-            st, graph, cfg, wcfg, min_cov, bound, superstep_hops, terminators=term
+            st, graph, cfg, wcfg, min_cov, bound, superstep_hops,
+            terminators=term, backend=backend,
         )
         st = jax.lax.cond(
-            jnp.any(st.status == BRANCH),
-            lambda s: resolve_branches(s, graph, cfg, wcfg, min_cov, mode=mode),
+            backend.any_global(st.status == BRANCH),
+            lambda s: resolve_branches(
+                s, graph, cfg, wcfg, min_cov, mode=mode, backend=backend
+            ),
             lambda s: s,
             st,
         )
@@ -756,7 +796,7 @@ def _extend_walks_fused(
 
     def cond(carry):
         st, i = carry
-        live = jnp.any((st.status == ACTIVE) | (st.status == BRANCH))
+        live = backend.any_global((st.status == ACTIVE) | (st.status == BRANCH))
         return live & (i < max_supersteps)
 
     state, _ = jax.lax.while_loop(cond, step, (state, jnp.int32(0)))
@@ -774,6 +814,7 @@ def extend_walks(
     terminators: Optional[jax.Array] = None,
     superstep_hops: int = 64,
     max_supersteps: int = 64,
+    backend: DeviceBackend = DEVICE_BACKEND,
 ) -> WalkState:
     """Extend all walk lanes to completion (single fused device dispatch)."""
     W = state.pos.shape[0]
@@ -783,11 +824,11 @@ def extend_walks(
         dummy = jnp.zeros((1,), jnp.uint8)
         return _extend_walks_fused(
             state, graph, cfg, wcfg, min_cov, bound, dummy,
-            mode, superstep_hops, max_supersteps, False,
+            mode, superstep_hops, max_supersteps, False, backend=backend,
         )
     return _extend_walks_fused(
         state, graph, cfg, wcfg, min_cov, bound, terminators,
-        mode, superstep_hops, max_supersteps, True,
+        mode, superstep_hops, max_supersteps, True, backend=backend,
     )
 
 

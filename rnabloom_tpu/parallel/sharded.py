@@ -294,6 +294,100 @@ def _blocked_cell_indices(ccfg: CountingConfig, hashes: U64, valid, my, n: int):
     return lidx.reshape(-1), t.reshape(-1)
 
 
+def _routed_gather(flat: jax.Array, lidx: jax.Array, t: jax.Array, n: int, axis: str, sentinel: int, fill=0):
+    """Gather flat[lidx] where each index lives on shard ``t``.
+
+    Routes indices with one all-to-all, gathers locally, routes values
+    back with a second all-to-all, and restores request order.
+    """
+    m = lidx.shape[0]
+    send, ts, rank, order = _route_requests(lidx, t, n, sentinel=sentinel)
+    req = _a2a(send, axis)
+    vals = jnp.take(flat, req, axis=0, mode="clip")
+    resp = _a2a(vals, axis)
+    return _gather_responses(resp, ts, rank, order, m, fill=fill)
+
+
+def _sharded_counting_count(
+    counts_flat: jax.Array,  # local (local+1,) or blocked rows flat
+    ccfg: CountingConfig,
+    h: U64,  # (..., num_hash) multi-hashes
+    n: int,
+    axis: str,
+) -> jax.Array:
+    """Routed count-min read: min over hash cells, any leading shape."""
+    local_log2 = ccfg.size_log2 - int(math.log2(n))
+    my = jax.lax.axis_index(axis).astype(jnp.int32)
+    if ccfg.blocked:
+        lidx, t = _blocked_cell_indices(ccfg, h, None, my, n)
+        sentinel = 128 << (ccfg.size_log2 - 7 - int(math.log2(n)))
+    else:
+        lidx, t = _global_indices(h, ccfg.size_log2, None, my, local_log2, n)
+        sentinel = 1 << local_log2
+    mine = _routed_gather(counts_flat, lidx, t, n, axis, sentinel)
+    return jnp.min(mine.reshape(h.lo.shape), axis=-1)
+
+
+def _sharded_bloom_query(
+    lanes_flat: jax.Array,  # local (local+1,)
+    size_log2: int,
+    h: U64,  # (..., num_hash)
+    n: int,
+    axis: str,
+) -> jax.Array:
+    """Routed Bloom membership: AND over hash lanes, any leading shape."""
+    local_log2 = size_log2 - int(math.log2(n))
+    my = jax.lax.axis_index(axis).astype(jnp.int32)
+    lidx, t = _global_indices(h, size_log2, None, my, local_log2, n)
+    mine = _routed_gather(lanes_flat, lidx, t, n, axis, 1 << local_log2)
+    return jnp.all(mine.reshape(h.lo.shape) != 0, axis=-1)
+
+
+class ShardedBackend:
+    """Graph-query backend for walk kernels running inside shard_map.
+
+    Walk lanes are data-parallel over the mesh axis; every filter access
+    becomes a routed all-to-all gather against the hash-range-sharded
+    filter blocks, and loop-control predicates are global psum-reductions
+    so all shards schedule the same collectives (a lax.cond whose branches
+    contain collectives deadlocks if shards disagree on the predicate).
+    """
+
+    def __init__(self, axis: str, n: int):
+        self.axis = axis
+        self.n = n
+
+    # jit-static identity: one cache entry per (axis, n)
+    def __hash__(self):
+        return hash((type(self).__name__, self.axis, self.n))
+
+    def __eq__(self, other):
+        return (
+            type(other) is type(self)
+            and other.axis == self.axis
+            and other.n == self.n
+        )
+
+    def counts(self, graph, cfg: GraphConfig, base: U64) -> jax.Array:
+        h_cbf = nthash.multi_hash(base, cfg.k, cfg.cbf.num_hash)
+        est = _sharded_counting_count(graph.cbf[0], cfg.cbf, h_cbf, self.n, self.axis)
+        if not cfg.exact_counts:
+            return est.astype(jnp.float32)
+        h_dbg = nthash.multi_hash(base, cfg.k, cfg.dbgbf.num_hash)
+        member = _sharded_bloom_query(
+            graph.dbgbf[0], cfg.dbgbf.size_log2, h_dbg, self.n, self.axis
+        )
+        return jnp.where(member, est.astype(jnp.float32) + 1.0, 0.0)
+
+    def bloom_lookup(self, lanes, bcfg, hashes: U64) -> jax.Array:
+        return _sharded_bloom_query(
+            lanes[0], bcfg.size_log2, hashes, self.n, self.axis
+        )
+
+    def any_global(self, x: jax.Array) -> jax.Array:
+        return jax.lax.psum(jnp.any(x).astype(jnp.int32), self.axis) > 0
+
+
 # ---------------------------------------------------------------------------
 # Fused sharded build step
 # ---------------------------------------------------------------------------
@@ -405,3 +499,180 @@ def sharded_count_query(mesh: Mesh, cfg: GraphConfig):
         check_vma=False,
     )
     return jax.jit(smapped)
+
+
+def _state_specs(cfg: GraphConfig, axis: str, rpkbf: bool, fpkbf: bool):
+    return ShardedGraphState(
+        dbgbf=P(axis, None) if cfg.exact_counts else None,
+        cbf=P(axis, None),
+        rpkbf=P(axis, None) if rpkbf else None,
+        fpkbf=P(axis, None) if fpkbf else None,
+    )
+
+
+def sharded_rebuild_step(mesh: Mesh, cfg: GraphConfig, add_frag_pairs: bool = True):
+    """Fragment-graph rebuild over the mesh: count-min increments plus
+    fragment-pair-key inserts ride the same all-to-all program
+    (the sharded analog of dbg.rebuild_step)."""
+    n = mesh.devices.size
+    axis = mesh.axis_names[0]
+    specs = _state_specs(cfg, axis, rpkbf=True, fpkbf=True)
+
+    def step_local(state: ShardedGraphState, codes: jax.Array) -> ShardedGraphState:
+        fh, rh, base, valid = dbg.seq_hashes(cfg, codes)
+        h_cbf = nthash.multi_hash(base, cfg.k, cfg.cbf.num_hash)
+        if cfg.exact_counts:
+            new_dbg, present = _sharded_bloom_insert_lookup(
+                state.dbgbf, nthash.multi_hash(base, cfg.k, cfg.dbgbf.num_hash),
+                valid, cfg.dbgbf.size_log2, cfg.dbgbf.num_hash, n, axis,
+            )
+            dec_first = jnp.logical_and(valid, jnp.logical_not(present))
+            new_cbf = _sharded_counting_increment(
+                state.cbf, h_cbf, valid, dec_first, cfg.cbf, n, axis
+            )
+        else:
+            new_dbg = None
+            if cfg.cbf.blocked:
+                new_cbf = _sharded_counting_add_blocked(state.cbf, h_cbf, valid, cfg.cbf, n, axis)
+            else:
+                new_cbf = _sharded_counting_add_cm(state.cbf, h_cbf, valid, cfg.cbf, n, axis)
+        new_fpk = state.fpkbf
+        if add_frag_pairs and state.fpkbf is not None and cfg.fragment_pair_distance > 0:
+            d = cfg.fragment_pair_distance
+            pair_base, np_ = dbg.pair_base_hashes(cfg, fh, rh, d)
+            pv = jnp.logical_and(valid[..., :np_], valid[..., d:])
+            hp = nthash.multi_hash(pair_base, cfg.k, cfg.pkbf.num_hash)
+            new_fpk, _ = _sharded_bloom_insert_lookup(
+                state.fpkbf, hp, pv, cfg.pkbf.size_log2, cfg.pkbf.num_hash, n, axis
+            )
+        return ShardedGraphState(new_dbg, new_cbf, state.rpkbf, new_fpk)
+
+    smapped = shard_map(
+        step_local, mesh=mesh, in_specs=(specs, P(axis, None)),
+        out_specs=specs, check_vma=False,
+    )
+    return jax.jit(smapped, donate_argnums=(0,))
+
+
+def sharded_pair_support(mesh: Mesh, cfg: GraphConfig, d_frag: int, d_read: int,
+                         rpkbf: bool = True, fpkbf: bool = False):
+    """(state, codes) -> (2, B, P) packed fragment+read pair support.
+
+    The sharded analog of transcripts._pair_support_both_jit: pair hashes
+    at both distances are answered by routed lookups into the sharded
+    rpkbf/fpkbf in one program.  A zero distance yields a False plane.
+    """
+    n = mesh.devices.size
+    axis = mesh.axis_names[0]
+    specs = _state_specs(cfg, axis, rpkbf=rpkbf, fpkbf=fpkbf)
+
+    def query_local(state: ShardedGraphState, codes: jax.Array):
+        fh, rh, base, valid = dbg.seq_hashes(cfg, codes)
+        B, Pn = valid.shape
+        out = []
+        for d, lanes in ((d_frag, state.fpkbf), (d_read, state.rpkbf)):
+            if d <= 0 or lanes is None:
+                out.append(jnp.zeros((B, Pn), bool))
+                continue
+            pair_base, np_ = dbg.pair_base_hashes(cfg, fh, rh, d)
+            hp = nthash.multi_hash(pair_base, cfg.k, cfg.pkbf.num_hash)
+            sup = _sharded_bloom_query(lanes[0], cfg.pkbf.size_log2, hp, n, axis)
+            pv = jnp.logical_and(valid[..., :np_], valid[..., d:])
+            out.append(jnp.zeros((B, Pn), bool).at[:, :np_].set(sup & pv))
+        return jnp.stack(out)
+
+    smapped = shard_map(
+        query_local, mesh=mesh, in_specs=(specs, P(axis, None)),
+        out_specs=P(None, axis, None), check_vma=False,
+    )
+    return jax.jit(smapped)
+
+
+def sharded_variant_counts(mesh: Mesh, cfg: GraphConfig, rpkbf: bool, fpkbf: bool):
+    """(state, codes) -> (hit, valid): any existing left/right SNV variant
+    per k-mer (the sharded analog of transcripts._variant_exists_jit)."""
+    n = mesh.devices.size
+    axis = mesh.axis_names[0]
+    specs = _state_specs(cfg, axis, rpkbf=rpkbf, fpkbf=fpkbf)
+
+    def query_local(state: ShardedGraphState, codes: jax.Array):
+        fh, rh, base, valid = dbg.seq_hashes(cfg, codes)
+        Pn = fh.lo.shape[1]
+        last = codes[:, cfg.k - 1 : cfg.k - 1 + Pn]
+        first = codes[:, :Pn]
+        fr4, rr4 = nthash.variant_hashes_right(fh, last, cfg.k, rh)
+        fl4, rl4 = nthash.variant_hashes_left(fh, first, cfg.k, rh)
+        backend = ShardedBackend(axis, n)
+        out = None
+        for f4, r4, cur in ((fr4, rr4, last), (fl4, rl4, first)):
+            q4 = f4 if cfg.stranded else nthash.canonical(f4, r4)
+            counts4 = backend.counts(state, cfg, q4)
+            is_self = jnp.arange(4, dtype=jnp.uint8)[None, None, :] == cur[..., None]
+            hit = jnp.any((counts4 > 0) & ~is_self, axis=-1)
+            out = hit if out is None else (out | hit)
+        return jnp.where(valid, out, False), valid
+
+    smapped = shard_map(
+        query_local, mesh=mesh, in_specs=(specs, P(axis, None)),
+        out_specs=(P(axis, None), P(axis, None)), check_vma=False,
+    )
+    return jax.jit(smapped)
+
+
+def sharded_extend_walks(mesh: Mesh, cfg: GraphConfig, wcfg, mode: str,
+                         rpkbf: bool, fpkbf: bool,
+                         superstep_hops: int = 64, max_supersteps: int = 64):
+    """Walk-extension program over the mesh: lanes are DP-sharded, every
+    count/pair lookup is a routed gather, and the superstep/branch loop
+    runs under globally-agreed predicates (one program, no host syncs)."""
+    from ..graph import traverse
+
+    n = mesh.devices.size
+    axis = mesh.axis_names[0]
+    gspecs = _state_specs(cfg, axis, rpkbf=rpkbf, fpkbf=fpkbf)
+    backend = ShardedBackend(axis, n)
+
+    def local(wstate, gstate, min_cov, bound):
+        dummy = jnp.zeros((1,), jnp.uint8)
+        return traverse._extend_walks_fused(
+            wstate, gstate, cfg, wcfg, min_cov, bound, dummy,
+            mode, superstep_hops, max_supersteps, False, backend=backend,
+        )
+
+    smapped = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis), gspecs, P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+
+    def run(wstate, gstate, min_cov, bound):
+        W = wstate.pos.shape[0]
+        min_cov = jnp.broadcast_to(jnp.asarray(min_cov, jnp.float32), (W,))
+        bound = jnp.broadcast_to(jnp.asarray(bound, jnp.int32), (W,))
+        return smapped(wstate, gstate, min_cov, bound)
+
+    return run
+
+
+def sharded_fprs(state: ShardedGraphState, cfg: GraphConfig) -> dict:
+    """Filter FPRs from global popcounts (jnp reductions over the
+    distributed arrays compile to psum collectives)."""
+    from ..bloom import filters as _f
+
+    out = {}
+
+    def bloom_fpr(lanes, bcfg):
+        fill = jnp.count_nonzero(lanes[:, :-1]) / bcfg.size
+        return float(fill) ** bcfg.num_hash
+
+    trash = 128 if cfg.cbf.blocked else 1
+    fill = jnp.count_nonzero(state.cbf[:, :-trash]) / cfg.cbf.size
+    out["cbf"] = float(fill) ** cfg.cbf.num_hash
+    if state.dbgbf is not None:
+        out["dbgbf"] = bloom_fpr(state.dbgbf, cfg.dbgbf)
+    if state.rpkbf is not None:
+        out["rpkbf"] = bloom_fpr(state.rpkbf, cfg.pkbf)
+    if state.fpkbf is not None:
+        out["fpkbf"] = bloom_fpr(state.fpkbf, cfg.pkbf)
+    return out
