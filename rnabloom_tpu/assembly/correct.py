@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..graph import dbg
+from ..graph import dbg, engine
 from ..graph.dbg import GraphConfig, GraphState
 
 
@@ -137,12 +137,16 @@ def find_candidates(
     )
 
 
-@partial(jax.jit, static_argnames=("cfg",))
 def _window_scores(
-    graph: GraphState, cfg: GraphConfig, windows: jax.Array
+    graph, cfg: GraphConfig, windows: jax.Array
 ) -> Tuple[jax.Array, jax.Array]:
     """(min_cov, median_cov) over each window row's valid k-mers."""
-    counts, valid = dbg.count_step(graph, cfg, windows)
+    counts, valid = engine.count_step(graph, cfg, windows)
+    return _scores_from_counts(counts, valid)
+
+
+@jax.jit
+def _scores_from_counts(counts, valid):
     big = jnp.where(valid, counts, jnp.inf)
     mn = jnp.min(big, axis=1)
     mn = jnp.where(jnp.isfinite(mn), mn, 0.0)
@@ -183,8 +187,7 @@ def correct_batch(
     changed = np.zeros(B, dtype=bool)
 
     for _ in range(params.rounds):
-        jc = jnp.asarray(codes)
-        counts_d, valid_d = dbg.count_step(graph, cfg, jc)
+        counts_d, valid_d = engine.count_step(graph, cfg, codes)
         nvalid = jnp.sum(valid_d.astype(jnp.int32), axis=1)
         fp_allowed = jnp.round(nvalid * params.cov_fpr).astype(jnp.int32)
         thr_d, found_d = coverage_thresholds(

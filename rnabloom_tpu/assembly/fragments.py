@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..graph import dbg, traverse
+from ..graph import dbg, engine, traverse
 from ..graph.dbg import GraphConfig, GraphState
 from ..utils import seq as sequtils
 from . import correct
@@ -65,49 +65,54 @@ def find_overlaps(
 ) -> np.ndarray:
     """Largest exact suffix(left)-prefix(right) overlap per pair (0 = none).
 
-    Vectorized over the batch: one equality scan per candidate overlap size,
-    longest first.
+    Rolling polynomial hashes of every left suffix and right prefix are
+    built in one O(L) scan of (B,) vector ops; candidate sizes match where
+    the hashes agree (largest first), and the winner is verified exactly —
+    O(B*L) total instead of the O(B*L^2) per-size equality scans.
     """
     B, L = left.shape
-    best = np.zeros(B, dtype=np.int32)
     max_o = int(min(left_len.max(initial=0), right_len.max(initial=0)))
-    rows_all = np.arange(B)
-    for o in range(max_o, min_overlap - 1, -1):
-        undecided = best == 0
-        if not undecided.any():
-            break
-        ok = undecided & (left_len >= o) & (right_len >= o)
-        if not ok.any():
-            continue
-        rows = np.flatnonzero(ok)
-        # gather each row's length-o suffix of left and compare to right's
-        # prefix in one vectorized equality
-        cols = (left_len[rows, None] - o) + np.arange(o)[None, :]
-        suffix = left[rows[:, None], cols]
-        match = (suffix == right[rows, :o]).all(axis=1)
-        best[rows[match]] = o
+    best = np.zeros(B, dtype=np.int32)
+    if max_o < min_overlap:
+        return best
+    MUL = np.uint64(0x100000001B3)  # FNV prime
+    rows = np.arange(B)
+    suf = np.zeros((B, max_o + 1), np.uint64)  # suf[:, o] = hash(left[ll-o:ll])
+    pre = np.zeros((B, max_o + 1), np.uint64)  # pre[:, o] = hash(right[:o])
+    powm = np.uint64(1)
+    with np.errstate(over="ignore"):
+        for o in range(1, max_o + 1):
+            lcol = left[rows, np.maximum(left_len - o, 0)].astype(np.uint64) + np.uint64(1)
+            suf[:, o] = lcol * powm + suf[:, o - 1]
+            rcol = right[:, o - 1].astype(np.uint64) + np.uint64(1)
+            pre[:, o] = pre[:, o - 1] * MUL + rcol
+            powm = powm * MUL
+    o_ax = np.arange(max_o + 1)[None, :]
+    okmask = (
+        (suf == pre)
+        & (o_ax >= min_overlap)
+        & (o_ax <= left_len[:, None])
+        & (o_ax <= right_len[:, None])
+    )
+    cand = np.max(np.where(okmask, o_ax, 0), axis=1).astype(np.int32)
+    # exact verification of the selected size (hash collisions are ~2^-64,
+    # but correctness must not hinge on that)
+    for b in np.flatnonzero(cand):
+        o = int(cand[b])
+        if (left[b, left_len[b] - o : left_len[b]] == right[b, :o]).all():
+            best[b] = o
+        else:  # collision: fall back to the scan for this row only
+            for o in range(o - 1, min_overlap - 1, -1):
+                if (left[b, left_len[b] - o : left_len[b]] == right[b, :o]).all():
+                    best[b] = o
+                    break
     return best
 
 
-from functools import partial
-
-
-@partial(jax.jit, static_argnames=("cfg",))
-def _pair_support_jit(graph: GraphState, cfg: GraphConfig, codes: jnp.ndarray):
-    fh, rh, base, valid = dbg.seq_hashes(cfg, codes)
-    d = cfg.read_pair_distance
-    pair_base, np_ = dbg.pair_base_hashes(cfg, fh, rh, d)
-    sup = dbg.lookup_read_pair(graph, cfg, pair_base)
-    pv = jnp.logical_and(valid[..., :np_], valid[..., d:])
-    return jnp.logical_and(sup, pv), valid
-
-
-def _pair_support(
-    graph: GraphState, cfg: GraphConfig, codes: jnp.ndarray
-) -> Tuple[np.ndarray, np.ndarray]:
-    """(supported (B, P-d) bool, valid (B,P)) read-pair k-mer support."""
-    sup, valid = _pair_support_jit(graph, cfg, codes)
-    return np.asarray(sup), np.asarray(valid)
+def _pair_support(graph, cfg: GraphConfig, codes) -> np.ndarray:
+    """(B, P) read-pair k-mer support plane (entry i covers pair (i, i+d));
+    engine-dispatched (single device or mesh)."""
+    return engine.pair_support_both(graph, cfg, codes, 0, cfg.read_pair_distance)[1]
 
 
 def pair_break_segments(
@@ -140,7 +145,7 @@ def longest_supported_range(
 ) -> List[Optional[Tuple[int, int]]]:
     """Per row: largest supported base range [s, e) or None."""
     k, d = cfg.k, cfg.read_pair_distance
-    sup, valid = _pair_support(graph, cfg, jnp.asarray(codes_batch))
+    sup = _pair_support(graph, cfg, codes_batch)
     out: List[Optional[Tuple[int, int]]] = []
     for b in range(codes_batch.shape[0]):
         n_kmers = max(lengths[b] - k + 1, 0)
@@ -229,7 +234,7 @@ def assemble_fragments_batch(
         ranges = longest_supported_range(
             graph, cfg, batch, lens, params.num_pairs_required
         )
-        counts, valid = dbg.count_step(graph, cfg, jnp.asarray(batch))
+        counts, valid = engine.count_step(graph, cfg, batch)
         counts = np.asarray(counts)
         valid = np.asarray(valid)
 
@@ -279,14 +284,14 @@ def _naive_extend_fragments(
         seeds[i, : f.length] = f.codes
         lens[i] = f.length
     st = traverse.make_walks(cfg, wcfg, seeds, lens)
-    st = traverse.extend_walks(st, graph, cfg, wcfg, 1.0, params.bound, mode="naive")
+    st = engine.extend_walks(st, graph, cfg, wcfg, 1.0, params.bound, mode="naive")
     rbuf, rpos, _ = traverse.harvest(st)
 
     rc = np.full((n_rows, pad), 4, np.uint8)
     for i in range(len(rows)):
         rc[i, : rpos[i]] = sequtils.revcomp_codes(rbuf[i, : rpos[i]])
     st = traverse.make_walks(cfg, wcfg_l, rc, rpos.astype(np.int64))
-    st = traverse.extend_walks(st, graph, cfg, wcfg_l, 1.0, params.bound, mode="naive")
+    st = engine.extend_walks(st, graph, cfg, wcfg_l, 1.0, params.bound, mode="naive")
     lbuf, lpos, _ = traverse.harvest(st)
 
     for i, b in enumerate(rows):
@@ -330,10 +335,10 @@ def bridge_pairs(
         max_len=k + params.bound, lookahead=params.lookahead, left=True
     )
     st = traverse.make_walks(cfg, wcfg, seeds_r.astype(np.uint8))
-    st = traverse.extend_walks(st, graph, cfg, wcfg, 1.0, params.bound, mode="greedy")
+    st = engine.extend_walks(st, graph, cfg, wcfg, 1.0, params.bound, mode="greedy")
     buf, pos, _ = traverse.harvest(st)
     st = traverse.make_walks(cfg, wcfg_l, seeds_l.astype(np.uint8))
-    st = traverse.extend_walks(st, graph, cfg, wcfg_l, 1.0, params.bound, mode="greedy")
+    st = engine.extend_walks(st, graph, cfg, wcfg_l, 1.0, params.bound, mode="greedy")
     buf_l, pos_l, _ = traverse.harvest(st)
 
     for j, b in enumerate(rows):

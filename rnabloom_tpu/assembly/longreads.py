@@ -29,7 +29,7 @@ import numpy as np
 
 from ..bloom import filters
 from ..bloom.filters import CountingConfig
-from ..graph import dbg, traverse
+from ..graph import engine, dbg, traverse
 from ..graph.dbg import GraphConfig, GraphState
 from ..utils import polya, seq as sequtils
 from . import artifacts
@@ -68,7 +68,7 @@ def correct_batch(
     codes = np.full((B, L), 4, np.uint8)
     for i, r in enumerate(reads):
         codes[i, : len(r)] = r
-    counts_d, valid_d = dbg.count_step(graph, cfg, jnp.asarray(codes))
+    counts_d, valid_d = engine.count_step(graph, cfg, codes)
     counts = np.asarray(counts_d)
     valid = np.asarray(valid_d)
 
@@ -97,7 +97,7 @@ def correct_batch(
             anchors.append(reads[b][rs : rs + k])
         wcfg = traverse.WalkConfig(max_len=k + params.max_gap + k)
         st = traverse.make_walks(cfg, wcfg, seeds)
-        st = traverse.extend_walks(
+        st = engine.extend_walks(
             st, graph, cfg, wcfg, params.min_kmer_cov, params.max_gap + k, mode="greedy"
         )
         buf, pos, _ = traverse.harvest(st)

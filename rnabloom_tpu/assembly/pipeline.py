@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..bloom.filters import BloomConfig, CountingConfig, make_bloom
-from ..graph import dbg
+from ..graph import dbg, engine
 from ..io import fastx
 from ..utils import polya, seq as sequtils
 from ..utils.timer import Timer
@@ -94,6 +94,7 @@ class PipelineParams:
     dbgbf_mem_bytes: int = 0
     cbf_mem_bytes: int = 0
     pkbf_mem_bytes: int = 0
+    sharded: str = "auto"  # -sharded {auto,on,off}: mesh scale-out policy
     verbose: bool = False
 
     def graph_config_overrides(self) -> dict:
@@ -114,6 +115,20 @@ class PipelineParams:
             max_indel=self.max_indel,
             percent_identity=self.percent_identity,
         )
+
+
+def _mesh_for(params: PipelineParams):
+    """Device mesh for this run: all visible devices when >1 (policy
+    "auto"), forced by "on", disabled by "off".  The filters shard by hash
+    range across the mesh and every build/query/walk runs as one mesh
+    program — the TPU-native scale-out replacing the reference's
+    shared-memory thread pool (SURVEY.md section 2.9)."""
+    if params.sharded == "off":
+        return None
+    mesh = engine.make_mesh_if_multi()
+    if mesh is None and params.sharded == "on":
+        raise RuntimeError("-sharded on requires >1 JAX device")
+    return mesh
 
 
 # coverage strata, lowest first (RNABloom.java:150-158: 01 < e0 < .. < e5)
@@ -282,7 +297,7 @@ def _ingest_se_fragments(
             if n == 0:
                 return
             fixed, flens, _ = correct.correct_batch(state, cfg, buf[:n], lens[:n], ecp)
-            counts_d, valid_d = dbg.count_step(state, cfg, jnp.asarray(fixed))
+            counts_d, valid_d = engine.count_step(state, cfg, fixed)
             counts_np = np.asarray(counts_d)
             valid_np = np.asarray(valid_d)
             for i in range(n):
@@ -462,7 +477,7 @@ def assemble_se(
         max_seq_len=max(read_L, 2 * k),
     )
     state, s1_stats, cfg = stage1.build_graph_autosized(
-        se_paths, cfg, s1p, max_fpr=params.max_fpr,
+        se_paths, cfg, s1p, max_fpr=params.max_fpr, mesh=_mesh_for(params),
         revcomp_flags=revcomp_flags, add_read_pairs=True,
     )
     report.stage1 = s1_stats
@@ -518,11 +533,9 @@ def assemble_se(
         return report
 
     # stage 2b: rebuild counters from corrected reads (no fpkbf), streaming
-    state = dbg.GraphState(
-        dbgbf=None, cbf=jnp.zeros_like(state.cbf), rpkbf=state.rpkbf, fpkbf=None
-    )
+    state = engine.fresh_rebuild_state(state, cfg, with_fpkbf=False)
     for codes, _l, _c, _conn in store.iter_batches(1024, width=read_L):
-        state = dbg.build_step(state, cfg, jnp.asarray(codes))
+        state = engine.build_step(state, cfg, codes)
 
     _run_stage3(state, cfg, store, outdir, params, report)
     report.elapsed_s = time.time() - t0
@@ -630,7 +643,7 @@ def assemble_pool(
         paths += [l, r] + list(sef) + list(ser)
         flags += [revcomp_left, revcomp_right] + [False] * len(sef) + [True] * len(ser)
     shared, s1_stats, cfg = stage1.build_graph_autosized(
-        paths, cfg, s1p, max_fpr=params.max_fpr,
+        paths, cfg, s1p, max_fpr=params.max_fpr, mesh=_mesh_for(params),
         revcomp_flags=flags, add_read_pairs=True,
     )
 
@@ -681,20 +694,17 @@ def assemble_pool(
             fragment_pair_distance=d_frag, exact_counts=cfg.exact_counts,
         )
         # per-sample fragment graph: fresh counters + fpkbf; the pooled
-        # rpkbf is shared across samples (copied — build_step donates its
-        # input buffers, and the shared array must survive for later samples)
+        # rpkbf is shared across samples (copied — the rebuild step donates
+        # its input buffers, and the shared lanes must survive for later
+        # samples)
         frag_L = int(min(max(store.max_len, 2 * k), params.max_walk_len))
-        sample_state = dbg.GraphState(
-            dbgbf=None,
-            cbf=jnp.zeros_like(shared.cbf),
-            rpkbf=jnp.array(shared.rpkbf, copy=True),
-            fpkbf=make_bloom(cfg.pkbf),
+        sample_state = engine.fresh_rebuild_state(
+            shared, sample_cfg, copy_rpkbf=True
         )
         add_pairs = frag_L - k + 1 > d_frag
         for codes, _l, _c, _conn in store.iter_batches(1024, width=frag_L):
-            sample_state = dbg.rebuild_step(
-                sample_state, sample_cfg, jnp.asarray(codes),
-                add_frag_pairs=add_pairs,
+            sample_state = engine.rebuild_step(
+                sample_state, sample_cfg, codes, add_frag_pairs=add_pairs
             )
 
         _run_stage3(sample_state, sample_cfg, store, sample_dir, params, report)
@@ -763,7 +773,7 @@ def assemble_long(
             k=k, stranded=params.stranded, min_qual=params.min_qual, max_seq_len=512
         )
         state, s1_stats, cfg = stage1.build_graph_autosized(
-            long_paths, cfg, s1p, max_fpr=params.max_fpr
+            long_paths, cfg, s1p, max_fpr=params.max_fpr, mesh=_mesh_for(params)
         )
         report.stage1 = s1_stats
         ckpt.touch_stamp(outdir, ckpt.STAMP_DBG_DONE)
@@ -899,17 +909,10 @@ def _finish_pe_stage3(
     k = cfg.k
     d_frag = cfg.fragment_pair_distance
     frag_L = int(min(max(store.max_len, 2 * k), params.max_walk_len))
-    state = dbg.GraphState(
-        dbgbf=None,
-        cbf=jnp.zeros_like(state.cbf),
-        rpkbf=state.rpkbf,
-        fpkbf=make_bloom(cfg.pkbf),
-    )
+    state = engine.fresh_rebuild_state(state, cfg)
     add_pairs = frag_L - k + 1 > d_frag
     for codes, _lens, _covs, _conn in store.iter_batches(1024, width=frag_L):
-        state = dbg.rebuild_step(
-            state, cfg, jnp.asarray(codes), add_frag_pairs=add_pairs
-        )
+        state = engine.rebuild_step(state, cfg, codes, add_frag_pairs=add_pairs)
 
     # -ref augmentation: add reference transcript k-mers + fragment pairs
     for rp in ref_paths:
@@ -921,8 +924,8 @@ def _finish_pe_stage3(
                 chunk_np = np.full((1, params.max_walk_len), 4, np.uint8)
                 piece = codes_r[s0 : s0 + params.max_walk_len]
                 chunk_np[0, : len(piece)] = piece
-                state = dbg.rebuild_step(
-                    state, cfg, jnp.asarray(chunk_np),
+                state = engine.rebuild_step(
+                    state, cfg, chunk_np,
                     add_frag_pairs=params.max_walk_len - k + 1 > d_frag,
                 )
 
@@ -993,6 +996,9 @@ def assemble_pe(
         store = fragstore.FragmentStore.open(outdir)
         if store is not None and store.count > 0:
             state, cfg = ckpt.load_graph(graph_prefix)
+            mesh = _mesh_for(params)
+            if mesh is not None:
+                state = engine.from_host_state(state, cfg, mesh)
             report.num_fragments = store.count
             report.fragment_pair_distance = cfg.fragment_pair_distance
             _finish_pe_stage3(state, cfg, store, outdir, params, report)
@@ -1043,13 +1049,14 @@ def assemble_pe(
 
     # ---- stage 1: graph build (right mates revcomp'd onto forward strand)
     timer.start("stage 1: de Bruijn graph construction")
+    mesh = _mesh_for(params)
     s1p = stage1.Stage1Params(
         k=k, stranded=params.stranded, min_qual=params.min_qual,
         max_seq_len=max(read_L, 2 * k),
     )
     state, s1_stats, cfg = stage1.build_graph_autosized(
         [left_path, right_path] + list(sef_paths) + list(ser_paths), cfg, s1p,
-        max_fpr=params.max_fpr,
+        max_fpr=params.max_fpr, mesh=mesh,
         revcomp_flags=[revcomp_left, revcomp_right]
         + [False] * len(sef_paths)
         + [True] * len(ser_paths),
@@ -1067,7 +1074,7 @@ def assemble_pe(
     ckpt.touch_stamp(outdir, ckpt.STAMP_DBG_DONE)
     if params.stop_stage <= 1:  # -stage 1: graph only (RNABloom.java:6447-6500)
         if save_graph:
-            ckpt.save_graph(graph_prefix, state, cfg)
+            ckpt.save_graph(graph_prefix, engine.to_host_state(state, cfg), cfg)
         report.elapsed_s = time.time() - t0
         return report
 
@@ -1122,7 +1129,7 @@ def assemble_pe(
     store.close()
     timer.done("fragments assembled", f"{store.count}/{report.num_pairs} pairs connected")
     if save_graph:
-        ckpt.save_graph(graph_prefix, state, cfg)
+        ckpt.save_graph(graph_prefix, engine.to_host_state(state, cfg), cfg)
         ckpt.update_fragment_distance(graph_prefix, d_frag)
     ckpt.touch_stamp(outdir, ckpt.STAMP_FRAGMENTS_DONE)
     if params.stop_stage <= 2:  # -stage 2: stop after fragment assembly

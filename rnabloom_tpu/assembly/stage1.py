@@ -21,7 +21,7 @@ import jax
 import numpy as np
 
 from ..bloom.filters import BloomConfig, CountingConfig
-from ..graph import dbg
+from ..graph import dbg, engine
 from ..io import fastx
 from ..utils import seq as sequtils
 
@@ -91,12 +91,16 @@ def _segments_from_file(
 def build_graph(
     paths: Sequence[str],
     cfg: dbg.GraphConfig,
-    state: dbg.GraphState,
+    state,
     params: Stage1Params,
     revcomp_flags: Optional[Sequence[bool]] = None,
     add_read_pairs: bool = False,
 ) -> Tuple[dbg.GraphState, Stage1Stats]:
-    """Populate the graph filters from read files.  Returns (state, stats)."""
+    """Populate the graph filters from read files.  Returns (state, stats).
+
+    ``state`` may be a single-device GraphState or an engine.MeshGraph —
+    the build step dispatches accordingly (sharded scatter over the mesh
+    replaces the reference's racy thread writes, RNABloom.java:1203-1238)."""
     t0 = time.time()
     stats = Stage1Stats()
     k = params.k
@@ -105,7 +109,7 @@ def build_graph(
 
     def flush(state):
         batch, _ = sequtils.pack_batch(pending, B, L)
-        state = dbg.build_step(state, cfg, jax.numpy.asarray(batch), add_read_pairs=add_read_pairs)
+        state = engine.build_step(state, cfg, batch, add_read_pairs=add_read_pairs)
         stats.num_batches += 1
         pending.clear()
         return state
@@ -133,8 +137,8 @@ def build_graph(
                     codes = np.concatenate(
                         [codes, np.full((B - codes.shape[0], L), 4, np.uint8)]
                     )
-                state = dbg.build_step(
-                    state, cfg, jax.numpy.asarray(codes), add_read_pairs=add_read_pairs
+                state = engine.build_step(
+                    state, cfg, codes, add_read_pairs=add_read_pairs
                 )
                 stats.num_batches += 1
             stats.num_reads += parsed
@@ -152,9 +156,9 @@ def build_graph(
     if pending:
         state = flush(state)
 
-    jax.block_until_ready(state.cbf)
+    jax.block_until_ready(state.state.cbf if engine.is_sharded(state) else state.cbf)
     stats.elapsed_s = time.time() - t0
-    stats.fprs = dbg.fprs(state, cfg)
+    stats.fprs = engine.fprs(state, cfg)
     return state, stats
 
 
@@ -164,6 +168,7 @@ def build_graph_autosized(
     params: Stage1Params,
     max_fpr: float = 0.01,
     max_retries: int = 2,
+    mesh=None,
     **kwargs,
 ) -> Tuple[dbg.GraphState, Stage1Stats, dbg.GraphConfig]:
     """Stage-1 build with the reference's FPR check / resize / repopulate
@@ -189,7 +194,9 @@ def build_graph_autosized(
         return max(1, math.ceil(math.log2(factor)))
 
     for attempt in range(max_retries + 1):
-        state = dbg.make_graph(cfg, with_rpkbf=kwargs.get("add_read_pairs", False))
+        state = engine.make_graph(
+            cfg, mesh=mesh, with_rpkbf=kwargs.get("add_read_pairs", False)
+        )
         state, stats = build_graph(paths, cfg, state, params, **kwargs)
         worst = max(stats.fprs.values()) if stats.fprs else 0.0
         if worst <= max_fpr or attempt == max_retries:

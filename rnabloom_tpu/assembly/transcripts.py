@@ -35,7 +35,7 @@ import numpy as np
 
 from ..bloom import filters
 from ..bloom.filters import BloomConfig
-from ..graph import dbg, traverse
+from ..graph import dbg, engine, traverse
 from ..graph.dbg import GraphConfig, GraphState
 from ..utils import seq as sequtils
 
@@ -310,7 +310,10 @@ def sequential_dedup(
         if nv == 0:
             rep[b] = True
             continue
-        hits = np.fromiter((x in seen for x in row), bool, n)
+        # plain-int membership: tolist() once beats per-element numpy boxing
+        hits = np.frombuffer(
+            bytes(x in seen for x in row.tolist()), dtype=bool
+        )
         frac = hits[v].sum() / nv
         if frac >= params.screen_min_frac and _max_true_run((~hits) & v) <= gap_max:
             rep[b] = True
@@ -380,7 +383,7 @@ def extend_fragments_pair(
     )
     # right walks: seed with the full fragment
     st = traverse.make_walks(cfg, wcfg, frags, lens)
-    st = traverse.extend_walks(st, graph, cfg, wcfg, 1.0, params.bound, mode=mode)
+    st = engine.extend_walks(st, graph, cfg, wcfg, 1.0, params.bound, mode=mode)
     rbuf, rpos, _ = traverse.harvest(st)
 
     # left walks: seed with the revcomp of the right-extended sequence so the
@@ -393,7 +396,7 @@ def extend_fragments_pair(
     for b in range(B):
         rc[b, : rpos[b]] = sequtils.revcomp_codes(rbuf[b, : rpos[b]])
     st = traverse.make_walks(cfg, wcfg_l, rc, rpos.astype(np.int64))
-    st = traverse.extend_walks(st, graph, cfg, wcfg_l, 1.0, params.bound, mode=mode)
+    st = engine.extend_walks(st, graph, cfg, wcfg_l, 1.0, params.bound, mode=mode)
     lbuf, lpos, _ = traverse.harvest(st)
 
     out = np.full((B, params.max_walk_len), 4, np.uint8)
@@ -416,50 +419,7 @@ def extend_fragments_pair(
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("cfg", "distance", "which"))
-def _pair_support_jit(
-    graph: GraphState, cfg: GraphConfig, codes: jnp.ndarray, distance: int, which: str
-):
-    fh, rh, base, valid = dbg.seq_hashes(cfg, codes)
-    pair_base, np_ = dbg.pair_base_hashes(cfg, fh, rh, distance)
-    if which == "read":
-        sup = dbg.lookup_read_pair(graph, cfg, pair_base)
-    else:
-        sup = dbg.lookup_fragment_pair(graph, cfg, pair_base)
-    pv = jnp.logical_and(valid[..., :np_], valid[..., distance:])
-    return jnp.logical_and(sup, pv), valid
-
-
-def _pair_support_at(
-    graph: GraphState, cfg: GraphConfig, codes: jnp.ndarray, distance: int, which: str
-) -> Tuple[np.ndarray, np.ndarray]:
-    sup, valid = _pair_support_jit(graph, cfg, codes, distance, which)
-    return np.asarray(sup), np.asarray(valid)
-
-
-@partial(jax.jit, static_argnames=("cfg", "d_frag", "d_read"))
-def _pair_support_both_jit(
-    graph: GraphState, cfg: GraphConfig, codes: jnp.ndarray, d_frag: int, d_read: int
-):
-    """Fragment + read pair support in ONE dispatch, packed into one array
-    (each host readback costs ~200 ms of tunnel latency)."""
-    fh, rh, base, valid = dbg.seq_hashes(cfg, codes)
-    B, P = valid.shape
-    out = []
-    for d, which in ((d_frag, "frag"), (d_read, "read")):
-        if d <= 0:
-            out.append(jnp.zeros((B, P), bool))
-            continue
-        pair_base, np_ = dbg.pair_base_hashes(cfg, fh, rh, d)
-        sup = (
-            dbg.lookup_fragment_pair(graph, cfg, pair_base)
-            if which == "frag"
-            else dbg.lookup_read_pair(graph, cfg, pair_base)
-        )
-        pv = jnp.logical_and(valid[..., :np_], valid[..., d:])
-        padded = jnp.zeros((B, P), bool).at[:, :np_].set(jnp.logical_and(sup, pv))
-        out.append(padded)
-    return jnp.stack(out)
+# pair-support queries live in graph/engine.py (single-device or mesh)
 
 
 def _best_range(segments, orig) -> Optional[Tuple[int, int]]:
@@ -489,7 +449,6 @@ def break_check(
     from .fragments import pair_break_segments
 
     k = cfg.k
-    jc = jnp.asarray(codes)
     have_frag = (
         graph.fpkbf is not None
         and cfg.fragment_pair_distance > 0
@@ -498,12 +457,10 @@ def break_check(
     have_read = graph.rpkbf is not None and cfg.read_pair_distance > 0
     sup_f = sup_r = None
     if have_frag or have_read:
-        both = np.asarray(
-            _pair_support_both_jit(
-                graph, cfg, jc,
-                cfg.fragment_pair_distance if have_frag else 0,
-                cfg.read_pair_distance if have_read else 0,
-            )
+        both = engine.pair_support_both(
+            graph, cfg, codes,
+            cfg.fragment_pair_distance if have_frag else 0,
+            cfg.read_pair_distance if have_read else 0,
         )
         sup_f, sup_r = both[0], both[1]
 
@@ -545,39 +502,11 @@ def break_check(
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _variant_exists_jit(graph: GraphState, cfg: GraphConfig, codes: jax.Array):
-    """Per k-mer: does any left/right SNV variant exist in the graph?
-
-    The reference's isBranchFree (GraphUtils.java:7651-7672) additionally
-    requires the variant to have depth > maxTipLength; here any existing
-    variant counts as a branch (stricter — a tip-length probe per variant
-    would cost a walk per position)."""
-    from ..graph import dbg as dbgmod
-    from ..ops import nthash
-
-    fh, rh, base, valid = dbg.seq_hashes(cfg, codes)
-    P = fh.lo.shape[1]
-    last = codes[:, cfg.k - 1 : cfg.k - 1 + P]
-    first = codes[:, :P]
-    fr4, rr4 = nthash.variant_hashes_right(fh, last, cfg.k, rh)
-    fl4, rl4 = nthash.variant_hashes_left(fh, first, cfg.k, rh)
-    out = None
-    for f4, r4, cur in ((fr4, rr4, last), (fl4, rl4, first)):
-        q4 = f4 if cfg.stranded else nthash.canonical(f4, r4)
-        counts4 = dbgmod.get_counts(graph, cfg, q4)  # (B, P, 4)
-        is_self = jnp.arange(4, dtype=jnp.uint8)[None, None, :] == cur[..., None]
-        hit = jnp.any((counts4 > 0) & ~is_self, axis=-1)
-        out = hit if out is None else (out | hit)
-    return jnp.where(valid, out, False), valid
-
-
 def branch_free_batch(
     graph: GraphState, cfg: GraphConfig, codes: np.ndarray, lens: np.ndarray
 ) -> np.ndarray:
     """(B,) bool: True when no k-mer of the row has an existing SNV variant."""
-    hit_d, valid_d = _variant_exists_jit(graph, cfg, jnp.asarray(codes))
-    hit = np.asarray(hit_d)
+    hit, _valid = engine.variant_exists(graph, cfg, codes)
     out = np.zeros(codes.shape[0], bool)
     for b in range(codes.shape[0]):
         n = max(int(lens[b]) - cfg.k + 1, 0)
@@ -615,7 +544,7 @@ def assemble_transcripts_batch(
         and not params.keep_artifacts
     ):
         seen_d, _ = _screen_lookup(screen, scfg, cfg, jnp.asarray(frags))
-        counts_d, valid_d = dbg.count_step(graph, cfg, jnp.asarray(frags))
+        counts_d, valid_d = engine.count_step(graph, cfg, frags)
         seen_np = np.asarray(seen_d)
         counts_np = np.asarray(counts_d)
         valid_np = np.asarray(valid_d)

@@ -67,6 +67,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="max end clip for blunt-end artifact screening (0 = off)")
     p.add_argument("-ts", "--template-switch", dest="template_switch", action="store_true",
                    help="screen template-switch artifacts (stranded mode)")
+    p.add_argument("-sharded", "--sharded", choices=("auto", "on", "off"), default="auto",
+                   help="multi-chip mesh scale-out: shard filters by hash range "
+                        "across all visible devices (auto = when >1 device)")
     p.add_argument("-u", "--uracil", action="store_true",
                    help="write transcripts as RNA (U instead of T)")
     p.add_argument("-nk", "--nk", type=int, default=0,
@@ -193,6 +196,7 @@ def main(argv=None) -> int:
         min_transcript_length=args.length,
         max_edge_clip=args.max_edge_clip,
         template_switch_filter=args.template_switch,
+        sharded=args.sharded,
         write_uracil=args.uracil,
         expected_num_kmers=args.nk,
         max_fpr=args.fpr,

@@ -1,0 +1,355 @@
+"""Graph execution engine: one query surface, single-chip or mesh.
+
+Pipelines, error correction, fragment connection, and transcript extension
+call graph operations through this module.  A plain ``GraphState`` executes
+the single-device kernels (graph/dbg.py, graph/traverse.py); a ``MeshGraph``
+executes the hash-range-sharded mesh programs (parallel/sharded.py), where
+filters are sharded by hash range across devices, queries ride all-to-all
+collectives, and walk lanes are data-parallel — the TPU-native replacement
+for the reference's shared-memory thread pool (RNABloom.java:1203-1238).
+
+Both paths produce identical filters, counts, and walks (equivalence-tested
+on an 8-device mesh), so sharding is purely a deployment decision:
+``MeshGraph.wrap`` activates whenever more than one device is visible.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import dbg, traverse
+from .dbg import GraphConfig, GraphState
+
+
+@dataclass
+class MeshGraph:
+    """Sharded graph state + per-program cache over a device mesh."""
+
+    mesh: object  # jax.sharding.Mesh
+    state: object  # parallel.sharded.ShardedGraphState
+    _programs: dict = field(default_factory=dict)
+
+    @property
+    def rpkbf(self):
+        return self.state.rpkbf
+
+    @property
+    def fpkbf(self):
+        return self.state.fpkbf
+
+    def _prog(self, key, make):
+        p = self._programs.get(key)
+        if p is None:
+            p = make()
+            self._programs[key] = p
+        return p
+
+    def _flags(self) -> Tuple[bool, bool]:
+        return self.state.rpkbf is not None, self.state.fpkbf is not None
+
+
+def make_mesh_if_multi(min_devices: int = 2):
+    """A 1-D mesh over all devices when >1 are visible (power of two)."""
+    from ..parallel import sharded
+
+    n = len(jax.devices())
+    n = 1 << (n.bit_length() - 1)  # largest power of two
+    if n < min_devices:
+        return None
+    return sharded.make_mesh(n)
+
+
+def make_graph(
+    cfg: GraphConfig,
+    mesh=None,
+    with_rpkbf: bool = False,
+    with_fpkbf: bool = False,
+):
+    if mesh is None:
+        return dbg.make_graph(cfg, with_rpkbf=with_rpkbf, with_fpkbf=with_fpkbf)
+    from ..parallel import sharded
+
+    state = sharded.make_sharded_graph(
+        cfg, mesh, with_rpkbf=with_rpkbf, with_fpkbf=with_fpkbf
+    )
+    return MeshGraph(mesh=mesh, state=state)
+
+
+def is_sharded(graph) -> bool:
+    return isinstance(graph, MeshGraph)
+
+
+def _pad_rows(codes, n: int):
+    B = codes.shape[0]
+    if B % n == 0:
+        return codes
+    pad = n - B % n
+    return np.concatenate([codes, np.full((pad,) + codes.shape[1:], 4, codes.dtype)])
+
+
+# ---------------------------------------------------------------------------
+# inserts
+# ---------------------------------------------------------------------------
+
+
+def build_step(graph, cfg: GraphConfig, codes, add_read_pairs: bool = False):
+    if not is_sharded(graph):
+        return dbg.build_step(graph, cfg, jnp.asarray(codes), add_read_pairs=add_read_pairs)
+    from ..parallel import sharded
+
+    step = graph._prog(
+        ("build", cfg, add_read_pairs),
+        lambda: sharded.sharded_build_step(graph.mesh, cfg, add_read_pairs=add_read_pairs),
+    )
+    codes = jnp.asarray(_pad_rows(np.asarray(codes), graph.mesh.devices.size))
+    graph.state = step(graph.state, codes)
+    return graph
+
+
+def rebuild_step(graph, cfg: GraphConfig, codes, add_frag_pairs: bool = True):
+    if not is_sharded(graph):
+        return dbg.rebuild_step(graph, cfg, jnp.asarray(codes), add_frag_pairs=add_frag_pairs)
+    from ..parallel import sharded
+
+    step = graph._prog(
+        ("rebuild", cfg, add_frag_pairs),
+        lambda: sharded.sharded_rebuild_step(graph.mesh, cfg, add_frag_pairs=add_frag_pairs),
+    )
+    codes = jnp.asarray(_pad_rows(np.asarray(codes), graph.mesh.devices.size))
+    graph.state = step(graph.state, codes)
+    return graph
+
+
+def fresh_rebuild_state(
+    graph, cfg: GraphConfig, keep_rpkbf: bool = True, with_fpkbf: bool = True,
+    copy_rpkbf: bool = False,
+):
+    """Zeroed counters (+ fresh fpkbf) for the stage-2b fragment graph,
+    keeping the read-pair keys (populateGraphFromFragments).
+
+    ``copy_rpkbf`` deep-copies the read-pair lanes — required when the
+    source graph must survive donation by later rebuild steps (the pooled
+    path reuses one shared graph across samples)."""
+    from ..bloom.filters import make_bloom
+
+    if not is_sharded(graph):
+        rpk = graph.rpkbf if keep_rpkbf else None
+        if rpk is not None and copy_rpkbf:
+            rpk = jnp.array(rpk, copy=True)
+        return dbg.GraphState(
+            dbgbf=None,
+            cbf=jnp.zeros_like(graph.cbf),
+            rpkbf=rpk,
+            fpkbf=make_bloom(cfg.pkbf) if with_fpkbf else None,
+        )
+    from ..parallel import sharded
+
+    fresh = sharded.make_sharded_graph(
+        cfg, graph.mesh, with_rpkbf=False, with_fpkbf=with_fpkbf
+    )
+    rpk = graph.state.rpkbf if keep_rpkbf else None
+    if rpk is not None and copy_rpkbf:
+        rpk = jnp.array(rpk, copy=True)
+    return MeshGraph(
+        mesh=graph.mesh,
+        state=sharded.ShardedGraphState(
+            dbgbf=None,
+            cbf=fresh.cbf,
+            rpkbf=rpk,
+            fpkbf=fresh.fpkbf,
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("cfg", "d_frag", "d_read"))
+def _pair_support_both_jit(graph: GraphState, cfg: GraphConfig, codes, d_frag: int, d_read: int):
+    """Fragment + read pair support in ONE dispatch, packed into one array
+    (each host readback costs ~200 ms of tunnel latency)."""
+    fh, rh, base, valid = dbg.seq_hashes(cfg, codes)
+    B, P = valid.shape
+    out = []
+    for d, which in ((d_frag, "frag"), (d_read, "read")):
+        if d <= 0:
+            out.append(jnp.zeros((B, P), bool))
+            continue
+        pair_base, np_ = dbg.pair_base_hashes(cfg, fh, rh, d)
+        sup = (
+            dbg.lookup_fragment_pair(graph, cfg, pair_base)
+            if which == "frag"
+            else dbg.lookup_read_pair(graph, cfg, pair_base)
+        )
+        pv = jnp.logical_and(valid[..., :np_], valid[..., d:])
+        padded = jnp.zeros((B, P), bool).at[:, :np_].set(jnp.logical_and(sup, pv))
+        out.append(padded)
+    return jnp.stack(out)
+
+
+@_partial(jax.jit, static_argnames=("cfg",))
+def _variant_exists_jit(graph: GraphState, cfg: GraphConfig, codes: jax.Array):
+    """Per k-mer: does any left/right SNV variant exist in the graph?
+
+    The reference's isBranchFree (GraphUtils.java:7651-7672) additionally
+    requires the variant to have depth > maxTipLength; here any existing
+    variant counts as a branch (stricter — a tip-length probe per variant
+    would cost a walk per position)."""
+    from ..ops import nthash
+
+    fh, rh, base, valid = dbg.seq_hashes(cfg, codes)
+    P = fh.lo.shape[1]
+    last = codes[:, cfg.k - 1 : cfg.k - 1 + P]
+    first = codes[:, :P]
+    fr4, rr4 = nthash.variant_hashes_right(fh, last, cfg.k, rh)
+    fl4, rl4 = nthash.variant_hashes_left(fh, first, cfg.k, rh)
+    out = None
+    for f4, r4, cur in ((fr4, rr4, last), (fl4, rl4, first)):
+        q4 = f4 if cfg.stranded else nthash.canonical(f4, r4)
+        counts4 = dbg.get_counts(graph, cfg, q4)  # (B, P, 4)
+        is_self = jnp.arange(4, dtype=jnp.uint8)[None, None, :] == cur[..., None]
+        hit = jnp.any((counts4 > 0) & ~is_self, axis=-1)
+        out = hit if out is None else (out | hit)
+    return jnp.where(valid, out, False), valid
+
+
+def count_step(graph, cfg: GraphConfig, codes) -> Tuple[jax.Array, jax.Array]:
+    """(counts (B, P) float32, valid) for every k-mer of a code batch."""
+    if not is_sharded(graph):
+        return dbg.count_step(graph, cfg, jnp.asarray(codes))
+    from ..parallel import sharded
+
+    q = graph._prog(
+        ("count", cfg), lambda: sharded.sharded_count_query(graph.mesh, cfg)
+    )
+    B = np.asarray(codes).shape[0]
+    padded = jnp.asarray(_pad_rows(np.asarray(codes), graph.mesh.devices.size))
+    counts, valid = q(graph.state, padded)
+    return counts[:B], valid[:B]
+
+
+def pair_support_both(graph, cfg: GraphConfig, codes, d_frag: int, d_read: int) -> np.ndarray:
+    """(2, B, P) bool: fragment- then read-pair support planes."""
+    if not is_sharded(graph):
+        return np.asarray(
+            _pair_support_both_jit(graph, cfg, jnp.asarray(codes), d_frag, d_read)
+        )
+    from ..parallel import sharded
+
+    rpk, fpk = graph._flags()
+    q = graph._prog(
+        ("pair", cfg, d_frag, d_read),
+        lambda: sharded.sharded_pair_support(graph.mesh, cfg, d_frag, d_read, rpk, fpk),
+    )
+    B = np.asarray(codes).shape[0]
+    padded = jnp.asarray(_pad_rows(np.asarray(codes), graph.mesh.devices.size))
+    return np.asarray(q(graph.state, padded))[:, :B]
+
+
+def variant_exists(graph, cfg: GraphConfig, codes) -> Tuple[np.ndarray, np.ndarray]:
+    """Per k-mer: does any left/right SNV variant exist in the graph?"""
+    if not is_sharded(graph):
+        hit, valid = _variant_exists_jit(graph, cfg, jnp.asarray(codes))
+        return np.asarray(hit), np.asarray(valid)
+    from ..parallel import sharded
+
+    rpk, fpk = graph._flags()
+    q = graph._prog(
+        ("variant", cfg),
+        lambda: sharded.sharded_variant_counts(graph.mesh, cfg, rpk, fpk),
+    )
+    B = np.asarray(codes).shape[0]
+    padded = jnp.asarray(_pad_rows(np.asarray(codes), graph.mesh.devices.size))
+    hit, valid = q(graph.state, padded)
+    return np.asarray(hit)[:B], np.asarray(valid)[:B]
+
+
+def extend_walks(
+    wstate, graph, cfg: GraphConfig, wcfg, min_cov, bound, mode: str = "greedy"
+):
+    """Walk extension on whichever engine owns the filters."""
+    if not is_sharded(graph):
+        return traverse.extend_walks(wstate, graph, cfg, wcfg, min_cov, bound, mode=mode)
+    from ..parallel import sharded
+
+    rpk, fpk = graph._flags()
+    run = graph._prog(
+        ("walk", cfg, wcfg, mode),
+        lambda: sharded.sharded_extend_walks(graph.mesh, cfg, wcfg, mode, rpk, fpk),
+    )
+    return run(wstate, graph.state, min_cov, bound)
+
+
+def fprs(graph, cfg: GraphConfig) -> dict:
+    if not is_sharded(graph):
+        return dbg.fprs(graph, cfg)
+    from ..parallel import sharded
+
+    return sharded.sharded_fprs(graph.state, cfg)
+
+
+# ---------------------------------------------------------------------------
+# host transfer (checkpointing)
+# ---------------------------------------------------------------------------
+
+
+def to_host_state(graph, cfg: GraphConfig) -> GraphState:
+    """Merge shards into the single-device filter layout (lanes then one
+    trash cell) so checkpoints are engine-independent."""
+    if not is_sharded(graph):
+        return graph
+
+    def merge(lanes, trash):
+        if lanes is None:
+            return None
+        host = np.asarray(lanes)
+        flat = np.concatenate([host[i, :-trash] for i in range(host.shape[0])])
+        return jnp.asarray(np.concatenate([flat, np.zeros(trash, host.dtype)]))
+
+    cbf_trash = 128 if cfg.cbf.blocked else 1
+    return GraphState(
+        dbgbf=merge(graph.state.dbgbf, 1),
+        cbf=merge(graph.state.cbf, cbf_trash),
+        rpkbf=merge(graph.state.rpkbf, 1),
+        fpkbf=merge(graph.state.fpkbf, 1),
+    )
+
+
+def from_host_state(state: GraphState, cfg: GraphConfig, mesh) -> MeshGraph:
+    """Split a single-device checkpoint back into mesh shards."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ..parallel import sharded
+
+    n = mesh.devices.size
+    sh = NamedSharding(mesh, P(mesh.axis_names[0], None))
+
+    def split(arr, trash):
+        if arr is None:
+            return None
+        host = np.asarray(arr)[:-trash]
+        local = host.shape[0] // n
+        blocks = host.reshape(n, local)
+        out = np.concatenate(
+            [blocks, np.zeros((n, trash), host.dtype)], axis=1
+        )
+        return jax.device_put(jnp.asarray(out), sh)
+
+    cbf_trash = 128 if cfg.cbf.blocked else 1
+    return MeshGraph(
+        mesh=mesh,
+        state=sharded.ShardedGraphState(
+            dbgbf=split(state.dbgbf, 1),
+            cbf=split(state.cbf, cbf_trash),
+            rpkbf=split(state.rpkbf, 1),
+            fpkbf=split(state.fpkbf, 1),
+        ),
+    )

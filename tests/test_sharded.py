@@ -102,3 +102,52 @@ def test_sharded_query_matches_single(cfg):
     c8, v8 = query(s8, probes)
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v8))
     np.testing.assert_array_equal(np.asarray(c1), np.asarray(c8))
+
+
+@pytest.mark.slow
+def test_pe_pipeline_sharded_matches_single(tmp_path):
+    """Full PE assembly on the 8-device mesh produces byte-identical
+    transcripts to the single-device run (the sharded engine is wired into
+    the real pipeline, not a demo kernel)."""
+    import gzip
+    import os
+
+    from rnabloom_tpu.assembly import pipeline as pl
+    from rnabloom_tpu.io import fastx
+    from rnabloom_tpu.utils import seq as sequtils
+
+    rng = np.random.default_rng(4242)
+
+    def rseq(n):
+        return "".join(rng.choice(list("ACGT"), size=n))
+
+    transcripts = [rseq(450) for _ in range(3)]
+    left = os.path.join(str(tmp_path), "m_1.fq.gz")
+    right = os.path.join(str(tmp_path), "m_2.fq.gz")
+    q = "I" * 100
+    with gzip.open(left, "wt") as fl, gzip.open(right, "wt") as fr:
+        rid = 0
+        for t in transcripts:
+            for _ in range(70):
+                s = rng.integers(0, len(t) - 250 + 1)
+                frag = t[s : s + 250]
+                fl.write(f"@r{rid}/1\n{frag[:100]}\n+\n{q}\n")
+                fr.write(f"@r{rid}/2\n{sequtils.revcomp(frag[-100:])}\n+\n{q}\n")
+                rid += 1
+
+    outs = {}
+    for mode in ("off", "on"):
+        params = pl.PipelineParams(
+            total_mem_bytes=1 << 22, batch_size=256, sample_size=100,
+            sharded=mode, no_reduce=True,
+        )
+        rep = pl.assemble_pe(left, right, str(tmp_path / f"out_{mode}"), params)
+        assert rep.num_transcripts > 0
+        outs[mode] = sorted(
+            s for _, s in fastx.read_fasta(
+                str(tmp_path / f"out_{mode}" / "rnabloom.transcripts.fa")
+            )
+        )
+    assert outs["on"] == outs["off"], (
+        f"sharded run diverged: {len(outs['on'])} vs {len(outs['off'])} transcripts"
+    )
