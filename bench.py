@@ -1,9 +1,13 @@
-"""Stage-1 graph-build throughput benchmark on the real chip.
+"""Assembly throughput benchmarks on the real chip.
 
-Prints one JSON line: reads/s/chip for the k-mer insert+query inner loop
-(hash every k-mer of a batch, insert into dbgbf+cbf+rpkbf) on synthetic
-150 bp reads at k=25 — the reference's stage-1 hot loop
-(RNABloom.java:760-905).
+Prints ONE JSON line.  The primary metric is stage-1 reads/s/chip for the
+k-mer insert+query inner loop (hash every k-mer of a batch, insert into
+dbgbf+cbf+rpkbf) on synthetic 150 bp reads at k=25 — the reference's
+stage-1 hot loop (RNABloom.java:760-905).  ``extra`` carries secondary
+metrics: end-to-end PE stage-2+3 throughput (pairs/s, fragment connect +
+EC + extendPE + screening on the chip) and the sharded-step scaling proxy
+measured on a virtual 8-device CPU mesh in a subprocess (the real
+multi-chip path; no multi-chip hardware is attached here).
 
 vs_baseline: the measured Java multi-thread baseline is not runnable in this
 environment (no JRE); BASELINE.md records no published numbers.  We report
@@ -13,6 +17,7 @@ baseline_reads_per_s = 320_000.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -66,6 +71,17 @@ def main() -> None:
     assert popcount > 1e6, "graph build produced an implausibly empty filter"
 
     reads_per_s = batch * iters / dt
+
+    extra = {}
+    try:
+        extra["stage23_pairs_per_s"] = round(_bench_stage23(), 1)
+    except Exception as e:  # secondary metric must not sink the primary
+        extra["stage23_pairs_per_s"] = f"error: {e}"
+    try:
+        extra.update(_bench_sharded_cpu())
+    except Exception as e:
+        extra["sharded_cpu"] = f"error: {e}"
+
     print(
         json.dumps(
             {
@@ -73,9 +89,106 @@ def main() -> None:
                 "value": round(reads_per_s, 1),
                 "unit": "reads/s (150bp, k=25, insert dbgbf+cbf+rpkbf)",
                 "vs_baseline": round(reads_per_s / BASELINE_READS_PER_S, 3),
+                "extra": extra,
             }
         )
     )
+
+
+def _bench_stage23() -> float:
+    """End-to-end PE stage 2+3 throughput (pairs/s) on synthetic reads."""
+    import gzip
+    import shutil
+    import tempfile
+
+    from rnabloom_tpu.assembly import pipeline as pl
+    from rnabloom_tpu.utils import seq as sequtils
+
+    rng = np.random.default_rng(3)
+    tmp = tempfile.mkdtemp(prefix="rb_bench_")
+    try:
+        transcripts = ["".join(rng.choice(list("ACGT"), size=800)) for _ in range(4)]
+        q = "I" * 150
+        n_pairs = 0
+        with gzip.open(f"{tmp}/b_1.fq.gz", "wt") as fl, gzip.open(
+            f"{tmp}/b_2.fq.gz", "wt"
+        ) as fr:
+            for t in transcripts:
+                for _ in range(512):
+                    s = rng.integers(0, len(t) - 300 + 1)
+                    frag = t[s : s + 300]
+                    fl.write(f"@r{n_pairs}/1\n{frag[:150]}\n+\n{q}\n")
+                    fr.write(f"@r{n_pairs}/2\n{sequtils.revcomp(frag[-150:])}\n+\n{q}\n")
+                    n_pairs += 1
+        params = pl.PipelineParams(
+            total_mem_bytes=1 << 26, batch_size=512, sample_size=500, no_reduce=True
+        )
+        t0 = time.time()
+        report = pl.assemble_pe(f"{tmp}/b_1.fq.gz", f"{tmp}/b_2.fq.gz", f"{tmp}/out", params)
+        dt = time.time() - t0
+        assert report.num_transcripts > 0
+        return report.num_pairs / dt
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _bench_sharded_cpu() -> dict:
+    """Sharded stage-1 step on a virtual 8-device CPU mesh (subprocess —
+    the attached TPU is one chip; this validates + times the multi-chip
+    program).  Efficiency is a proxy: the 8 'devices' share one host CPU."""
+    import subprocess
+    import sys
+
+    code = r"""
+import json, os, time
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+from rnabloom_tpu.bloom.filters import BloomConfig, CountingConfig
+from rnabloom_tpu.graph import dbg
+from rnabloom_tpu.parallel import sharded
+
+cfg = dbg.GraphConfig(
+    k=25, stranded=False, dbgbf=BloomConfig(24, 2),
+    cbf=CountingConfig(24, 2, scratch_log2=20, blocked=True),
+    pkbf=BloomConfig(24, 2), read_pair_distance=90,
+)
+rng = np.random.default_rng(0)
+codes = jnp.asarray(rng.integers(0, 4, size=(4096, 150), dtype=np.uint8))
+
+mesh = sharded.make_mesh(8)
+step = sharded.sharded_build_step(mesh, cfg, add_read_pairs=True)
+st = sharded.make_sharded_graph(cfg, mesh, with_rpkbf=True)
+st = step(st, codes)  # compile
+jax.block_until_ready(st.cbf)
+t0 = time.time()
+for _ in range(8):
+    st = step(st, codes)
+jax.block_until_ready(st.cbf)
+dt8 = time.time() - t0
+
+s1 = dbg.make_graph(cfg, with_rpkbf=True)
+s1 = dbg.build_step(s1, cfg, codes, add_read_pairs=True)
+jax.block_until_ready(s1.cbf)
+t0 = time.time()
+for _ in range(8):
+    s1 = dbg.build_step(s1, cfg, codes, add_read_pairs=True)
+jax.block_until_ready(s1.cbf)
+dt1 = time.time() - t0
+print(json.dumps({
+    "sharded8_cpu_reads_per_s": round(4096 * 8 / dt8, 1),
+    "single_cpu_reads_per_s": round(4096 * 8 / dt1, 1),
+}))
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=600,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    line = out.stdout.strip().split("\n")[-1]
+    return json.loads(line)
 
 
 if __name__ == "__main__":

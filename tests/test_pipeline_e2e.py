@@ -300,3 +300,62 @@ def test_quality_split_reads_still_connect(tmp_path):
         f"{report.num_fragments}/{report.num_pairs} connected"
     )
     assert report.num_transcripts > 0
+
+
+def _noisy_read(read, rng, sub=0.007, indel=0.001):
+    out = []
+    for c in read:
+        r = rng.random()
+        if r < indel * 0.5:
+            continue  # deletion
+        out.append("ACGT"[rng.integers(4)] if r < sub else c)
+        if r > 1 - indel * 0.5:
+            out.append("ACGT"[rng.integers(4)])  # insertion
+    return "".join(out)
+
+
+@pytest.mark.slow
+def test_pe_assembly_noisy_reads(tmp_path):
+    """Realistic noisy short reads (0.7% substitutions + occasional
+    1-base indels): the PE pipeline still recovers the transcripts —
+    exercising indel-capable EC + segment handling end to end."""
+    import gzip as _gzip
+
+    rng = np.random.default_rng(777)
+    transcripts = [rand_seq(500) for _ in range(4)]
+    left = str(tmp_path / "n_1.fq.gz")
+    right = str(tmp_path / "n_2.fq.gz")
+    with _gzip.open(left, "wt") as fl, _gzip.open(right, "wt") as fr:
+        rid = 0
+        for t in transcripts:
+            for _ in range(120):
+                s = rng.integers(0, len(t) - 250 + 1)
+                frag = t[s : s + 250]
+                l = _noisy_read(frag[:100], rng)
+                r = _noisy_read(sequtils.revcomp(frag[-100:]), rng)
+                fl.write(f"@r{rid}/1\n{l}\n+\n{'I' * len(l)}\n")
+                fr.write(f"@r{rid}/2\n{r}\n+\n{'I' * len(r)}\n")
+                rid += 1
+
+    params = pipeline.PipelineParams(
+        total_mem_bytes=1 << 24, batch_size=256, sample_size=200, no_reduce=True
+    )
+    report = pipeline.assemble_pe(left, right, str(tmp_path / "out"), params)
+    assert report.num_fragments >= 0.7 * report.num_pairs, (
+        f"only {report.num_fragments}/{report.num_pairs} noisy pairs connected"
+    )
+    assembled = [
+        s.upper()
+        for _, s in fastx.read_fasta(str(tmp_path / "out" / "rnabloom.transcripts.fa"))
+    ]
+    recovered = 0
+    for t in transcripts:
+        rc = sequtils.revcomp(t)
+        m = int(len(t) * 0.8)
+        hit = any(
+            t[off : off + m] in a or rc[off : off + m] in a
+            for a in assembled
+            for off in range(0, len(t) - m + 1, 50)
+        )
+        recovered += hit
+    assert recovered >= 3, f"only {recovered}/4 noisy transcripts recovered"
