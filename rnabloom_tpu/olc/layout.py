@@ -250,6 +250,7 @@ def ava_clustered_olc(
     params: Optional[OverlapParams] = None,
     max_cluster: int = 5000,
     hpc: bool = False,
+    sketch_cluster: bool = False,
 ) -> List[np.ndarray]:
     """Legacy clustered assembly (avaClusteredOLC,
     olc/OverlapLayoutConsensus.java:1230): all-vs-all overlaps, cluster by
@@ -259,7 +260,9 @@ def ava_clustered_olc(
 
     ``hpc`` (-hpc): cluster membership is decided on homopolymer-compressed
     minimizers (the reference's HPC clustering option); layout coordinates
-    still come from raw-read overlaps."""
+    still come from raw-read overlaps.  ``sketch_cluster``: membership via
+    bottom-sketch containment against cluster representatives instead of
+    overlap connectivity (ContainmentCalculator, RNABloom.java:2719-2838)."""
     params = params or OverlapParams()
     if not reads:
         return []
@@ -270,17 +273,23 @@ def ava_clustered_olc(
     for rec in records:
         by_pair.setdefault((rec.q, rec.t), []).append(rec)
 
-    cluster_records = records
-    if hpc:
-        from ..utils import align as alignutils
+    if sketch_cluster:
+        from . import sketch as sketchmod
 
-        hpc_reads = [alignutils.homopolymer_compress(np.asarray(r)) for r in reads]
-        hcodes, hlens = _pad_batch(hpc_reads)
-        hmins = extract_minimizers(hcodes, hlens, k, params.w)
-        cluster_records = find_overlaps(hmins, params)
+        clusters = sketchmod.containment_clusters(reads, k)
+    else:
+        cluster_records = records
+        if hpc:
+            from ..utils import align as alignutils
+
+            hpc_reads = [alignutils.homopolymer_compress(np.asarray(r)) for r in reads]
+            hcodes, hlens = _pad_batch(hpc_reads)
+            hmins = extract_minimizers(hcodes, hlens, k, params.w)
+            cluster_records = find_overlaps(hmins, params)
+        clusters = cluster_reads(cluster_records, len(reads))
 
     out: List[np.ndarray] = []
-    for cluster in cluster_reads(cluster_records, len(reads)):
+    for cluster in clusters:
         if len(cluster) == 1:
             out.append(np.array(reads[cluster[0]], np.uint8))
             continue
@@ -297,6 +306,34 @@ def ava_clustered_olc(
         for r in cluster:
             if r not in in_graph and r not in contained:
                 out.append(np.array(reads[r], np.uint8))
+    return out
+
+
+def layout_backbones(
+    reads: Sequence[np.ndarray],
+    k: int,
+    params: Optional[OverlapParams] = None,
+) -> List[np.ndarray]:
+    """Backbone layout (Layout.layoutBackbones, olc/Layout.java:4060-4309):
+    contained reads are dropped, junctions resolved (no transitive
+    reduction), and unambiguous dovetail chains assembled into backbones;
+    reads with no dovetail overlaps pass through unchanged."""
+    params = params or OverlapParams()
+    if not reads:
+        return []
+    codes, lens = _pad_batch(reads)
+    mins = extract_minimizers(codes, lens, k, params.w)
+    records = find_overlaps(mins, params)
+    g, contained = build_graph(records, lens, params)
+    g.resolve_junctions()
+    out: List[np.ndarray] = []
+    in_graph: Set[int] = set()
+    for path in g.simple_paths():
+        out.append(stitch_path(path, reads))
+        in_graph.update(vread(v) for v, _ in path)
+    for r in range(len(reads)):
+        if r not in in_graph and r not in contained:
+            out.append(np.array(reads[r], np.uint8))
     return out
 
 

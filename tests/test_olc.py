@@ -351,3 +351,73 @@ def test_map_clustered_olc_flow():
             for o in out
             if len(o) >= 400
         ), "cluster not reconstructed"
+
+
+def test_bottom_sketch_containment_resemblance():
+    """Bottom-sketch MinHash estimators (GraphUtils.java:2787-2977)."""
+    import numpy as np
+
+    from rnabloom_tpu.olc import sketch
+
+    rng = np.random.default_rng(13)
+    t = rng.integers(0, 4, size=2000).astype(np.uint8)
+    a = t[:1500]          # contained in t
+    b = t[500:2000]       # 1000bp overlap with a
+    c = rng.integers(0, 4, size=1500).astype(np.uint8)  # unrelated
+
+    k = 25
+    sk = sketch.bottom_sketches([a, b, c, t], k, s=200)
+    full_t = sketch._kmer_hashes(t, k)
+    assert sketch.containment(sk[0], full_t) > 0.95   # a fully in t
+    assert sketch.containment(sk[2], full_t) < 0.05   # c unrelated
+
+    r_ab = sketch.resemblance(sk[0], sk[1])
+    r_ac = sketch.resemblance(sk[0], sk[2])
+    assert r_ab > 0.2       # ~1000/2000 Jaccard
+    assert r_ac < 0.02
+
+    clusters = sketch.containment_clusters([a, b, c], k, min_containment=0.3)
+    by_member = {}
+    for ci, cl in enumerate(clusters):
+        for m in cl:
+            by_member[m] = ci
+    assert by_member[0] == by_member[1]   # a and b share a cluster
+    assert by_member[2] != by_member[0]   # c is alone
+
+
+def test_ava_clustered_sketch_mode():
+    import numpy as np
+
+    from rnabloom_tpu.olc import layout as olc_layout
+
+    rng = np.random.default_rng(14)
+    t1 = rng.integers(0, 4, size=900).astype(np.uint8)
+    t2 = rng.integers(0, 4, size=900).astype(np.uint8)
+    reads = [t1[i : i + 500] for i in range(0, 401, 100)] + [
+        t2[i : i + 500] for i in range(0, 401, 100)
+    ]
+    out = olc_layout.ava_clustered_olc(reads, 25, sketch_cluster=True)
+    assert len(out) >= 2
+    # both source transcripts are represented by long assembled pieces
+    outs = [o.tobytes() for o in out]
+    assert any(len(o) >= 700 for o in out)
+
+
+def test_layout_backbones():
+    """Backbone layout (Layout.java:4060-4309): dovetail chains merge into
+    backbones, contained reads drop, isolated reads pass through."""
+    import numpy as np
+
+    from rnabloom_tpu.olc import layout as olc_layout
+
+    rng = np.random.default_rng(21)
+    t = rng.integers(0, 4, size=1200).astype(np.uint8)
+    chain = [t[0:500], t[300:800], t[600:1100]]  # dovetail chain
+    contained = t[350:700]  # inside the chain's reads
+    isolated = rng.integers(0, 4, size=400).astype(np.uint8)
+    out = olc_layout.layout_backbones(chain + [contained, isolated], 25)
+    lens = sorted(len(o) for o in out)
+    # one long backbone (~1100), the isolated read, no contained read
+    assert max(lens) >= 1000, lens
+    assert any(len(o) == 400 for o in out)
+    assert len(out) <= 3
