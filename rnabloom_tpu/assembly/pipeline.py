@@ -1009,10 +1009,13 @@ def assemble_pe(
     # reruns skip the sampling pass, RNABloom.java:2669-2714)
     readstats_path = os.path.join(outdir, f"{params.name}.readstats")
     lengths = None
+    nk_hint = 0
     if not force and os.path.exists(readstats_path):
         try:
             with open(readstats_path) as fh:
-                lengths = np.asarray(json.load(fh)["lengths"], np.int64)
+                rs = json.load(fh)
+            lengths = np.asarray(rs["lengths"], np.int64)
+            nk_hint = int(rs.get("distinct_kmers", 0))
         except (json.JSONDecodeError, KeyError):
             lengths = None
     if lengths is None:
@@ -1030,9 +1033,11 @@ def assemble_pe(
         max_tip = params.max_tip_length
     read_L = int(max(lengths.max(initial=150), k + d_read + 1))
 
+    # a rerun sizes filters from the previous run's distinct-k-mer estimate
+    # (the persisted ntCard-F0 stand-in), skipping FPR-resize rebuild passes
     cfg = stage1.default_graph_config(
         k, params.stranded, params.total_mem_bytes, params.num_hash, d_read,
-        expected_num_kmers=params.expected_num_kmers,
+        expected_num_kmers=params.expected_num_kmers or nk_hint,
         **params.graph_config_overrides(),
     )
 
@@ -1065,6 +1070,15 @@ def assemble_pe(
     s1_stats.read_pair_distance = d_read
     s1_stats.max_tip_length = max_tip
     report.stage1 = s1_stats
+    if s1_stats.distinct_kmers_est > 0:
+        try:  # persist for rerun filter sizing
+            with open(readstats_path) as fh:
+                rs = json.load(fh)
+            rs["distinct_kmers"] = s1_stats.distinct_kmers_est
+            with open(readstats_path, "w") as fh:
+                json.dump(rs, fh)
+        except (json.JSONDecodeError, OSError):
+            pass
     timer.done(
         "graph built",
         f"{s1_stats.num_segments} segments, FPRs {s1_stats.fprs}",

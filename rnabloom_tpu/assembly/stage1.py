@@ -47,6 +47,10 @@ class Stage1Stats:
     read_pair_distance: int = -1
     max_tip_length: int = -1
     fprs: dict = field(default_factory=dict)
+    # analytic distinct-k-mer estimate from the counting filter's fill
+    # (the internal ntCard-F0 stand-in; persisted so reruns size filters
+    # right without re-parsing, RNABloom.java's -nk/ntCard path)
+    distinct_kmers_est: int = 0
 
 
 def sample_read_lengths(paths: Sequence[str], sample_size: int) -> np.ndarray:
@@ -159,6 +163,14 @@ def build_graph(
     jax.block_until_ready(state.state.cbf if engine.is_sharded(state) else state.cbf)
     stats.elapsed_s = time.time() - t0
     stats.fprs = engine.fprs(state, cfg)
+    # fill -> inserted-key estimate: n = -m/h * ln(1 - fill)
+    import math as _math
+
+    fill = min(stats.fprs["cbf"] ** (1.0 / cfg.cbf.num_hash), 0.999999)
+    if fill > 0:
+        stats.distinct_kmers_est = int(
+            -cfg.cbf.size / cfg.cbf.num_hash * _math.log1p(-fill)
+        )
     return state, stats
 
 

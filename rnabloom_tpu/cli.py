@@ -70,6 +70,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-sharded", "--sharded", choices=("auto", "on", "off"), default="auto",
                    help="multi-chip mesh scale-out: shard filters by hash range "
                         "across all visible devices (auto = when >1 device)")
+    p.add_argument("-coordinator", "--coordinator", default="",
+                   help="multi-host: coordinator address HOST:PORT (jax.distributed)")
+    p.add_argument("-nprocs", "--nprocs", type=int, default=1,
+                   help="multi-host: total number of processes")
+    p.add_argument("-procid", "--procid", type=int, default=0,
+                   help="multi-host: this process's id [0]")
     p.add_argument("-u", "--uracil", action="store_true",
                    help="write transcripts as RNA (U instead of T)")
     p.add_argument("-nk", "--nk", type=int, default=0,
@@ -164,6 +170,10 @@ def _enable_compilation_cache() -> None:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.coordinator:
+        from rnabloom_tpu.parallel import multihost
+
+        multihost.initialize(args.coordinator, args.nprocs, args.procid)
     _enable_compilation_cache()
 
     from .assembly import pipeline
