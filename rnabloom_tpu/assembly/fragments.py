@@ -274,8 +274,14 @@ def _naive_extend_fragments(
     maxlen = max(results[b].length for b in rows)
     pad = 1 << max(8, (maxlen + 2 * params.bound - 1).bit_length())
     n_rows = 1 << max(6, (len(rows) - 1).bit_length())
-    wcfg = traverse.WalkConfig(max_len=pad, lookahead=params.lookahead)
-    wcfg_l = traverse.WalkConfig(max_len=pad, lookahead=params.lookahead, left=True)
+    # the reference's -extend uses naiveExtend WITH back-branch checks
+    # (FragmentAssembler :2264-2278 -> naiveExtendRight :6835)
+    wcfg = traverse.WalkConfig(
+        max_len=pad, lookahead=params.lookahead, check_back_branches=True
+    )
+    wcfg_l = traverse.WalkConfig(
+        max_len=pad, lookahead=params.lookahead, left=True, check_back_branches=True
+    )
 
     seeds = np.full((n_rows, maxlen), 4, np.uint8)
     lens = np.zeros(n_rows, np.int64)

@@ -69,6 +69,13 @@ class WalkConfig:
     tip_probe_depth: int = 8  # must stay < k (probe out-chars read the buffer)
     cycle_window: int = 64
     left: bool = False  # walk is the reverse complement of the sequence
+    # stop when the current k-mer has an existing left SNV variant — an
+    # incoming branch merges here (naiveExtendRight's back-branch check,
+    # GraphUtils.java:6846-6851; the reference additionally requires the
+    # variant to have depth > maxTipLength — here any variant passing
+    # min_cov counts, the same stricter approximation as the -stratum
+    # branch-free gate)
+    check_back_branches: bool = False
     use_terminators: bool = False
     term_cfg: Optional["filters.BloomConfig"] = None  # screening BF shape
     # pair-scored branch resolution (extendPE semantics)
@@ -335,17 +342,33 @@ def walk_superstep(
 
         full = (st.pos >= wcfg.max_len - 1) | (st.hops >= bound)
 
-        advance = active & (nviable == 1) & ~cyc & ~term & ~full
+        back = jnp.zeros_like(cyc)
+        if wcfg.check_back_branches:
+            flv, rlv = nthash.variant_hashes_left(st.fh, out_codes, cfg.k, st.rh)
+            qv = _query_hash(cfg, wcfg, flv, rlv)
+            cv = backend.counts(graph, cfg, qv)  # (W, 4)
+            is_self = (
+                jnp.arange(4, dtype=jnp.uint8)[None, :] == out_codes[:, None]
+            )
+            back = jnp.any(
+                (cv >= jnp.maximum(min_cov, 1.0)[:, None]) & ~is_self, axis=1
+            )
+
+        advance = active & (nviable == 1) & ~cyc & ~term & ~full & ~back
         new_status = jnp.where(
             ~active,
             st.status,
             jnp.where(
-                nviable == 0,
-                DEAD,
+                back,
+                STOPPED_BRANCH,
                 jnp.where(
-                    nviable > 1,
-                    BRANCH,
-                    jnp.where(cyc, CYCLE, jnp.where(term, TERM, jnp.where(full, FULL, ACTIVE))),
+                    nviable == 0,
+                    DEAD,
+                    jnp.where(
+                        nviable > 1,
+                        BRANCH,
+                        jnp.where(cyc, CYCLE, jnp.where(term, TERM, jnp.where(full, FULL, ACTIVE))),
+                    ),
                 ),
             ),
         )

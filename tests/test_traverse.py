@@ -142,3 +142,23 @@ def test_lookahead_beyond_three():
     out, status = extend_from_seed(cfg, graph, prefix, wcfg=wcfg)
     assert out == high
     assert status == traverse.DEAD
+
+
+def test_back_branch_check_stops_at_merge():
+    """naiveExtendRight's back-branch stop (GraphUtils.java:6846-6851): a
+    decoy path merging INTO the walk's route stops the checked walk at the
+    merge point; the unchecked walk runs through."""
+    A = rand_seq(100)
+    B = rand_seq(100)
+    t = A + B
+    decoy = rand_seq(80) + t[100 - K + 1 : 100 + 1]  # merges at position 100
+    cfg, graph = build_graph_from([t, decoy], copies=[4, 4])
+
+    unchecked = traverse.WalkConfig(max_len=512)
+    out, _ = extend_from_seed(cfg, graph, t[:K], wcfg=unchecked, mode="naive")
+    assert len(out) >= 150  # merge is invisible without back checks
+
+    checked = traverse.WalkConfig(max_len=512, check_back_branches=True)
+    out2, status2 = extend_from_seed(cfg, graph, t[:K], wcfg=checked, mode="naive")
+    assert status2 == traverse.STOPPED_BRANCH
+    assert abs(len(out2) - 101) <= 2, f"stopped at {len(out2)}, expected ~101"
