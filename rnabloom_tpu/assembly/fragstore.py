@@ -12,6 +12,13 @@ with respect to input size.
 
 Per-fragment minimum coverages ride in the meta JSON (floats, O(1k) per
 million fragments) in write order, aligned with the `.nbits` records.
+
+Strata match the reference exactly (RNABloom.java:150-158): singletons
+(minCov == 1) go to their own "01" files, read after every magnitude file
+of their class; iteration is class-outer (all LONG magnitudes E5..E0, then
+SHORT, then UNCONNECTED, then the three singleton files), with the whole
+polyA-tailed group first when polyA output is prioritized
+(assembleTranscriptsMultiThreaded :4886-5020).
 """
 
 from __future__ import annotations
@@ -53,7 +60,8 @@ class FragmentStore:
     def _key(self, min_cov: float, length: int, connected: bool, polya: bool) -> str:
         cls = ("long" if length >= self.long_threshold else "short") if connected else "un"
         pa = ".polya" if (self.polya_priority and polya) else ""
-        return f"E{_magnitude(min_cov)}.{cls}{pa}"
+        stratum = "01" if min_cov <= 1 else f"E{_magnitude(min_cov)}"
+        return f"{stratum}.{cls}{pa}"
 
     def add(self, codes: np.ndarray, min_cov: float, connected: bool, polya: bool = False) -> None:
         os.makedirs(self.dir, exist_ok=True)
@@ -109,13 +117,21 @@ class FragmentStore:
         return store
 
     def _ordered_keys(self) -> List[str]:
+        """Reference priority order (assembleTranscriptsMultiThreaded
+        :4886-5020): polyA group first (when prioritized); within a group,
+        class-outer — LONG E5..E0, SHORT E5..E0, UNCONNECTED E5..E0 — then
+        the singleton ("01") file of each class."""
         keys = []
-        for mag in _MAGS:
+        for pa in (".polya", "") if self.polya_priority else ("",):
             for cl in _CLASSES:
-                for pa in (".polya", "") if self.polya_priority else ("",):
+                for mag in _MAGS:
                     k = f"E{mag}.{cl}{pa}"
                     if k in self._covs:
                         keys.append(k)
+            for cl in _CLASSES:
+                k = f"01.{cl}{pa}"
+                if k in self._covs:
+                    keys.append(k)
         return keys
 
     def iter_batches(

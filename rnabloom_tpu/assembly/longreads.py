@@ -145,43 +145,74 @@ def _find(haystack: np.ndarray, needle: np.ndarray) -> int:
     return int(hits[0]) if len(hits) else -1
 
 
+@dataclass
+class LongCorrectionResult:
+    """Corrected reads split the reference's way
+    (CorrectedLongReadsWriterWorker2.writeToFile, RNABloom.java:3525-3546):
+    ``long`` segments (>= min_seq_len, the OLC input), ``short`` segments
+    (corrected but below the length threshold), and ``repeats`` — reads
+    whose entire sequence is low-complexity (LongReadCorrectionWorker
+    :3768-3772), kept verbatim."""
+
+    long: List[np.ndarray]
+    polya: List[bool]
+    short: List[np.ndarray]
+    short_polya: List[bool]
+    repeats: List[np.ndarray]
+
+
 def correct_long_reads(
     graph: GraphState,
     cfg: GraphConfig,
     reads: List[np.ndarray],
     params: LongReadParams,
-) -> Tuple[List[np.ndarray], List[bool]]:
-    """Full long-read stage 2 over all reads.
+) -> LongCorrectionResult:
+    """Full long-read stage 2 over a chunk of reads.
 
-    Returns (corrected sequences, has_polya flags); reads are oriented,
-    low-complexity-split, graph-corrected, and rc-artifact-trimmed.
+    Reads are oriented, low-complexity-split, graph-corrected, and
+    rc-artifact-trimmed; corrected segments are classified long/short by
+    ``min_seq_len`` and fully-low-complexity reads go to ``repeats``.
     """
     oriented: List[np.ndarray] = []
     polya_flags: List[bool] = []
+    repeats: List[np.ndarray] = []
     for r in reads:
         if params.orient:
             r, has_tail, _ = polya.orient_long_read(r)
         else:
             has_tail = False
-        for s, e in artifacts.extract_non_low_complexity_segments(
+        segs = artifacts.extract_non_low_complexity_segments(
             r, min_len=params.min_seq_len
-        ):
+        )
+        if not segs:
+            if len(r) >= cfg.k:
+                repeats.append(r)
+            continue
+        if len(segs) > 1:
+            has_tail = False  # multi-segment: tail ownership is ambiguous
+        for s, e in segs:
             oriented.append(r[s:e])
             polya_flags.append(has_tail)
 
-    corrected: List[np.ndarray] = []
-    flags: List[bool] = []
+    result = LongCorrectionResult([], [], [], [], repeats)
     B = params.batch_size
     for s in range(0, len(oriented), B):
         chunk = oriented[s : s + B]
         segs = correct_batch(graph, cfg, chunk, params)
         for i, seglist in enumerate(segs):
+            multi = len(seglist) > 1
             for seg in seglist:
                 seg = artifacts.trim_rc_artifact(seg)
+                if len(seg) < cfg.k:
+                    continue
+                fl = polya_flags[s + i] and not multi
                 if len(seg) >= params.min_seq_len:
-                    corrected.append(seg)
-                    flags.append(polya_flags[s + i])
-    return corrected, flags
+                    result.long.append(seg)
+                    result.polya.append(fl)
+                else:
+                    result.short.append(seg)
+                    result.short_polya.append(fl)
+    return result
 
 
 M64 = np.uint64(0xFFFFFFFFFFFFFFFF)

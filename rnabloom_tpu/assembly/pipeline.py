@@ -372,6 +372,9 @@ def _run_stage3(
             if params.max_tip_length >= 0
             else 8
         ),
+        # -tiplength also bounds the screen's forgivable edge clip
+        # (represented()'s maxEdgeClipLength = maxTipLength); -1 = auto
+        screen_max_edge_clip=params.max_tip_length,
         keep_chimeras=params.keep_chimeras,
         keep_artifacts=params.keep_artifacts,
         frag_consistency=params.frag_consistency,
@@ -745,7 +748,15 @@ def assemble_long(
         ckpt.clear_stamps(outdir)
     report = PipelineReport()
     k = params.k
-    corrected_path = os.path.join(outdir, f"{params.name}.longreads.corrected.fa")
+    # corrected-read file layout mirrors the reference (RNABloom.java:
+    # 7324-7329): .long feeds the OLC stage; .short/.repeats are preserved
+    # outputs; polyA read names and sampled long-read lengths ride along.
+    corrected_prefix = os.path.join(outdir, f"{params.name}.longreads.corrected")
+    corrected_path = corrected_prefix + ".long.fa"
+    short_path_lr = corrected_prefix + ".short.fa"
+    repeats_path = corrected_prefix + ".repeats.fa"
+    polya_names_path = corrected_prefix + ".polya.txt"
+    sample_lengths_path = corrected_prefix + ".long.lengths.txt"
 
     corrected: List[np.ndarray] = []
     polya_flags: List[bool] = []
@@ -782,20 +793,43 @@ def assemble_long(
             return report
 
         # stage 2: correction — raw reads stream from disk in bounded
-        # chunks and corrected reads stream straight to the output FASTA
-        # (the reference's reader -> workers -> writer queue,
-        # RNABloom.java:3948-4046)
-        lrp = lrmod.LongReadParams(min_kmer_cov=lr_min_cov)
+        # chunks and corrected reads stream straight to the stratified
+        # output FASTAs (the reference's reader -> workers -> writer queue,
+        # RNABloom.java:3948-4046, CorrectedLongReadsWriterWorker2)
+        # length threshold = min(minOverlap, minTranscriptLength)
+        # (RNABloom.java:7344 lenThreshold)
+        lrp = lrmod.LongReadParams(
+            min_kmer_cov=lr_min_cov,
+            min_seq_len=min(200, params.min_transcript_length),
+        )
         chunk: List[np.ndarray] = []
-        with fastx.FastaWriter(corrected_path) as w:
+        n_short = n_rep = 0
+        with fastx.FastaWriter(corrected_path) as w, fastx.FastaWriter(
+            short_path_lr
+        ) as wsh, fastx.FastaWriter(repeats_path) as wrep, open(
+            polya_names_path, "w"
+        ) as wpa:
 
             def flush_chunk():
-                fixed, flags = lrmod.correct_long_reads(state, cfg, chunk, lrp)
-                for c, fl in zip(fixed, flags):
+                nonlocal n_short, n_rep
+                res = lrmod.correct_long_reads(state, cfg, chunk, lrp)
+                for c, fl in zip(res.long, res.polya):
+                    name = f"lr.{len(corrected)}"
                     tag = " polya" if fl else ""
-                    w.write(f"lr.{len(corrected)}", sequtils.decode(c), f"l={len(c)}{tag}")
+                    w.write(name, sequtils.decode(c), f"l={len(c)}{tag}")
+                    if fl:
+                        wpa.write(name + "\n")
                     corrected.append(c)
                     polya_flags.append(fl)
+                for c, fl in zip(res.short, res.short_polya):
+                    name = f"lr.s{n_short}"
+                    wsh.write(name, sequtils.decode(c), f"l={len(c)}")
+                    if fl:
+                        wpa.write(name + "\n")
+                    n_short += 1
+                for c in res.repeats:
+                    wrep.write(f"lr.r{n_rep}", sequtils.decode(c), f"l={len(c)}")
+                    n_rep += 1
                 chunk.clear()
 
             for path in long_paths:
@@ -811,6 +845,8 @@ def assemble_long(
             if chunk:
                 flush_chunk()
         report.num_fragments = len(corrected)
+        with open(sample_lengths_path, "w") as f:
+            f.write("\n".join(str(len(c)) for c in corrected))
         ckpt.touch_stamp(outdir, ckpt.STAMP_LONGREADS_CORRECTED)
         if not corrected or params.stop_stage <= 2:
             report.elapsed_s = time.time() - t0

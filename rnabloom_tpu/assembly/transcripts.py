@@ -52,6 +52,11 @@ class TranscriptParams:
     max_indel: int = 1  # -indel: indel-bubble tolerance in the screen
     percent_identity: float = 0.90  # -p: identity floor for gap repairs
     max_edge_clip: int = 0  # >0 enables the blunt-end artifact filter
+    # unassembled sequence EDGES up to this many k-mers are forgiven by the
+    # redundancy screen when they are graph tips (represented()'s
+    # maxEdgeClipLength, GraphUtils.java:744/:813); -1 = auto (the pipeline
+    # sets maxTipLength = median read length - k, RNABloom.java:1011-1030)
+    screen_max_edge_clip: int = -1
     template_switch_filter: bool = False  # enable isTemplateSwitch screening
     lookahead: int = 3  # -lookahead: traversal lookahead depth
     tip_probe_depth: int = 8  # clamped -tiplength (probes stay < k)
@@ -143,6 +148,134 @@ def _max_true_run(mask: np.ndarray) -> int:
     return int((np.flatnonzero(d == -1) - np.flatnonzero(d == 1)).max())
 
 
+def _gap_rewalk(
+    graph: GraphState,
+    screen: jax.Array,
+    scfg: BloomConfig,
+    cfg: GraphConfig,
+    codes: np.ndarray,
+    lengths: np.ndarray,
+    seen: np.ndarray,
+    valid: np.ndarray,
+    params: TranscriptParams,
+) -> None:
+    """Graph re-walk of unseen k-mer gaps (GraphUtils.represented :711-824).
+
+    For each unseen run anchored by seen k-mers, greedily walk the graph's
+    max-coverage path from the anchor for the expected length (the role of
+    getMaxCoveragePath restricted to the screening filter); the gap is
+    accepted — ``seen[b, g0:g1]`` set — when the walked path's k-mers are
+    all in the screening filter AND its bases match the gap's bases at
+    >= percent_identity within max_indel of the expected length.  Edge
+    gaps re-walk outward the same way; failing edge gaps up to
+    ``screen_max_edge_clip`` k-mers are forgiven when the sequence end is
+    a graph tip (hasDepth check, :744-752/:811-820).  Mutates ``seen``.
+    """
+    from ..graph import engine, traverse
+    from ..utils import align
+
+    k = cfg.k
+    mi = params.max_indel
+    bubble_max = (cfg.read_pair_distance if cfg.read_pair_distance > 0 else 0) + k
+    edge_clip = params.screen_max_edge_clip
+    if edge_clip < 0:
+        edge_clip = max(k, cfg.read_pair_distance)
+
+    # jobs: (b, g0, g1, seed (k,), target bases, expected_ext, kind)
+    jobs: List[tuple] = []
+    for b in range(codes.shape[0]):
+        nb = int(lengths[b])
+        n = max(nb - k + 1, 0)
+        if n == 0:
+            continue
+        s, v = seen[b, :n], valid[b, :n]
+        bad = (~s) & v
+        if not bad.any() or not s[v].any():
+            continue
+        padded = np.concatenate(([False], bad, [False]))
+        d = np.diff(padded.astype(np.int8))
+        for g0, g1 in zip(np.flatnonzero(d == 1), np.flatnonzero(d == -1)):
+            g0, g1 = int(g0), int(g1)
+            glen = g1 - g0
+            interior = g0 > 0 and g1 < n
+            if interior:
+                if glen > bubble_max:
+                    continue
+                # walk right from the anchor k-mer at g0-1, regenerate
+                # through the end of the right anchor k-mer at g1
+                seed = codes[b, g0 - 1 : g0 - 1 + k]
+                target = codes[b, g0 - 1 + k : g1 + k]
+                jobs.append((b, g0, g1, seed, target, len(target), "int"))
+            elif g1 >= n and g0 > 0:  # right edge
+                if glen > max(bubble_max, edge_clip):
+                    continue
+                seed = codes[b, g0 - 1 : g0 - 1 + k]
+                target = codes[b, g0 - 1 + k : nb]
+                jobs.append((b, g0, g1, seed, target, len(target), "redge"))
+            elif g0 == 0 and g1 < n:  # left edge: walk left = rc right
+                if glen > max(bubble_max, edge_clip):
+                    continue
+                seed = sequtils.revcomp_codes(codes[b, g1 : g1 + k])
+                target = sequtils.revcomp_codes(codes[b, :g1])
+                jobs.append((b, g0, g1, seed, target, len(target), "ledge"))
+    if not jobs:
+        return
+
+    max_ext = max(j[5] for j in jobs) + mi
+    wcfg = traverse.WalkConfig(max_len=k + max_ext, lookahead=params.lookahead)
+    seeds = np.stack([j[3] for j in jobs])
+    W = 1 << max(6, (len(jobs) - 1).bit_length())  # make_walks pads rows
+    bounds_p = np.zeros(W, np.int32)
+    bounds_p[: len(jobs)] = [j[5] + mi for j in jobs]
+    st = traverse.make_walks(cfg, wcfg, seeds)
+    st = engine.extend_walks(st, graph, cfg, wcfg, 1.0, jnp.asarray(bounds_p), mode="greedy")
+    buf, pos, _ = traverse.harvest(st)
+
+    # one batched screen lookup over every walked path
+    wseen_d, wvalid_d = _screen_lookup(screen, scfg, cfg, jnp.asarray(buf[: len(jobs)]))
+    wseen, wvalid = np.asarray(wseen_d), np.asarray(wvalid_d)
+
+    # failed EDGE gaps fall back to the tip test: walk outward from the
+    # sequence's outermost k-mer; a dead end within the clip allowance
+    # means the edge is unassembled junk, not novel sequence
+    tip_jobs: List[tuple] = []  # (job index, seed)
+
+    for i, (b, g0, g1, _seed, target, expected, kind) in enumerate(jobs):
+        ext = buf[i, k : pos[i]]
+        ok = False
+        if len(ext) >= max(expected - mi, 1):
+            m = min(len(ext), expected + mi)
+            nk_w = pos[i] - k + 1  # walked k-mers incl. the seed k-mer
+            wv = wvalid[i, :nk_w]
+            path_seen = wseen[i, :nk_w][wv].all() if wv.any() else False
+            if path_seen:
+                a = ext[:m]
+                t = np.asarray(target)
+                if align.percent_identity(a, t) >= params.percent_identity:
+                    ok = True
+        if ok:
+            seen[b, g0:g1] = True
+        elif kind in ("redge", "ledge") and (g1 - g0) <= edge_clip:
+            nb = int(lengths[b])
+            if kind == "redge":
+                tip_seed = codes[b, nb - k : nb]
+            else:
+                tip_seed = sequtils.revcomp_codes(codes[b, :k])
+            tip_jobs.append((i, tip_seed))
+
+    if tip_jobs:
+        depth = max(edge_clip, 1)
+        twcfg = traverse.WalkConfig(max_len=k + depth, lookahead=params.lookahead)
+        tst = traverse.make_walks(cfg, twcfg, np.stack([s for _, s in tip_jobs]))
+        tst = engine.extend_walks(tst, graph, cfg, twcfg, 1.0, depth, mode="greedy")
+        _, tpos, _ = traverse.harvest(tst)
+        for j, (i, _s) in enumerate(tip_jobs):
+            b, g0, g1 = jobs[i][0], jobs[i][1], jobs[i][2]
+            gap = g1 - g0
+            if int(tpos[j]) - k < max(edge_clip - gap, 0):
+                seen[b, g0:g1] = True  # dead-end tip: forgive the edge
+
+
 def screen_represented(
     screen: jax.Array,
     scfg: BloomConfig,
@@ -151,13 +284,19 @@ def screen_represented(
     lengths: np.ndarray,
     params: TranscriptParams,
     chimera_out: Optional[np.ndarray] = None,
+    graph: Optional[GraphState] = None,
 ) -> np.ndarray:
     """Per row: already represented by previously assembled sequence?
 
-    Approximation of GraphUtils.represented (:711-824): a sequence is
-    redundant when >= screen_min_frac of its k-mers are in the screening
-    filter and no unseen run exceeds screen_max_gap (the reference re-walks
-    gaps through the graph with a percent-identity check).
+    GraphUtils.represented (:711-824): a sequence is redundant when its
+    k-mers are in the screening filter up to repaired error bubbles.  Short
+    unseen gaps are first tested against their direct edit variants
+    (pass 1); with ``graph`` given, surviving gaps are re-walked through
+    the graph's max-coverage path with percent-identity acceptance and
+    edge gaps are forgiven when they are graph tips (pass 1b — the
+    reference's getMaxCoveragePath/greedyExtend re-walks).  Finally a row
+    is represented when >= screen_min_frac of its k-mers are seen and no
+    unseen run exceeds screen_max_gap.
 
     When ``chimera_out`` is given, rows whose seen-profile matches the
     chimera signature (two fully assembled arms joined by a short
@@ -241,6 +380,11 @@ def screen_represented(
                     seen[b, g0:g1] = True
                     break
 
+    # pass 1b: graph re-walk of the gaps the direct variants couldn't
+    # explain (multi-error bubbles, indel clusters, unassembled edges)
+    if graph is not None:
+        _gap_rewalk(graph, screen, scfg, cfg, codes, lengths, seen, valid, params)
+
     for b in range(codes.shape[0]):
         if chimera_out is not None:
             n0 = max(int(lengths[b]) - k + 1, 0)
@@ -284,41 +428,55 @@ def sequential_dedup(
     lengths: np.ndarray,
     params: TranscriptParams,
     seen: Optional[set] = None,
-) -> Tuple[np.ndarray, set]:
+) -> Tuple[np.ndarray, Optional[set]]:
     """Within-batch sequential redundancy screen.
 
     The reference's writer serializes every candidate against all previously
     written sequences (TranscriptWriter :1639); batched device screening
     only sees earlier *batches*, so rows of one batch are re-checked here in
-    order against a host-side set of accepted k-mer hashes.  Returns
-    (represented mask, updated seen-set).
+    order against the k-mers accepted earlier in the batch.  Vectorized:
+    the batch's distinct k-mer hashes are assigned dense ids once
+    (np.unique), and the sequential pass is one boolean-array gather/scatter
+    per row instead of per-element set probes.  Returns (represented mask,
+    the passed-in seen set updated with accepted hashes, or None).
     """
-    if seen is None:
-        seen = set()
     h, valid = _base_hashes_np(cfg, codes)
+    B, P = h.shape
     k = cfg.k
     gap_max = params.screen_max_gap or k
-    rep = np.zeros(codes.shape[0], bool)
-    for b in range(codes.shape[0]):
-        n = max(int(lengths[b]) - k + 1, 0)
+    n_kmers = np.maximum(lengths.astype(np.int64) - k + 1, 0)
+    inlen = np.arange(P)[None, :] < n_kmers[:, None]
+    sel = inlen & valid
+    rep = np.zeros(B, bool)
+    if not sel.any():
+        rep[:] = True
+        return rep, seen
+    uniq, inv = np.unique(h[sel], return_inverse=True)
+    ids = np.zeros((B, P), np.int64)
+    ids[sel] = inv
+    seen_mask = np.zeros(len(uniq), bool)
+    if seen:
+        seen_arr = np.fromiter(seen, dtype=np.uint64, count=len(seen))
+        seen_mask = np.isin(uniq, seen_arr)
+    for b in range(B):
+        n = int(n_kmers[b])
         if n == 0:
             rep[b] = True
             continue
-        row = h[b, :n]
-        v = valid[b, :n]
+        v = sel[b, :n]
         nv = int(v.sum())
         if nv == 0:
             rep[b] = True
             continue
-        # plain-int membership: tolist() once beats per-element numpy boxing
-        hits = np.frombuffer(
-            bytes(x in seen for x in row.tolist()), dtype=bool
-        )
-        frac = hits[v].sum() / nv
+        row_ids = ids[b, :n]
+        hits = seen_mask[row_ids] & v
+        frac = hits.sum() / nv
         if frac >= params.screen_min_frac and _max_true_run((~hits) & v) <= gap_max:
             rep[b] = True
         else:
-            seen.update(row[v].tolist())
+            seen_mask[row_ids[v]] = True
+            if seen is not None:
+                seen.update(uniq[row_ids[v]].tolist())
     return rep, seen
 
 
@@ -534,7 +692,9 @@ def assemble_transcripts_batch(
 
     B, L = frags.shape
     chimera = np.zeros(B, bool)
-    rep = screen_represented(screen, scfg, cfg, frags, lens, params, chimera_out=chimera)
+    rep = screen_represented(
+        screen, scfg, cfg, frags, lens, params, chimera_out=chimera, graph=graph
+    )
     if params.keep_chimeras:  # -chimera (RNABloom.java:6253-6257)
         chimera[:] = False
     blunt = np.zeros(B, bool)
@@ -607,7 +767,7 @@ def assemble_transcripts_batch(
     # final redundancy re-check (vs earlier batches; the reference's writer
     # also serializes within a batch — here same-batch duplicates are
     # tolerated and cleaned up by the nr step)
-    rep2 = screen_represented(screen, scfg, cfg, final, final_len, params)
+    rep2 = screen_represented(screen, scfg, cfg, final, final_len, params, graph=graph)
     # serialize within the batch: mask rows already dead, then screen each
     # survivor against the k-mers accepted earlier in this batch
     seq_lens = np.where(rep2 | (final_len < cfg.k), 0, final_len)

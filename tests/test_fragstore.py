@@ -31,10 +31,29 @@ def test_store_roundtrip_and_priority_order(tmp_path):
         for i in range(4):
             if lens[i] > 0:
                 seen.append((float(covs[i]), int(lens[i]), bool(conn[i])))
-    # priority: E5 first, then E2, then E0 long before short before un
-    assert [round(c) for c, _, _ in seen] == [2000000, 500, 5, 5, 5]
-    assert [l for _, l, _ in seen] == [80, 150, 150, 50, 150]
+    # reference priority (class-outer): LONG E5..E0, SHORT E5..E0, UN E5..E0
+    assert [round(c) for c, _, _ in seen] == [500, 5, 2000000, 5, 5]
+    assert [l for _, l, _ in seen] == [150, 150, 80, 50, 150]
     assert [c for _, _, c in seen] == [True, True, True, True, False]
+
+
+def test_store_singleton_stratum_last(tmp_path):
+    """minCov == 1 fragments live in their own '01' files, read after every
+    magnitude file of the group (RNABloom.java:150-158, :4132-4145)."""
+    with FragmentStore(str(tmp_path), long_threshold=100) as store:
+        store.add(_frag(150), min_cov=1.0, connected=True)   # 01 long
+        store.add(_frag(50), min_cov=1.0, connected=True)    # 01 short
+        store.add(_frag(150), min_cov=2.0, connected=True)   # E0 long
+        store.add(_frag(60), min_cov=1.0, connected=False)   # 01 un
+        store.add(_frag(70), min_cov=30.0, connected=False)  # E1 un
+    reopened = FragmentStore.open(str(tmp_path))
+    seen = []
+    for codes, lens, covs, conn in reopened.iter_batches(4):
+        for i in range(4):
+            if lens[i] > 0:
+                seen.append((float(covs[i]), int(lens[i])))
+    # LONG E0, UN E1, then singletons: 01.long, 01.short, 01.un
+    assert seen == [(2.0, 150), (30.0, 70), (1.0, 150), (1.0, 50), (1.0, 60)]
 
 
 def test_store_polya_priority(tmp_path):
