@@ -39,12 +39,17 @@ def main() -> None:
     read_len = 150
     k = 25
     batch = 16384
+    # insert path: sort-merge MXU sweep on TPU (the pipeline default there),
+    # cache-blocked scatter elsewhere — mirrors stage1.default_graph_config
+    merge = jax.default_backend() == "tpu"
     cfg = dbg.GraphConfig(
         k=k,
         stranded=False,
         dbgbf=BloomConfig(size_log2=30, num_hash=2),  # 1 Gi lanes
-        cbf=CountingConfig(size_log2=28, num_hash=2, scratch_log2=22, blocked=True),  # 1 GiB
-        pkbf=BloomConfig(size_log2=28, num_hash=2),
+        cbf=CountingConfig(
+            size_log2=28, num_hash=2, scratch_log2=22, blocked=not merge, merge=merge
+        ),  # 1 GiB
+        pkbf=BloomConfig(size_log2=28, num_hash=2, merge=merge),
         read_pair_distance=90,
     )
     state = dbg.make_graph(cfg, with_rpkbf=True)

@@ -13,6 +13,7 @@ Read-length-based parameters follow setReadLengthBasedParams
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Iterable, List, Optional, Sequence, Tuple
@@ -220,12 +221,16 @@ def build_graph_autosized(
         pk_g = _grow_log2(pk_fpr, cfg.pkbf.num_hash) if cfg.pkbf else 0
         cfg = _replace(
             cfg,
-            dbgbf=BloomConfig(cfg.dbgbf.size_log2 + dbg_g, cfg.dbgbf.num_hash),
+            dbgbf=BloomConfig(
+                cfg.dbgbf.size_log2 + dbg_g, cfg.dbgbf.num_hash, merge=cfg.dbgbf.merge
+            ),
             cbf=CountingConfig(
                 cfg.cbf.size_log2 + cbf_g, cfg.cbf.num_hash, cfg.cbf.scratch_log2,
-                blocked=cfg.cbf.blocked,
+                blocked=cfg.cbf.blocked, merge=cfg.cbf.merge,
             ),
-            pkbf=BloomConfig(cfg.pkbf.size_log2 + pk_g, cfg.pkbf.num_hash)
+            pkbf=BloomConfig(
+                cfg.pkbf.size_log2 + pk_g, cfg.pkbf.num_hash, merge=cfg.pkbf.merge
+            )
             if cfg.pkbf
             else None,
         )
@@ -259,8 +264,19 @@ def default_graph_config(
 
     Per-filter overrides (0 = default): ``*_hash`` mirror -dh/-ch/-ph and
     ``*_mem_bytes`` mirror -dm/-cm/-pm (RNABloom.java:6035-6127).
+
+    On a real TPU the filters default to sort-merge MXU-sweep inserts
+    (ops/histmerge.py, flat layout); elsewhere to the scatter engine with
+    the cache-blocked counter layout.  ``RNABLOOM_MERGE_INSERTS=0/1``
+    forces either path.
     """
     from ..bloom.filters import BloomConfig as _BC, pow2_size
+
+    env = os.environ.get("RNABLOOM_MERGE_INSERTS", "")
+    if env in ("0", "1"):
+        merge = env == "1"
+    else:
+        merge = jax.default_backend() == "tpu"
 
     if expected_num_kmers > 0:
         sized = _BC.for_expected(expected_num_kmers, 0.01, num_hash)
@@ -278,11 +294,12 @@ def default_graph_config(
     return dbg.GraphConfig(
         k=k,
         stranded=stranded,
-        dbgbf=BloomConfig(dbg_bits.bit_length() - 1, dbgbf_hash or num_hash),
+        dbgbf=BloomConfig(dbg_bits.bit_length() - 1, dbgbf_hash or num_hash, merge=merge),
         cbf=CountingConfig(
-            cbf_cells.bit_length() - 1, cbf_hash or num_hash, blocked=True
+            cbf_cells.bit_length() - 1, cbf_hash or num_hash,
+            blocked=not merge, merge=merge,
         ),
-        pkbf=BloomConfig(pk_bits.bit_length() - 1, pkbf_hash or num_hash)
+        pkbf=BloomConfig(pk_bits.bit_length() - 1, pkbf_hash or num_hash, merge=merge)
         if with_pkbf
         else None,
         read_pair_distance=read_pair_distance,

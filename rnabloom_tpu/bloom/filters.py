@@ -52,14 +52,28 @@ def pow2_size(requested: int) -> int:
 
 @dataclass(frozen=True)
 class BloomConfig:
-    """Static shape/hash parameters of a filter (hashable, jit-static)."""
+    """Static shape/hash parameters of a filter (hashable, jit-static).
+
+    ``merge=True`` switches batch inserts to the sort-merge MXU sweep
+    (ops/histmerge.py) — exact same table contents, ~2x faster than the
+    scatter engine on large batches.  Merge filters are padded with a full
+    trash block instead of one trash cell."""
 
     size_log2: int
     num_hash: int
+    merge: bool = False
 
     @property
     def size(self) -> int:
         return 1 << self.size_log2
+
+    @property
+    def trash(self) -> int:
+        if self.merge:
+            from ..ops import histmerge
+
+            return histmerge.table_pad(self.size_log2)
+        return 1
 
     @classmethod
     def for_expected(cls, num_elements: int, fpr: float, num_hash: int) -> "BloomConfig":
@@ -90,13 +104,17 @@ def bloom_indices(hashes: U64, size_log2: int, valid: Optional[jax.Array] = None
 
 
 def make_bloom(cfg: BloomConfig) -> jax.Array:
-    """Fresh bit-lane array (uint8, size + 1 trash cell)."""
-    return jnp.zeros(cfg.size + 1, dtype=jnp.uint8)
+    """Fresh bit-lane array (uint8, size + trash cell(s))."""
+    return jnp.zeros(cfg.size + cfg.trash, dtype=jnp.uint8)
 
 
 def bloom_add(bits: jax.Array, cfg: BloomConfig, hashes: U64, valid: Optional[jax.Array] = None) -> jax.Array:
     """Insert a batch.  hashes: U64 (..., num_hash)."""
     idx = bloom_indices(hashes, cfg.size_log2, _bcast_valid(valid, hashes))
+    if cfg.merge:
+        from ..ops import histmerge
+
+        return histmerge.hist_update(bits, cfg.size_log2, idx, "set")
     return bits.at[idx.reshape(-1)].set(np.uint8(1), mode="drop")
 
 
@@ -120,14 +138,15 @@ def bloom_lookup_then_add(
     return bloom_add(bits, cfg, hashes, valid), found
 
 
-def bloom_popcount(bits: jax.Array) -> jax.Array:
+def bloom_popcount(bits: jax.Array, cfg: Optional[BloomConfig] = None) -> jax.Array:
     """Number of set lanes, as float32 (feeds the FPR estimate only)."""
-    return jnp.sum(bits[:-1].astype(jnp.float32))
+    n = cfg.size if cfg is not None else bits.shape[0] - 1
+    return jnp.sum(bits[:n].astype(jnp.float32))
 
 
 def bloom_fpr(bits: jax.Array, cfg: BloomConfig) -> jax.Array:
     """(popcount / size) ** num_hash (BloomFilter.java:184-194)."""
-    pc = jnp.sum(bits[:-1].astype(jnp.float32))
+    pc = jnp.sum(bits[: cfg.size].astype(jnp.float32))
     return (pc / cfg.size) ** cfg.num_hash
 
 
@@ -153,15 +172,26 @@ class CountingConfig:
     num_hash: int
     scratch_log2: int = SCRATCH_LOG2_DEFAULT
     blocked: bool = False
+    merge: bool = False  # sort-merge MXU sweep inserts (flat layout only)
 
     @property
     def size(self) -> int:
         return 1 << self.size_log2
 
+    @property
+    def trash(self) -> int:
+        if self.merge:
+            from ..ops import histmerge
+
+            return histmerge.table_pad(self.size_log2)
+        return 128 if self.blocked else 1
+
 
 def make_counting(cfg: CountingConfig) -> jax.Array:
-    # blocked layout appends a 128-cell trash ROW; flat layout one trash cell
-    return jnp.zeros(cfg.size + (128 if cfg.blocked else 1), dtype=jnp.int32)
+    # blocked layout appends a 128-cell trash ROW; flat one trash cell;
+    # merge layout a full trash block (see ops/histmerge.py)
+    assert not (cfg.merge and cfg.blocked), "merge inserts use the flat layout"
+    return jnp.zeros(cfg.size + cfg.trash, dtype=jnp.int32)
 
 
 def blocked_cells(
@@ -270,12 +300,15 @@ def counting_increment_cm(
         )
         return rows2d.reshape(-1)
     idx = bloom_indices(hashes, cfg.size_log2, _bcast_valid(valid, hashes))
+    if cfg.merge:
+        from ..ops import histmerge
+
+        return histmerge.hist_update(counts, cfg.size_log2, idx, "add")
     return counts.at[idx.reshape(-1)].add(np.int32(1), mode="drop")
 
 
 def counting_fpr(counts: jax.Array, cfg: CountingConfig) -> jax.Array:
-    trash = 128 if cfg.blocked else 1
-    pc = jnp.sum((counts[:-trash] != 0).astype(jnp.float32))
+    pc = jnp.sum((counts[: cfg.size] != 0).astype(jnp.float32))
     return (pc / cfg.size) ** cfg.num_hash
 
 

@@ -308,19 +308,20 @@ def to_host_state(graph, cfg: GraphConfig) -> GraphState:
     if not is_sharded(graph):
         return graph
 
-    def merge(lanes, trash):
+    def merge(lanes, trash, out_trash):
         if lanes is None:
             return None
         host = np.asarray(lanes)
         flat = np.concatenate([host[i, :-trash] for i in range(host.shape[0])])
-        return jnp.asarray(np.concatenate([flat, np.zeros(trash, host.dtype)]))
+        return jnp.asarray(np.concatenate([flat, np.zeros(out_trash, host.dtype)]))
 
     cbf_trash = 128 if cfg.cbf.blocked else 1
+    pk_trash = cfg.pkbf.trash if cfg.pkbf is not None else 1
     return GraphState(
-        dbgbf=merge(graph.state.dbgbf, 1),
-        cbf=merge(graph.state.cbf, cbf_trash),
-        rpkbf=merge(graph.state.rpkbf, 1),
-        fpkbf=merge(graph.state.fpkbf, 1),
+        dbgbf=merge(graph.state.dbgbf, 1, cfg.dbgbf.trash),
+        cbf=merge(graph.state.cbf, cbf_trash, cfg.cbf.trash),
+        rpkbf=merge(graph.state.rpkbf, 1, pk_trash),
+        fpkbf=merge(graph.state.fpkbf, 1, pk_trash),
     )
 
 
@@ -332,10 +333,10 @@ def from_host_state(state: GraphState, cfg: GraphConfig, mesh) -> MeshGraph:
     n = mesh.devices.size
     sh = NamedSharding(mesh, P(mesh.axis_names[0], None))
 
-    def split(arr, trash):
+    def split(arr, in_trash, trash):
         if arr is None:
             return None
-        host = np.asarray(arr)[:-trash]
+        host = np.asarray(arr)[: arr.shape[0] - in_trash]
         local = host.shape[0] // n
         blocks = host.reshape(n, local)
         out = np.concatenate(
@@ -344,12 +345,13 @@ def from_host_state(state: GraphState, cfg: GraphConfig, mesh) -> MeshGraph:
         return jax.device_put(jnp.asarray(out), sh)
 
     cbf_trash = 128 if cfg.cbf.blocked else 1
+    pk_trash = cfg.pkbf.trash if cfg.pkbf is not None else 1
     return MeshGraph(
         mesh=mesh,
         state=sharded.ShardedGraphState(
-            dbgbf=split(state.dbgbf, 1),
-            cbf=split(state.cbf, cbf_trash),
-            rpkbf=split(state.rpkbf, 1),
-            fpkbf=split(state.fpkbf, 1),
+            dbgbf=split(state.dbgbf, cfg.dbgbf.trash, 1),
+            cbf=split(state.cbf, cfg.cbf.trash, cbf_trash),
+            rpkbf=split(state.rpkbf, pk_trash, 1),
+            fpkbf=split(state.fpkbf, pk_trash, 1),
         ),
     )
