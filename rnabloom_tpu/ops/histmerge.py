@@ -70,9 +70,20 @@ def block_log2_for(size_log2: int) -> int:
     return min(max(16, size_log2 - 13), size_log2)
 
 
+SUBBLOCKS = 4  # table blocks swept per grid step (amortizes step overhead)
+
+
+def padded_blocks(size_log2: int) -> int:
+    """Total sweep blocks (real + trash/pad), a multiple of SUBBLOCKS."""
+    blocks = 1 << (size_log2 - block_log2_for(size_log2))
+    return -(-(blocks + 1) // SUBBLOCKS) * SUBBLOCKS
+
+
 def table_pad(size_log2: int) -> int:
-    """Allocation pad of a merge-enabled filter: one full trash block."""
-    return 1 << block_log2_for(size_log2)
+    """Allocation pad of a merge-enabled filter: trash block(s) rounding
+    the sweep grid to whole SUBBLOCKS-groups."""
+    blocks = 1 << (size_log2 - block_log2_for(size_log2))
+    return (padded_blocks(size_log2) - blocks) << block_log2_for(size_log2)
 
 
 @dataclass(frozen=True)
@@ -110,6 +121,9 @@ def plan(size_log2: int, n_stream: int) -> Optional[MergeGeometry]:
     cap = mean + 6.0 * math.sqrt(mean) + 128.0
     wrows = int(-(-cap // 128)) + 1
     wrows = min(wrows, nrows + 1)
+    # pad to whole kernel matmul chunks (the sweep never masks a chunk tail)
+    wc = min(_wchunk(1 << (block_log2 - 7)), wrows)
+    wrows = -(-wrows // wc) * wc
     return MergeGeometry(size_log2, block_log2, wrows, max(nrows, wrows))
 
 
@@ -157,54 +171,81 @@ def _prepare(idx_flat: jax.Array, geo: MergeGeometry):
     rows = jnp.take(crow, gidx)  # (BLOCKS, W) original row ids (or sentinel)
     s2p = jnp.concatenate([s2, jnp.full((1, 128), SENTINEL, jnp.uint32)])
     windows = jnp.take(s2p, rows, axis=0)  # (BLOCKS, W, 128)
-    # the trash block sweeps with an empty window (delta 0, copy-through)
+    # trash/pad blocks sweep with empty windows (delta 0, copy-through)
+    npad_blocks = padded_blocks(geo.size_log2) - blocks
     windows = jnp.concatenate(
-        [windows, jnp.full((1, geo.wrows, 128), SENTINEL, jnp.uint32)]
+        [windows, jnp.full((npad_blocks, geo.wrows, 128), SENTINEL, jnp.uint32)]
     )
     return windows, uvals, overflow
 
 
+def _wchunk(rows: int) -> int:
+    """Window rows per matmul chunk, bounding the one-hot to ~2 MiB VMEM."""
+    return max(1, (1 << 21) // (128 * rows))
+
+
 def _sweep_kernel(win_ref, tab_ref, out_ref, *, geo: MergeGeometry, op: str):
-    b = pl.program_id(0)
+    g = pl.program_id(0)
     rows, w = geo.rows, geo.wrows
-    raw = win_ref[0]  # (W, 128) u32
-    inblk = jax.lax.shift_right_logical(raw, np.uint32(geo.block_log2)).astype(jnp.int32) == b
-    local = jnp.where(inblk, raw.astype(jnp.int32) & np.int32((1 << geo.block_log2) - 1), -1)
-    rv = local >> 7
-    lv = local & 127
-    ohr = (
-        rv[:, :, None] == jax.lax.broadcasted_iota(jnp.int32, (w, 128, rows), 2)
-    ).astype(jnp.int8)
-    ohl = (
-        lv[:, :, None] == jax.lax.broadcasted_iota(jnp.int32, (w, 128, 128), 2)
-    ).astype(jnp.int8)
-    delta = jax.lax.dot_general(
-        ohr.reshape(w * 128, rows),
-        ohl.reshape(w * 128, 128),
-        (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    if op == "add":
-        out_ref[:] = tab_ref[:] + delta.astype(out_ref.dtype)
-    else:  # "set": lanes hold 0/1 only, so OR == saturating set
-        out_ref[:] = tab_ref[:] | (delta > 0).astype(out_ref.dtype)
+    wc = min(_wchunk(rows), w)
+    nchunk = -(-w // wc)  # plan() pads wrows to a multiple of the chunk
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (wc, 128, rows), 2)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (wc, 128, 128), 2)
+    mask = np.int32((1 << geo.block_log2) - 1)
+
+    def sub(s, _):
+        b = g * SUBBLOCKS + s
+
+        def chunk(c, delta):
+            raw = win_ref[s, pl.ds(c * wc, wc), :]  # (wc, 128) u32
+            inblk = jax.lax.shift_right_logical(raw, np.uint32(geo.block_log2)).astype(jnp.int32) == b
+            local = jnp.where(inblk, raw.astype(jnp.int32) & mask, -1)
+            ohr = ((local >> 7)[:, :, None] == row_iota).astype(jnp.int8)
+            ohl = ((local & 127)[:, :, None] == lane_iota).astype(jnp.int8)
+            return delta + jax.lax.dot_general(
+                ohr.reshape(wc * 128, rows),
+                ohl.reshape(wc * 128, 128),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+
+        if nchunk == 1:
+            delta = chunk(0, jnp.zeros((rows, 128), jnp.int32))
+        else:
+            delta = jax.lax.fori_loop(0, nchunk, chunk, jnp.zeros((rows, 128), jnp.int32))
+        lo = s * rows
+        tab = tab_ref[pl.ds(lo, rows), :]
+        if op == "add":
+            out_ref[pl.ds(lo, rows), :] = tab + delta.astype(out_ref.dtype)
+        else:  # "set": lanes hold 0/1 only, so OR == saturating set
+            out_ref[pl.ds(lo, rows), :] = tab | (delta > 0).astype(out_ref.dtype)
+        return 0
+
+    # unroll the sub-block loop when the unrolled one-hots fit VMEM
+    # comfortably (faster); otherwise a fori_loop reuses the buffers
+    if SUBBLOCKS * w * 128 * (rows + 128) < (6 << 20):
+        for s in range(SUBBLOCKS):
+            sub(s, 0)
+    else:
+        jax.lax.fori_loop(0, SUBBLOCKS, sub, 0)
 
 
 def _sweep2(body: jax.Array, geo: MergeGeometry, windows: jax.Array, op: str) -> jax.Array:
     """One linear pass over the whole (block-padded) 2-D table view."""
     rows = geo.rows
-    grid = geo.blocks + 1  # + trash block
+    nblk = padded_blocks(geo.size_log2)
+    grid = nblk // SUBBLOCKS
     # aliasing the table through the kernel keeps the whole update in place,
     # so the overflow lax.cond never needs a defensive copy of the filter
     return pl.pallas_call(
         partial(_sweep_kernel, geo=geo, op=op),
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((1, geo.wrows, 128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, 128), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBBLOCKS, geo.wrows, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBBLOCKS * rows, 128), lambda g: (g, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((rows, 128), lambda b: (b, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((grid * rows, 128), body.dtype),
+        out_specs=pl.BlockSpec((SUBBLOCKS * rows, 128), lambda g: (g, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nblk * rows, 128), body.dtype),
         input_output_aliases={1: 0},
         interpret=_interpret(),
     )(windows, body)
@@ -225,6 +266,11 @@ def hist_update(table: jax.Array, size_log2: int, idx: jax.Array, op: str) -> ja
     Equivalent to ``table.at[idx].add/set(1, mode="drop")`` but sweep-based;
     falls back to that scatter under ``lax.cond`` if a window overflows.
     """
+    if idx.ndim > 1:
+        # stream order is irrelevant (it gets sorted); flattening hash-major
+        # lets XLA fuse the transpose into the producer instead of paying a
+        # physical relayout copy of the (..., num_hash) tensor
+        idx = jnp.moveaxis(idx, -1, 0)
     flat = idx.reshape(-1)
     geo = plan(size_log2, flat.shape[0])
     if geo is None:
@@ -234,17 +280,25 @@ def hist_update(table: jax.Array, size_log2: int, idx: jax.Array, op: str) -> ja
     flat = jnp.where(flat < size, flat, SENTINEL)
     windows, uvals, overflow = _prepare(flat, geo)
 
-    grid = geo.blocks + 1
-    assert table.shape[0] == grid * geo.rows * 128, (
-        f"merge filter must be padded to a full trash block: "
-        f"{table.shape[0]} != {grid * geo.rows * 128}"
+    nrows2d = padded_blocks(size_log2) * geo.rows
+    assert table.shape[0] == nrows2d * 128, (
+        f"merge filter must be padded to whole sweep sub-block groups: "
+        f"{table.shape[0]} != {nrows2d * 128}"
     )
 
+    has_uniform = jnp.any(uvals != SENTINEL)
+
     def merge_path(tab):
-        tab = _sweep2(tab.reshape(grid * geo.rows, 128), geo, windows, op).reshape(-1)
-        if op == "add":
-            return tab.at[uvals].add(np.int32(128).astype(tab.dtype), mode="drop")
-        return tab.at[uvals].set(np.uint8(1).astype(tab.dtype), mode="drop")
+        tab = _sweep2(tab.reshape(nrows2d, 128), geo, windows, op).reshape(-1)
+
+        # the heavy-duplicate scatter costs ~3 ms even for a no-op update
+        # stream, so skip it entirely on batches with no uniform rows
+        def apply_uniform(t):
+            if op == "add":
+                return t.at[uvals].add(np.int32(128).astype(t.dtype), mode="drop")
+            return t.at[uvals].set(np.uint8(1).astype(t.dtype), mode="drop")
+
+        return jax.lax.cond(has_uniform, apply_uniform, lambda t: t, tab)
 
     def scatter_path(tab):
         # uniform rows were not applied in this branch: scatter everything
