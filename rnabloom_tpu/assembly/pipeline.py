@@ -356,7 +356,11 @@ def _run_stage3(
         if params.sbf_mem_bytes > 0
         else cfg.pkbf.size_log2
     )
-    scfg = BloomConfig(sbf_log2, params.sbf_hash or cfg.pkbf.num_hash)
+    from ..bloom.filters import merge_default
+
+    scfg = BloomConfig(
+        sbf_log2, params.sbf_hash or cfg.pkbf.num_hash, merge=merge_default()
+    )
     screen = make_bloom(scfg)
     tparams = txmod.TranscriptParams(
         min_transcript_length=params.min_transcript_length,
@@ -898,7 +902,9 @@ def assemble_long(
     tx_counts = res.counts
 
     # redundancy reduction + length split
-    scfg = BloomConfig(cfg.pkbf.size_log2, cfg.pkbf.num_hash)
+    from ..bloom.filters import merge_default
+
+    scfg = BloomConfig(cfg.pkbf.size_log2, cfg.pkbf.num_hash, merge=merge_default())
     tparams = txmod.TranscriptParams(
         min_transcript_length=params.min_transcript_length
     )

@@ -270,13 +270,9 @@ def default_graph_config(
     the cache-blocked counter layout.  ``RNABLOOM_MERGE_INSERTS=0/1``
     forces either path.
     """
-    from ..bloom.filters import BloomConfig as _BC, pow2_size
+    from ..bloom.filters import BloomConfig as _BC, merge_default, pow2_size
 
-    env = os.environ.get("RNABLOOM_MERGE_INSERTS", "")
-    if env in ("0", "1"):
-        merge = env == "1"
-    else:
-        merge = jax.default_backend() == "tpu"
+    merge = merge_default()
 
     if expected_num_kmers > 0:
         sized = _BC.for_expected(expected_num_kmers, 0.01, num_hash)

@@ -50,6 +50,17 @@ def pow2_size(requested: int) -> int:
     return 1 << max(10, math.ceil(math.log2(max(requested, 2))))
 
 
+def merge_default() -> bool:
+    """Whether filters should default to sort-merge MXU-sweep inserts:
+    on for real TPUs, off elsewhere; RNABLOOM_MERGE_INSERTS=0/1 forces."""
+    import os
+
+    env = os.environ.get("RNABLOOM_MERGE_INSERTS", "")
+    if env in ("0", "1"):
+        return env == "1"
+    return jax.default_backend() == "tpu"
+
+
 @dataclass(frozen=True)
 class BloomConfig:
     """Static shape/hash parameters of a filter (hashable, jit-static).

@@ -41,7 +41,8 @@ def count_nonsingletons(
     reads: Sequence[np.ndarray], k: int, sketch_log2: int = 22
 ) -> Tuple[int, int]:
     """(distinct_estimate, nonsingleton_estimate) over the sample."""
-    ccfg = CountingConfig(size_log2=sketch_log2, num_hash=2, scratch_log2=18)
+    ccfg = CountingConfig(size_log2=sketch_log2, num_hash=2, scratch_log2=18,
+                          merge=filters.merge_default())
     counts = filters.make_counting(ccfg)
     L = max((len(r) for r in reads), default=0)
     if L < k:
@@ -56,7 +57,7 @@ def count_nonsingletons(
         base = nthash.canonical(fh, rh)
         h = nthash.multi_hash(base, k, ccfg.num_hash)
         counts = filters.counting_increment_cm(counts, ccfg, h, valid=valid)
-    c = np.asarray(counts[:-1])
+    c = np.asarray(counts[: ccfg.size])
     # cell-level estimates (collision-inflated equally across k values)
     distinct = int((c > 0).sum())
     nonsingleton = int((c > 1).sum())
@@ -141,7 +142,8 @@ def estimate_num_unique_kmers(
     total reads / sampled reads (transcriptome k-mer counts grow roughly
     linearly until coverage saturates, so this overestimates — safe for
     sizing)."""
-    ccfg = CountingConfig(size_log2=sketch_log2, num_hash=2, scratch_log2=16)
+    ccfg = CountingConfig(size_log2=sketch_log2, num_hash=2, scratch_log2=16,
+                          merge=filters.merge_default())
     sketch = filters.make_counting(ccfg)
     sampled = 0
     total = 0
