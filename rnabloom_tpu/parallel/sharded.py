@@ -82,40 +82,95 @@ def make_sharded_graph(
 
 
 def _bucket_capacity(m: int, n: int) -> int:
-    """Fixed per-target bucket size: generous slack, exact for tiny batches."""
+    """Per-round bucket size: generous slack, exact for tiny batches."""
     if m <= 4096:
         return m
     c = int(math.ceil(m / n * 4))
     return min(m, (c + 127) // 128 * 128)
 
 
-def _route_requests(lidx: jax.Array, target: jax.Array, n: int, sentinel: int):
-    """Bucket local indices by owner shard into an (n, C) send buffer.
-
-    Returns (send, ts, rank, order) where rows of ``send`` go to each shard
-    and (ts, rank, order) allow aligning responses back to request order.
-    """
-    m = lidx.shape[0]
-    C = _bucket_capacity(m, n)
-    order = jnp.argsort(target, stable=True)
-    ts = target[order]
-    vs = lidx[order]
-    start = jnp.searchsorted(ts, np.arange(n, dtype=np.int32))
-    rank = np.arange(m, dtype=np.int32) - start[ts].astype(jnp.int32)
-    send = jnp.zeros_like(lidx, shape=(n, C)) + np.asarray(sentinel, dtype=lidx.dtype)
-    send = send.at[ts, rank].set(vs, mode="drop")
-    return send, ts, rank, order
-
-
-def _gather_responses(resp: jax.Array, ts, rank, order, m: int, fill):
-    """Align (n, C) responses back to original request order."""
-    vals = resp.at[ts, rank].get(mode="fill", fill_value=fill)
-    out = jnp.zeros_like(resp, shape=(m,) + resp.shape[2:])
-    return out.at[order].set(vals)
-
-
 def _a2a(x: jax.Array, axis: str) -> jax.Array:
     return jax.lax.all_to_all(x, axis, split_axis=0, concat_axis=0, tiled=True)
+
+
+def _routed_rounds(
+    flat,
+    lidx: jax.Array,
+    target: jax.Array,
+    payloads: tuple,
+    n: int,
+    axis: str,
+    sentinel: int,
+    local_fn,
+    resp_specs: tuple = (),
+):
+    """Exact all-to-all routing: every request is answered in SOME round.
+
+    A fixed-capacity bucket per target shard routes up to C requests per
+    round; requests beyond capacity stay pending and ride the next round
+    (``lax.while_loop`` with a psum'd completion predicate, so all shards
+    agree on the collective schedule).  This replaces the old single-round
+    scatter with ``mode="drop"``, which silently lost requests whenever
+    hash skew (e.g. one k-mer repeated 10^5 times in a batch, poly-A/rRNA)
+    overflowed one target's bucket — the reference's racy filter writes can
+    only ever inflate, never lose (UnsafeByteBuffer.java:35-85), and the
+    sharded engine must be at least as safe.
+
+    flat: carried local array (or None) handed to ``local_fn``.
+    lidx/target: (m,) request indices and owner shards.
+    payloads: tuple of (m,) arrays routed alongside the indices.
+    local_fn(flat, req (n, C), req_payloads) -> (flat, resps) with each
+    resp (n, C); resps are routed back and aligned to request order.
+    resp_specs: tuple of (dtype, fill) for each response.
+    Returns (flat, outs) with outs aligned (m,) arrays.
+    """
+    m = int(lidx.shape[0])
+    C = _bucket_capacity(m, n)
+    outs0 = tuple(
+        jnp.full((m,), fill, dtype=dtype) for (dtype, fill) in resp_specs
+    )
+    remaining0 = jnp.ones((m,), bool)
+    iota_m = jnp.arange(m, dtype=jnp.int32)
+    iota_n = jnp.arange(n, dtype=jnp.int32)
+
+    def body(carry):
+        flat, remaining, outs = carry
+        key = jnp.where(remaining, target.astype(jnp.int32), n)
+        order = jnp.argsort(key, stable=True)
+        ts = key[order]
+        start = jnp.searchsorted(ts, iota_n)
+        # pending rows rank within their target; done rows (ts == n) drop
+        rank = iota_m - start[jnp.minimum(ts, n - 1)].astype(jnp.int32)
+        rank = jnp.where(ts < n, rank, C)
+        active = rank < C  # routed this round (sorted order)
+        send = jnp.full((n, C), sentinel, dtype=lidx.dtype)
+        send = send.at[ts, rank].set(lidx[order], mode="drop")
+        req = _a2a(send, axis)
+        preqs = []
+        for p in payloads:
+            ps = jnp.zeros((n, C), dtype=p.dtype)
+            ps = ps.at[ts, rank].set(p[order], mode="drop")
+            preqs.append(_a2a(ps, axis))
+        flat, resps = local_fn(flat, req, tuple(preqs))
+        new_outs = []
+        for out, resp, (dtype, fill) in zip(outs, resps, resp_specs):
+            back = _a2a(resp, axis)
+            vals = back.at[ts, rank].get(mode="fill", fill_value=fill)
+            prev = out[order]
+            new_outs.append(out.at[order].set(jnp.where(active, vals, prev)))
+        routed = jnp.zeros((m,), bool).at[order].set(active)
+        return flat, remaining & ~routed, tuple(new_outs)
+
+    def cond(carry):
+        _, remaining, _ = carry
+        return jax.lax.psum(jnp.any(remaining).astype(jnp.int32), axis) > 0
+
+    if C >= m:
+        # single round is provably enough — skip the loop machinery
+        flat, remaining, outs = body((flat, remaining0, outs0))
+        return flat, outs
+    flat, _, outs = jax.lax.while_loop(cond, body, (flat, remaining0, outs0))
+    return flat, outs
 
 
 def _global_indices(hashes: U64, size_log2: int, valid, my_shard, local_log2: int, n: int):
@@ -140,23 +195,35 @@ def _sharded_bloom_insert_lookup(
     n: int,
     axis: str,
     do_insert: bool = True,
+    do_lookup: bool = True,
 ):
-    """Insert + pre-batch membership over the sharded bit lanes."""
+    """Insert and/or pre-batch membership over the sharded bit lanes.
+
+    Lookup and insert run as separate routing loops so later rounds of a
+    skewed batch still observe the PRE-batch snapshot (matching the
+    single-device lookup-then-add semantics); bit inserts are idempotent,
+    so multi-round insertion is order-free."""
     local_log2 = size_log2 - int(math.log2(n))
     my = jax.lax.axis_index(axis).astype(jnp.int32)
     trash = 1 << local_log2
     lidx, t = _global_indices(hashes, size_log2, valid, my, local_log2, n)
-    m = lidx.shape[0]
-
-    send, ts, rank, order = _route_requests(lidx, t, n, sentinel=trash)
-    req = _a2a(send, axis)  # (n, C) indices I own
     flat = bits[0]
-    old = jnp.take(flat, req, axis=0, mode="clip")
+
+    present = None
+    if do_lookup:
+        def gather_fn(fl, req, _):
+            return fl, (jnp.take(fl, req, axis=0, mode="clip"),)
+
+        _, (mine,) = _routed_rounds(
+            flat, lidx, t, (), n, axis, trash, gather_fn,
+            resp_specs=((flat.dtype, 0),),
+        )
+        present = jnp.all(mine.reshape(hashes.lo.shape) != 0, axis=-1)
     if do_insert:
-        flat = flat.at[req.reshape(-1)].set(np.uint8(1), mode="drop")
-    resp = _a2a(old, axis)
-    mine = _gather_responses(resp, ts, rank, order, m, fill=0)
-    present = jnp.all(mine.reshape(hashes.lo.shape) != 0, axis=-1)
+        def insert_fn(fl, req, _):
+            return fl.at[req.reshape(-1)].set(np.uint8(1), mode="drop"), ()
+
+        flat, _ = _routed_rounds(flat, lidx, t, (), n, axis, trash, insert_fn)
     return flat[None], present
 
 
@@ -173,14 +240,15 @@ def _sharded_counting_increment(
     my = jax.lax.axis_index(axis).astype(jnp.int32)
     trash = 1 << local_log2
     lidx, t = _global_indices(hashes, ccfg.size_log2, valid, my, local_log2, n)
-    m = lidx.shape[0]
-
-    send, ts, rank, order = _route_requests(lidx, t, n, sentinel=trash)
-    req = _a2a(send, axis)
     flat = counts[0]
-    cell_vals = jnp.take(flat, req, axis=0, mode="clip")
-    resp = _a2a(cell_vals, axis)
-    mine = _gather_responses(resp, ts, rank, order, m, fill=0)
+
+    def gather_fn(fl, req, _):
+        return fl, (jnp.take(fl, req, axis=0, mode="clip"),)
+
+    _, (mine,) = _routed_rounds(
+        flat, lidx, t, (), n, axis, trash, gather_fn,
+        resp_specs=((flat.dtype, 0),),
+    )
     mine = mine.reshape(hashes.lo.shape)
     cur_min = jnp.min(mine, axis=-1)
 
@@ -200,11 +268,14 @@ def _sharded_counting_increment(
     if valid is not None:
         new_val = jnp.where(valid, new_val, 0)
 
+    # scatter-max of the conservative update: max is commutative and
+    # idempotent, so multi-round application is exact
     upd_flat = jnp.broadcast_to(new_val[..., None], hashes.lo.shape).reshape(-1)
-    send_upd = jnp.zeros_like(send, dtype=jnp.int32)
-    send_upd = send_upd.at[ts, rank].set(upd_flat[order], mode="drop")
-    upd = _a2a(send_upd, axis)
-    flat = flat.at[req.reshape(-1)].max(upd.reshape(-1), mode="drop")
+
+    def max_fn(fl, req, preq):
+        return fl.at[req.reshape(-1)].max(preq[0].reshape(-1), mode="drop"), ()
+
+    flat, _ = _routed_rounds(flat, lidx, t, (upd_flat,), n, axis, trash, max_fn)
     return flat[None]
 
 
@@ -221,10 +292,13 @@ def _sharded_counting_add_cm(
     my = jax.lax.axis_index(axis).astype(jnp.int32)
     trash = 1 << local_log2
     lidx, t = _global_indices(hashes, ccfg.size_log2, valid, my, local_log2, n)
-    send, _, _, _ = _route_requests(lidx, t, n, sentinel=trash)
-    req = _a2a(send, axis)
-    # sentinel-padded slots all add into the trash cell
-    flat = counts[0].at[req.reshape(-1)].add(np.int32(1), mode="drop")
+
+    # each request routes in exactly one round, so the scatter-add applies
+    # every increment exactly once (sentinel-padded slots hit the trash cell)
+    def add_fn(fl, req, _):
+        return fl.at[req.reshape(-1)].add(np.int32(1), mode="drop"), ()
+
+    flat, _ = _routed_rounds(counts[0], lidx, t, (), n, axis, trash, add_fn)
     return flat[None]
 
 
@@ -262,15 +336,19 @@ def _sharded_counting_add_blocked(
     packed = (lrow << 14) | (lanes[..., 0] << 7) | lanes[..., 1]
     sentinel = int(trash_row) << 14
 
-    send, _, _, _ = _route_requests(packed.reshape(-1), t.reshape(-1), n, sentinel)
-    req = _a2a(send, axis).reshape(-1)
-    r_lrow = (req >> 14).astype(jnp.int32)
-    bundle = (
-        jax.nn.one_hot((req >> 7) & np.uint32(127), 128, dtype=jnp.int32)
-        + jax.nn.one_hot(req & np.uint32(127), 128, dtype=jnp.int32)
+    def add_fn(rows2d, req, _):
+        r = req.reshape(-1)
+        r_lrow = (r >> 14).astype(jnp.int32)
+        bundle = (
+            jax.nn.one_hot((r >> 7) & np.uint32(127), 128, dtype=jnp.int32)
+            + jax.nn.one_hot(r & np.uint32(127), 128, dtype=jnp.int32)
+        )
+        return rows2d.at[r_lrow].add(bundle, mode="drop"), ()
+
+    rows2d, _ = _routed_rounds(
+        counts[0].reshape(-1, 128), packed.reshape(-1), t.reshape(-1),
+        (), n, axis, sentinel, add_fn,
     )
-    rows2d = counts[0].reshape(-1, 128)
-    rows2d = rows2d.at[r_lrow].add(bundle, mode="drop")
     return rows2d.reshape(1, -1)
 
 
@@ -295,17 +373,17 @@ def _blocked_cell_indices(ccfg: CountingConfig, hashes: U64, valid, my, n: int):
 
 
 def _routed_gather(flat: jax.Array, lidx: jax.Array, t: jax.Array, n: int, axis: str, sentinel: int, fill=0):
-    """Gather flat[lidx] where each index lives on shard ``t``.
+    """Gather flat[lidx] where each index lives on shard ``t`` (exact:
+    skewed batches route over multiple rounds)."""
 
-    Routes indices with one all-to-all, gathers locally, routes values
-    back with a second all-to-all, and restores request order.
-    """
-    m = lidx.shape[0]
-    send, ts, rank, order = _route_requests(lidx, t, n, sentinel=sentinel)
-    req = _a2a(send, axis)
-    vals = jnp.take(flat, req, axis=0, mode="clip")
-    resp = _a2a(vals, axis)
-    return _gather_responses(resp, ts, rank, order, m, fill=fill)
+    def gather_fn(fl, req, _):
+        return fl, (jnp.take(fl, req, axis=0, mode="clip"),)
+
+    _, (out,) = _routed_rounds(
+        flat, lidx, t, (), n, axis, sentinel, gather_fn,
+        resp_specs=((flat.dtype, fill),),
+    )
+    return out
 
 
 def _sharded_counting_count(
@@ -438,7 +516,8 @@ def sharded_build_step(mesh: Mesh, cfg: GraphConfig, add_read_pairs: bool = Fals
             pv = jnp.logical_and(valid[..., :np_], valid[..., cfg.read_pair_distance :])
             hp = nthash.multi_hash(pair_base, cfg.k, cfg.pkbf.num_hash)
             new_rpk, _ = _sharded_bloom_insert_lookup(
-                state.rpkbf, hp, pv, cfg.pkbf.size_log2, cfg.pkbf.num_hash, n, axis
+                state.rpkbf, hp, pv, cfg.pkbf.size_log2, cfg.pkbf.num_hash, n, axis,
+                do_lookup=False,
             )
         return ShardedGraphState(new_dbg, new_cbf, new_rpk, None)
 
@@ -471,14 +550,11 @@ def sharded_count_query(mesh: Mesh, cfg: GraphConfig):
         h_cbf = nthash.multi_hash(base, cfg.k, cfg.cbf.num_hash)
         if cfg.cbf.blocked:
             lidx, t = _blocked_cell_indices(cfg.cbf, h_cbf, valid, my, n)
+            sentinel = 128 << (cfg.cbf.size_log2 - 7 - int(math.log2(n)))
         else:
             lidx, t = _global_indices(h_cbf, cfg.cbf.size_log2, valid, my, local_log2, n)
-        m = lidx.shape[0]
-        send, ts, rank, order = _route_requests(lidx, t, n, sentinel=1 << local_log2)
-        req = _a2a(send, axis)
-        vals = jnp.take(state.cbf[0], req, axis=0, mode="clip")
-        resp = _a2a(vals, axis)
-        mine = _gather_responses(resp, ts, rank, order, m, fill=0)
+            sentinel = 1 << local_log2
+        mine = _routed_gather(state.cbf[0], lidx, t, n, axis, sentinel)
         est = jnp.min(mine.reshape(h_cbf.lo.shape), axis=-1)
         if cfg.exact_counts:
             h_dbg = nthash.multi_hash(base, cfg.k, cfg.dbgbf.num_hash)
@@ -543,7 +619,8 @@ def sharded_rebuild_step(mesh: Mesh, cfg: GraphConfig, add_frag_pairs: bool = Tr
             pv = jnp.logical_and(valid[..., :np_], valid[..., d:])
             hp = nthash.multi_hash(pair_base, cfg.k, cfg.pkbf.num_hash)
             new_fpk, _ = _sharded_bloom_insert_lookup(
-                state.fpkbf, hp, pv, cfg.pkbf.size_log2, cfg.pkbf.num_hash, n, axis
+                state.fpkbf, hp, pv, cfg.pkbf.size_log2, cfg.pkbf.num_hash, n, axis,
+                do_lookup=False,
             )
         return ShardedGraphState(new_dbg, new_cbf, state.rpkbf, new_fpk)
 

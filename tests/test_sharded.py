@@ -151,3 +151,78 @@ def test_pe_pipeline_sharded_matches_single(tmp_path):
     assert outs["on"] == outs["off"], (
         f"sharded run diverged: {len(outs['on'])} vs {len(outs['off'])} transcripts"
     )
+
+
+def test_routed_rounds_extreme_skew():
+    """Every request targets ONE shard: the router must deliver all of them
+    across multiple rounds (the old fixed-bucket scatter with mode="drop"
+    silently lost everything past ~4x the fair share)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = sharded.make_mesh(8)
+    n = 8
+    m = 8192  # per shard; capacity C = 4096 -> needs >= 2 rounds
+    cells = 16
+    sent = cells  # trash cell
+
+    def local(flat, lidx, t):
+        def add_fn(fl, req, _):
+            return fl.at[req.reshape(-1)].add(np.int32(1), mode="drop"), ()
+
+        flat, _ = sharded._routed_rounds(
+            flat[0], lidx, t, (), n, "d", sent, add_fn
+        )
+        return flat[None]
+
+    smapped = sharded.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("d", None), P("d"), P("d")),
+        out_specs=P("d", None),
+        check_vma=False,
+    )
+    flat = jnp.zeros((n, cells + 1), jnp.int32)
+    lidx = jnp.asarray(np.arange(n * m, dtype=np.int32) % cells)
+    target = jnp.full((n * m,), 3, jnp.int32)
+    out = np.asarray(jax.jit(smapped)(flat, lidx, target))
+    assert out[3, :cells].sum() == n * m, "requests were dropped under skew"
+    assert out[3, :cells].min() == n * m // cells  # uniform index spread
+    others = np.delete(out[:, :cells], 3, axis=0)
+    assert (others == 0).all()
+
+
+def test_sharded_skewed_batch_matches_single(cfg):
+    """A poly-A-dominated batch (heavy hash skew) still produces filters
+    identical to the single-device build."""
+    mesh = sharded.make_mesh(8)
+    L = 64
+    seqs = ["A" * L] * 400 + [rand_seq(L) for _ in range(112)]
+    codes = encode_batch(seqs, L)
+
+    s1 = dbg.make_graph(cfg, with_rpkbf=True)
+    s1 = dbg.build_step(s1, cfg, codes, add_read_pairs=True)
+
+    step = sharded.sharded_build_step(mesh, cfg, add_read_pairs=True)
+    s8 = sharded.make_sharded_graph(cfg, mesh, with_rpkbf=True)
+    s8 = step(s8, codes)
+
+    def merge(lanes, trash=1):
+        return np.concatenate([np.asarray(lanes[i, :-trash]) for i in range(8)])
+
+    if cfg.exact_counts:
+        np.testing.assert_array_equal(
+            merge(np.asarray(s8.dbgbf)), np.asarray(s1.dbgbf[:-1])
+        )
+    np.testing.assert_array_equal(merge(np.asarray(s8.rpkbf)), np.asarray(s1.rpkbf[:-1]))
+    cbf_trash = 128 if cfg.cbf.blocked else 1
+    np.testing.assert_array_equal(
+        merge(np.asarray(s8.cbf), cbf_trash), np.asarray(s1.cbf[:-cbf_trash])
+    )
+
+    # skewed queries answer identically too
+    probes = encode_batch(["A" * L] * 96 + [rand_seq(L) for _ in range(32)], L)
+    c1, v1 = dbg.count_step(s1, cfg, probes)
+    query = sharded.sharded_count_query(mesh, cfg)
+    c8, v8 = query(s8, probes)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v8))
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c8))
