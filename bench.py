@@ -9,11 +9,18 @@ EC + extendPE + screening on the chip) and the sharded-step scaling proxy
 measured on a virtual 8-device CPU mesh in a subprocess (the real
 multi-chip path; no multi-chip hardware is attached here).
 
-vs_baseline: the measured Java multi-thread baseline is not runnable in this
-environment (no JRE); BASELINE.md records no published numbers.  We report
-against the driver-defined target of 10x an estimated 4-thread Java rate
-(~4 MH/s of k-mer insertions ≈ 32k reads/s at 126 k-mers/read), i.e.
-baseline_reads_per_s = 320_000.
+Correctness gate: before timing, one batch is inserted through BOTH the
+sort-merge MXU-sweep path (ops/histmerge.py) and the plain scatter engine
+and the tables must be bit-identical ON THE REAL CHIP — CI pins
+JAX_PLATFORMS=cpu, so a Pallas miscompile could otherwise ship behind 170
+green tests.
+
+vs_baseline: the reference's multi-thread Java baseline is NOT runnable in
+this environment (no JRE) and has never been measured here; BASELINE.md
+records no published numbers either.  The denominator is the driver target
+of 10x an ESTIMATED 4-thread Java rate (~4 MH/s of k-mer insertions = 32k
+reads/s at 126 k-mers/read), i.e. baseline_reads_per_s = 320_000 — the
+JSON labels it "estimated" so it cannot be mistaken for a measurement.
 """
 
 import json
@@ -23,6 +30,42 @@ import time
 import numpy as np
 
 BASELINE_READS_PER_S = 320_000.0
+BASELINE_LABEL = "estimated-320k-reads-per-s (10x est. 4-thread Java; no JRE here to measure)"
+
+
+def _gate_merge_vs_scatter() -> None:
+    """Assert the MXU sort-merge insert path matches the scatter engine
+    bit-for-bit on this backend (counting add + bloom set)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rnabloom_tpu.bloom import filters
+    from rnabloom_tpu.bloom.filters import BloomConfig, CountingConfig
+    from rnabloom_tpu.ops.u64 import U64
+
+    rng = np.random.default_rng(11)
+    n = 1 << 16
+    lo = jnp.asarray(rng.integers(0, 1 << 32, size=(n, 2), dtype=np.uint64).astype(np.uint32))
+    hi = jnp.asarray(rng.integers(0, 1 << 32, size=(n, 2), dtype=np.uint64).astype(np.uint32))
+    h = U64(lo, hi)
+    valid = jnp.asarray(rng.random(n) < 0.9)
+
+    ccfg_m = CountingConfig(size_log2=20, num_hash=2, merge=True)
+    ccfg_s = CountingConfig(size_log2=20, num_hash=2)
+    cm = filters.counting_increment_cm(filters.make_counting(ccfg_m), ccfg_m, h, valid)
+    cs = filters.counting_increment_cm(filters.make_counting(ccfg_s), ccfg_s, h, valid)
+    a = np.asarray(cm[: ccfg_m.size])
+    b = np.asarray(cs[: ccfg_s.size])
+    if not np.array_equal(a, b):
+        bad = int((a != b).sum())
+        raise AssertionError(f"merge-insert counters diverge from scatter on {bad} cells")
+
+    bcfg_m = BloomConfig(size_log2=20, num_hash=2, merge=True)
+    bcfg_s = BloomConfig(size_log2=20, num_hash=2)
+    bm = filters.bloom_add(filters.make_bloom(bcfg_m), bcfg_m, h, valid)
+    bs = filters.bloom_add(filters.make_bloom(bcfg_s), bcfg_s, h, valid)
+    if not np.array_equal(np.asarray(bm[: bcfg_m.size]), np.asarray(bs[: bcfg_s.size])):
+        raise AssertionError("merge-insert bloom lanes diverge from scatter")
 
 
 def main() -> None:
@@ -42,6 +85,12 @@ def main() -> None:
     # insert path: sort-merge MXU sweep on TPU (the pipeline default there),
     # cache-blocked scatter elsewhere — mirrors stage1.default_graph_config
     merge = jax.default_backend() == "tpu"
+    extra = {}
+    if merge:
+        # on-chip exactness gate for the Pallas/merge insert path (CI is
+        # CPU-only; a miscompiled kernel must not ship behind green tests)
+        _gate_merge_vs_scatter()
+        extra["merge_exactness_gate"] = "passed"
     cfg = dbg.GraphConfig(
         k=k,
         stranded=False,
@@ -59,8 +108,6 @@ def main() -> None:
         jnp.asarray(rng.integers(0, 4, size=(batch, read_len), dtype=np.uint8))
         for _ in range(8)
     ]
-
-    import jax.numpy as jnp
 
     def nonzero_cells(c):
         return float(jnp.sum((c[:-1] != 0).astype(jnp.float32)))
@@ -81,7 +128,6 @@ def main() -> None:
 
     reads_per_s = batch * iters / dt
 
-    extra = {}
     try:
         extra["stage23_pairs_per_s"] = round(_bench_stage23(), 1)
     except Exception as e:  # secondary metric must not sink the primary
@@ -98,6 +144,7 @@ def main() -> None:
                 "value": round(reads_per_s, 1),
                 "unit": "reads/s (150bp, k=25, insert dbgbf+cbf+rpkbf)",
                 "vs_baseline": round(reads_per_s / BASELINE_READS_PER_S, 3),
+                "baseline": BASELINE_LABEL,
                 "extra": extra,
             }
         )
@@ -116,21 +163,21 @@ def _bench_stage23() -> float:
     rng = np.random.default_rng(3)
     tmp = tempfile.mkdtemp(prefix="rb_bench_")
     try:
-        transcripts = ["".join(rng.choice(list("ACGT"), size=800)) for _ in range(4)]
+        transcripts = ["".join(rng.choice(list("ACGT"), size=800)) for _ in range(8)]
         q = "I" * 150
         n_pairs = 0
         with gzip.open(f"{tmp}/b_1.fq.gz", "wt") as fl, gzip.open(
             f"{tmp}/b_2.fq.gz", "wt"
         ) as fr:
             for t in transcripts:
-                for _ in range(512):
+                for _ in range(2048):
                     s = rng.integers(0, len(t) - 300 + 1)
                     frag = t[s : s + 300]
                     fl.write(f"@r{n_pairs}/1\n{frag[:150]}\n+\n{q}\n")
                     fr.write(f"@r{n_pairs}/2\n{sequtils.revcomp(frag[-150:])}\n+\n{q}\n")
                     n_pairs += 1
         params = pl.PipelineParams(
-            total_mem_bytes=1 << 26, batch_size=512, sample_size=500, no_reduce=True
+            total_mem_bytes=1 << 26, sample_size=500, no_reduce=True
         )
         # warm-up pass compiles every stage-2/3 kernel shape (cached
         # persistently); the timed pass measures steady-state throughput
@@ -145,9 +192,15 @@ def _bench_stage23() -> float:
 
 
 def _bench_sharded_cpu() -> dict:
-    """Sharded stage-1 step on a virtual 8-device CPU mesh (subprocess —
-    the attached TPU is one chip; this validates + times the multi-chip
-    program).  Efficiency is a proxy: the 8 'devices' share one host CPU."""
+    """Sharded stage-1 step + walk engine on a virtual 8-device CPU mesh
+    (subprocess — the attached TPU is one chip; this validates + times the
+    multi-chip programs).  Efficiency is a proxy: the 8 'devices' share one
+    host CPU.  ``sharded_walk_*`` answers VERDICT r2 item 9: is the sharded
+    walk engine viable for stage 3, or should the walk phase replicate the
+    graph instead?  Collective accounting: one walk superstep costs 2
+    routed gathers per hop (successor counts) x 2 all-to-alls each, plus 1
+    psum for loop control; the build step costs 1-2 all-to-alls per filter.
+    """
     import subprocess
     import sys
 
@@ -160,7 +213,7 @@ jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 from rnabloom_tpu.bloom.filters import BloomConfig, CountingConfig
-from rnabloom_tpu.graph import dbg
+from rnabloom_tpu.graph import dbg, traverse
 from rnabloom_tpu.parallel import sharded
 
 cfg = dbg.GraphConfig(
@@ -190,13 +243,32 @@ for _ in range(8):
     s1 = dbg.build_step(s1, cfg, codes, add_read_pairs=True)
 jax.block_until_ready(s1.cbf)
 dt1 = time.time() - t0
+
+# walk engine: 512 greedy walks, bound 200, over the sharded vs single graph
+wcfg = traverse.WalkConfig(max_len=256, lookahead=3)
+seeds = np.asarray(rng.integers(0, 4, size=(512, 25), dtype=np.uint8))
+ws = traverse.make_walks(cfg, wcfg, seeds)
+run8 = sharded.sharded_extend_walks(mesh, cfg, wcfg, "greedy", True, False)
+out = run8(ws, st, 1.0, 200); jax.block_until_ready(out.pos)
+t0 = time.time()
+out = run8(traverse.make_walks(cfg, wcfg, seeds), st, 1.0, 200)
+jax.block_until_ready(out.pos)
+wdt8 = time.time() - t0
+ws1 = traverse.extend_walks(traverse.make_walks(cfg, wcfg, seeds), s1, cfg, wcfg, 1.0, 200)
+jax.block_until_ready(ws1.pos)
+t0 = time.time()
+ws1 = traverse.extend_walks(traverse.make_walks(cfg, wcfg, seeds), s1, cfg, wcfg, 1.0, 200)
+jax.block_until_ready(ws1.pos)
+wdt1 = time.time() - t0
 print(json.dumps({
     "sharded8_cpu_reads_per_s": round(4096 * 8 / dt8, 1),
     "single_cpu_reads_per_s": round(4096 * 8 / dt1, 1),
+    "sharded8_cpu_walk_lanes_per_s": round(512 / wdt8, 1),
+    "single_cpu_walk_lanes_per_s": round(512 / wdt1, 1),
 }))
 """
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=600,
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=900,
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )
     line = out.stdout.strip().split("\n")[-1]

@@ -85,6 +85,22 @@ def _runs(mask: np.ndarray):
     return np.flatnonzero(d == 1), np.flatnonzero(d == -1)
 
 
+def _batch_runs(mask: np.ndarray):
+    """(rows, starts, ends) of True runs per row of a 2-D bool array.
+
+    One vectorized diff over the whole batch replaces the per-row scans —
+    stage-2 batches are 8-16k rows and the Python loop was on the critical
+    path."""
+    B, P = mask.shape
+    padded = np.zeros((B, P + 2), np.int8)
+    padded[:, 1:-1] = mask
+    d = np.diff(padded, axis=1)
+    rs, ss = np.nonzero(d == 1)
+    re, es = np.nonzero(d == -1)
+    # starts and ends pair up in order within each row
+    return rs, ss, es
+
+
 def find_candidates(
     counts: np.ndarray, valid: np.ndarray, thr: np.ndarray, found: np.ndarray, k: int
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -95,54 +111,79 @@ def find_candidates(
     (correctErrorHelper handles these by re-walking the whole segment;
     here both implied positions are corrected jointly).  ``interior`` marks
     candidates anchored on both sides — the only ones where indel edits are
-    well-posed."""
-    reads, pos1, pos2, interior = [], [], [], []
+    well-posed.  Fully vectorized over the batch."""
     B, P = counts.shape
-    for b in range(B):
-        if not found[b]:
-            continue
-        v = valid[b]
-        n = int(v.sum())
-        if n == 0:
-            continue
-        low = (counts[b] < thr[b]) & v
-        if low.all() or not low.any():
-            continue
-        starts, ends = _runs(low)
-        for s, e in zip(starts, ends):
-            run = e - s
-            touches_left = s == 0 or not v[:s].any()
-            touches_right = e >= P or not v[e:].any()
-            if touches_left and touches_right:
-                continue
-            inter = False
-            if touches_left:
-                p, q = e - 1, -1  # error at last base covered only by low k-mers
-            elif run <= k:
-                p, q = s + k - 1, -1  # interior single error (or right-edge run)
-                inter = not touches_right
-            elif run <= 2 * k:
-                p, q = s + k - 1, e - 1  # two nearby errors in one merged run
-            else:
-                continue  # dense error region: leave to path search
-            reads.append(b)
-            pos1.append(p)
-            pos2.append(q)
-            interior.append(inter)
-    return (
-        np.asarray(reads, np.int32),
-        np.asarray(pos1, np.int32),
-        np.asarray(pos2, np.int32),
-        np.asarray(interior, bool),
+    low = (counts < thr[:, None]) & valid & found[:, None]
+    rows_any = low.any(axis=1) & ~(low | ~valid).all(axis=1)
+    low &= rows_any[:, None]
+    if not low.any():
+        z = np.zeros(0, np.int32)
+        return z, z, z.copy(), np.zeros(0, bool)
+    rs, ss, es = _batch_runs(low)
+    # first/last valid k-mer index per row (for edge-touch tests)
+    vidx = np.where(valid, np.arange(P)[None, :], P)
+    first_v = vidx.min(axis=1)
+    vidx = np.where(valid, np.arange(P)[None, :], -1)
+    last_v = vidx.max(axis=1)
+    run = es - ss
+    touches_left = ss <= first_v[rs]
+    touches_right = es > last_v[rs]
+    # left-edge runs have no length cap (the error is the last low base);
+    # interior/right runs longer than 2k are dense error regions, skipped
+    keep = ~(touches_left & touches_right) & (touches_left | (run <= 2 * k))
+    rs, ss, es = rs[keep], ss[keep], es[keep]
+    run, touches_left, touches_right = (
+        run[keep], touches_left[keep], touches_right[keep]
     )
+    p = np.where(touches_left, es - 1, ss + k - 1)
+    q = np.where(~touches_left & (run > k), es - 1, -1)
+    inter = ~touches_left & (run <= k) & ~touches_right
+    return rs.astype(np.int32), p.astype(np.int32), q.astype(np.int32), inter
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _window_scores_jit(graph: GraphState, cfg: GraphConfig, windows: jax.Array):
+    counts, valid = dbg.count_step(graph, cfg, windows)
+    return _scores_from_counts(counts, valid)
 
 
 def _window_scores(
     graph, cfg: GraphConfig, windows: jax.Array
 ) -> Tuple[jax.Array, jax.Array]:
     """(min_cov, median_cov) over each window row's valid k-mers."""
+    if not engine.is_sharded(graph):
+        return _window_scores_jit(graph, cfg, windows)
     counts, valid = engine.count_step(graph, cfg, windows)
     return _scores_from_counts(counts, valid)
+
+
+@partial(jax.jit, static_argnames=("cfg", "grad", "cov_fpr"))
+def _ec_stats_jit(
+    graph: GraphState, cfg: GraphConfig, codes: jax.Array, grad: float, cov_fpr: float
+):
+    """Counts + per-read dropoff threshold in ONE device program (each
+    separate host readback costs a full tunnel round trip)."""
+    counts, valid = dbg.count_step(graph, cfg, codes)
+    nvalid = jnp.sum(valid.astype(jnp.int32), axis=1)
+    fp_allowed = jnp.round(nvalid * cov_fpr).astype(jnp.int32)
+    thr, found = coverage_thresholds(counts, valid, fp_allowed, grad)
+    return counts, valid, thr, found
+
+
+def _ec_stats(graph, cfg: GraphConfig, codes, grad: float, cov_fpr: float):
+    if not engine.is_sharded(graph):
+        out = _ec_stats_jit(graph, cfg, jnp.asarray(codes), grad, cov_fpr)
+        return jax.device_get(out)
+    counts_d, valid_d = engine.count_step(graph, cfg, codes)
+    counts, valid = jax.device_get((counts_d, valid_d))
+    nvalid = valid.sum(axis=1).astype(np.int32)
+    fp_allowed = np.round(nvalid * cov_fpr).astype(np.int32)
+    thr, found = jax.device_get(
+        coverage_thresholds(
+            jnp.asarray(counts), jnp.asarray(valid), jnp.asarray(fp_allowed), grad
+        )
+    )
+    return counts, valid, thr, found
 
 
 @jax.jit
@@ -187,32 +228,34 @@ def correct_batch(
     changed = np.zeros(B, dtype=bool)
 
     for _ in range(params.rounds):
-        counts_d, valid_d = engine.count_step(graph, cfg, codes)
-        nvalid = jnp.sum(valid_d.astype(jnp.int32), axis=1)
-        fp_allowed = jnp.round(nvalid * params.cov_fpr).astype(jnp.int32)
-        thr_d, found_d = coverage_thresholds(
-            counts_d, valid_d, fp_allowed, params.max_cov_gradient
+        counts, valid, thr, found = _ec_stats(
+            graph, cfg, codes, params.max_cov_gradient, params.cov_fpr
         )
-        counts = np.asarray(counts_d)
-        valid = np.asarray(valid_d)
-        thr = np.array(thr_d)  # writable copies (pair sharing mutates)
-        found = np.array(found_d)
+        thr = np.array(thr)  # writable copies (pair sharing mutates)
+        found = np.array(found)
 
         if pair_ids is not None:
             # share min threshold within a pair; found only if sane
-            for pid in np.unique(pair_ids):
-                sel = pair_ids == pid
-                f = found[sel]
-                t = thr[sel]
-                if f.all():
-                    t_shared = t.min()
-                elif f.any():
-                    t_found = t[f].min()
-                    t_shared = t_found if t_found <= t[~f].min() else -1.0
-                else:
-                    t_shared = -1.0
-                thr[sel] = t_shared
-                found[sel] = t_shared >= params.min_cov_threshold
+            # (vectorized scatter-reductions over pair groups)
+            uniq, inv = np.unique(pair_ids, return_inverse=True)
+            npid = len(uniq)
+            all_found = np.ones(npid, bool)
+            np.logical_and.at(all_found, inv, found)
+            any_found = np.zeros(npid, bool)
+            np.logical_or.at(any_found, inv, found)
+            tmin = np.full(npid, np.inf, thr.dtype)
+            np.minimum.at(tmin, inv, thr)
+            tfound = np.full(npid, np.inf, thr.dtype)
+            np.minimum.at(tfound, inv, np.where(found, thr, np.inf))
+            tnot = np.full(npid, np.inf, thr.dtype)
+            np.minimum.at(tnot, inv, np.where(found, np.inf, thr))
+            t_shared = np.where(
+                all_found,
+                tmin,
+                np.where(any_found & (tfound <= tnot), tfound, -1.0),
+            ).astype(thr.dtype)
+            thr = t_shared[inv]
+            found = thr >= params.min_cov_threshold
         else:
             found = found & (thr >= params.min_cov_threshold)
 
@@ -291,9 +334,9 @@ def correct_batch(
         Mp = 1 << max(6, (M - 1).bit_length())
         wins_np = np.full((Mp, win_len), 4, np.uint8)
         wins_np[:M] = np.stack(wins)
-        mn, med = _window_scores(graph, cfg, jnp.asarray(wins_np))
-        mn = np.asarray(mn)[:M]
-        med = np.asarray(med)[:M]
+        mn, med = jax.device_get(_window_scores(graph, cfg, jnp.asarray(wins_np)))
+        mn = mn[:M]
+        med = med[:M]
 
         applied = False
         indel_rows = set()  # one indel per read per round: later sites shift

@@ -95,14 +95,19 @@ def find_overlaps(
         & (o_ax <= right_len[:, None])
     )
     cand = np.max(np.where(okmask, o_ax, 0), axis=1).astype(np.int32)
-    # exact verification of the selected size (hash collisions are ~2^-64,
-    # but correctness must not hinge on that)
-    for b in np.flatnonzero(cand):
-        o = int(cand[b])
-        if (left[b, left_len[b] - o : left_len[b]] == right[b, :o]).all():
-            best[b] = o
-        else:  # collision: fall back to the scan for this row only
-            for o in range(o - 1, min_overlap - 1, -1):
+    # exact verification of the selected size, vectorized over the batch
+    # (hash collisions are ~2^-64, but correctness must not hinge on that)
+    hit = np.flatnonzero(cand)
+    if len(hit):
+        j = np.arange(max_o)[None, :]
+        o_h = cand[hit][:, None]
+        lpos = np.clip(left_len[hit][:, None] - o_h + j, 0, L - 1)
+        lv = left[hit[:, None], lpos]
+        rv = right[hit][:, :max_o]
+        eq = np.all((j >= o_h) | (lv == rv), axis=1)
+        best[hit[eq]] = cand[hit[eq]]
+        for b in hit[~eq]:  # collision: per-row scan fallback (cosmically rare)
+            for o in range(int(cand[b]) - 1, min_overlap - 1, -1):
                 if (left[b, left_len[b] - o : left_len[b]] == right[b, :o]).all():
                     best[b] = o
                     break
@@ -113,6 +118,65 @@ def _pair_support(graph, cfg: GraphConfig, codes) -> np.ndarray:
     """(B, P) read-pair k-mer support plane (entry i covers pair (i, i+d));
     engine-dispatched (single device or mesh)."""
     return engine.pair_support_both(graph, cfg, codes, 0, cfg.read_pair_distance)[1]
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("cfg",))
+def _validate_jit(graph: GraphState, cfg: GraphConfig, codes: jax.Array):
+    """Counts + read-pair support for candidate fragments in ONE program
+    (the old path dispatched pair_support and count_step separately and
+    paid two tunnel round trips per batch)."""
+    fh, rh, base, valid = dbg.seq_hashes(cfg, codes)
+    counts = dbg.get_counts(graph, cfg, base)
+    counts = jnp.where(valid, counts, 0.0)
+    B, P = valid.shape
+    d = cfg.read_pair_distance
+    sup = jnp.zeros((B, P), bool)
+    if d > 0:
+        pair_base, np_ = dbg.pair_base_hashes(cfg, fh, rh, d)
+        s = dbg.lookup_read_pair(graph, cfg, pair_base)
+        pv = jnp.logical_and(valid[..., :np_], valid[..., d:])
+        sup = sup.at[:, :np_].set(jnp.logical_and(s, pv))
+    return counts, valid, sup
+
+
+def _validate(graph, cfg: GraphConfig, codes):
+    """(counts, valid, read-pair support) as numpy, minimal round trips."""
+    if not engine.is_sharded(graph):
+        return jax.device_get(_validate_jit(graph, cfg, jnp.asarray(codes)))
+    sup = _pair_support(graph, cfg, codes)
+    counts, valid = jax.device_get(engine.count_step(graph, cfg, codes))
+    return counts, valid, sup
+
+
+def supported_ranges_np(
+    sup: np.ndarray, lengths: np.ndarray, k: int, d: int, num_required: int
+) -> List[Optional[Tuple[int, int]]]:
+    """Per row: largest supported base range [s, e) or None, from a
+    precomputed support plane.  Rows whose full pair window is supported
+    take the vectorized fast path; only gapped rows walk the Python scan."""
+    B = sup.shape[0]
+    out: List[Optional[Tuple[int, int]]] = [None] * B
+    n_kmers = np.maximum(lengths.astype(np.int64) - k + 1, 0)
+    m = n_kmers - d  # pair-window length per row
+    cols = np.arange(sup.shape[1])[None, :]
+    allsup = np.all(sup | (cols >= m[:, None]), axis=1)
+    for b in range(B):
+        if m[b] < 1:
+            continue
+        if allsup[b] and num_required <= m[b]:
+            out[b] = (0, int(n_kmers[b]) + k - 1)  # whole row supported
+            continue
+        segs = pair_break_segments(
+            sup[b, : m[b]], d, num_required, int(n_kmers[b])
+        )
+        if not segs:
+            continue
+        s, e = max(segs, key=lambda se: se[1] - se[0])
+        out[b] = (s, e + k - 1)  # kmer range -> base range
+    return out
 
 
 def pair_break_segments(
@@ -144,21 +208,10 @@ def longest_supported_range(
     lengths: np.ndarray, num_required: int,
 ) -> List[Optional[Tuple[int, int]]]:
     """Per row: largest supported base range [s, e) or None."""
-    k, d = cfg.k, cfg.read_pair_distance
     sup = _pair_support(graph, cfg, codes_batch)
-    out: List[Optional[Tuple[int, int]]] = []
-    for b in range(codes_batch.shape[0]):
-        n_kmers = max(lengths[b] - k + 1, 0)
-        if n_kmers <= d:
-            out.append(None)
-            continue
-        segs = pair_break_segments(sup[b, : n_kmers - d], d, num_required, n_kmers)
-        if not segs:
-            out.append(None)
-            continue
-        s, e = max(segs, key=lambda se: se[1] - se[0])
-        out.append((s, e + k - 1))  # kmer range -> base range
-    return out
+    return supported_ranges_np(
+        sup, np.asarray(lengths), cfg.k, cfg.read_pair_distance, num_required
+    )
 
 
 def assemble_fragments_batch(
@@ -231,12 +284,10 @@ def assemble_fragments_batch(
             batch[i, : len(s)] = s
             lens[i] = len(s)
 
-        ranges = longest_supported_range(
-            graph, cfg, batch, lens, params.num_pairs_required
+        counts, valid, sup = _validate(graph, cfg, batch)
+        ranges = supported_ranges_np(
+            sup, lens, k, cfg.read_pair_distance, params.num_pairs_required
         )
-        counts, valid = engine.count_step(graph, cfg, batch)
-        counts = np.asarray(counts)
-        valid = np.asarray(valid)
 
         for i, b in enumerate(connected_rows):
             r = ranges[i]
@@ -291,20 +342,17 @@ def _naive_extend_fragments(
         lens[i] = f.length
     st = traverse.make_walks(cfg, wcfg, seeds, lens)
     st = engine.extend_walks(st, graph, cfg, wcfg, 1.0, params.bound, mode="naive")
-    rbuf, rpos, _ = traverse.harvest(st)
-
-    rc = np.full((n_rows, pad), 4, np.uint8)
-    for i in range(len(rows)):
-        rc[i, : rpos[i]] = sequtils.revcomp_codes(rbuf[i, : rpos[i]])
-    st = traverse.make_walks(cfg, wcfg_l, rc, rpos.astype(np.int64))
+    # left extension re-seeds on device (no mid readback)
+    st = traverse.revcomp_reseed(cfg, wcfg_l, st.buf, st.pos)
     st = engine.extend_walks(st, graph, cfg, wcfg_l, 1.0, params.bound, mode="naive")
     lbuf, lpos, _ = traverse.harvest(st)
+    final = revcomp_rows(lbuf, lpos.astype(np.int64))
 
     for i, b in enumerate(rows):
-        seq = sequtils.revcomp_codes(lbuf[i, : lpos[i]])
         f = results[b]
         results[b] = Fragment(
-            codes=seq, min_cov=f.min_cov, length=len(seq), connected=f.connected
+            codes=final[i, : lpos[i]], min_cov=f.min_cov,
+            length=int(lpos[i]), connected=f.connected,
         )
     return results
 
@@ -340,32 +388,53 @@ def bridge_pairs(
     wcfg_l = traverse.WalkConfig(
         max_len=k + params.bound, lookahead=params.lookahead, left=True
     )
-    st = traverse.make_walks(cfg, wcfg, seeds_r.astype(np.uint8))
-    st = engine.extend_walks(st, graph, cfg, wcfg, 1.0, params.bound, mode="greedy")
-    buf, pos, _ = traverse.harvest(st)
-    st = traverse.make_walks(cfg, wcfg_l, seeds_l.astype(np.uint8))
-    st = engine.extend_walks(st, graph, cfg, wcfg_l, 1.0, params.bound, mode="greedy")
-    buf_l, pos_l, _ = traverse.harvest(st)
+    if not cfg.stranded:
+        # canonical hashing is strand-symmetric, so the left walks are just
+        # more right walks: both directions ride ONE device dispatch + ONE
+        # readback instead of two of each
+        nr = len(rows)
+        st = traverse.make_walks(
+            cfg, wcfg, np.concatenate([seeds_r, seeds_l]).astype(np.uint8)
+        )
+        st = engine.extend_walks(st, graph, cfg, wcfg, 1.0, params.bound, mode="greedy")
+        both, bpos, _ = traverse.harvest(st)
+        buf, pos = both[:nr], bpos[:nr]
+        buf_l, pos_l = both[nr : 2 * nr], bpos[nr : 2 * nr]
+    else:
+        nr = len(rows)
+        st = traverse.make_walks(cfg, wcfg, seeds_r.astype(np.uint8))
+        st = engine.extend_walks(st, graph, cfg, wcfg, 1.0, params.bound, mode="greedy")
+        buf, pos, _ = traverse.harvest(st)
+        buf, pos = buf[:nr], pos[:nr]
+        st = traverse.make_walks(cfg, wcfg_l, seeds_l.astype(np.uint8))
+        st = engine.extend_walks(st, graph, cfg, wcfg_l, 1.0, params.bound, mode="greedy")
+        buf_l, pos_l, _ = traverse.harvest(st)
+        buf_l, pos_l = buf_l[:nr], pos_l[:nr]
+
+    # RW rows: left extension + right sequence's head k-mer, fragment
+    # orientation (vectorized revcomp of the left-going walks)
+    rw_all = revcomp_rows(buf_l, pos_l.astype(np.int64))
+    # (a) right head k-mer on the right-going walk — batched scan
+    idx_a = find_kmer_rows(buf, pos, np.stack([right[b, :k] for b in rows]))
+    # (b) left tail k-mer on the left-going walk — batched scan
+    needles_b = np.stack(
+        [left[b, left_len[b] - k : left_len[b]] for b in rows]
+    )
+    idx_b = find_kmer_rows(rw_all, pos_l, needles_b)
 
     for j, b in enumerate(rows):
-        # LW: left sequence's tail k-mer + right extension (fragment orient.)
-        lw = buf[j, : pos[j]]
-        # RW: left extension + right sequence's head k-mer (fragment orient.)
-        rw = sequtils.revcomp_codes(buf_l[j, : pos_l[j]])
-        er = len(rw) - k  # extension bases preceding the right sequence
-
-        # (a) right head k-mer on the right-going walk
-        idx = _find_subarray(lw, right[b, :k])
+        idx = int(idx_a[j])
         if idx >= 0:
             if idx >= k:
-                bridges[b] = lw[k:idx]  # gap bases between the sequences
+                bridges[b] = buf[j, k:idx]  # gap bases between the sequences
             else:
                 overlaps[b] = k - idx  # sequences overlap by k - idx bases
             continue
+        er = int(pos_l[j]) - k  # extension bases preceding the right sequence
         if er <= 0:
             continue
-        # (b) left tail k-mer on the left-going walk
-        jdx = _find_subarray(rw, left[b, left_len[b] - k : left_len[b]])
+        rw = rw_all[j, : pos_l[j]]
+        jdx = int(idx_b[j])
         if jdx >= 0:
             if jdx + k <= er:
                 bridges[b] = rw[jdx + k : er]
@@ -375,6 +444,7 @@ def bridge_pairs(
         # (c) meet in the middle: first shared k-mer between the walks.
         # The meeting k-mer must end before the right head (its on-head
         # placements are exactly cases (a)/(b), already failed).
+        lw = buf[j, : pos[j]]
         if len(lw) > k and er >= k:
             ij = _first_common_kmer(lw, rw[:er], k)
             if ij is not None:
@@ -447,6 +517,35 @@ def connect_segments_batch(
         if len(chains[i]) > len(best[i]):
             best[i] = chains[i]
     return best
+
+
+def revcomp_rows(buf: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """Row-wise reverse complement of buf[b, :pos[b]], left-aligned
+    (vectorized; pad stays 4)."""
+    B, L = buf.shape
+    j = np.arange(L)[None, :]
+    src = np.clip(pos[:, None].astype(np.int64) - 1 - j, 0, L - 1)
+    vals = np.take_along_axis(buf, src, axis=1)
+    return np.where(
+        j < pos[:, None], np.where(vals < 4, 3 - vals, 4), 4
+    ).astype(np.uint8)
+
+
+def find_kmer_rows(hay: np.ndarray, hay_len: np.ndarray, needle: np.ndarray) -> np.ndarray:
+    """First index of ``needle[b]`` in ``hay[b, :hay_len[b]]`` per row, -1 if
+    absent.  One (B, W) boolean AND-reduction per needle base replaces the
+    per-row sliding-window scans."""
+    B, W = hay.shape
+    k = needle.shape[1]
+    if W < k:
+        return np.full(B, -1, np.int32)
+    nW = W - k + 1
+    match = np.ones((B, nW), bool)
+    for j in range(k):
+        match &= hay[:, j : j + nW] == needle[:, j : j + 1]
+    match &= (np.arange(nW)[None, :] + k) <= hay_len[:, None]
+    any_hit = match.any(axis=1)
+    return np.where(any_hit, match.argmax(axis=1), -1).astype(np.int32)
 
 
 def _first_common_kmer(

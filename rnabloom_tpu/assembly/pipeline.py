@@ -46,7 +46,9 @@ class PipelineParams:
     min_avg_qual: int = 0  # -Q/qual-avg: whole-read average quality gate
     total_mem_bytes: int = 1 << 30
     num_hash: int = 2
-    batch_size: int = 512  # read pairs per stage-2 batch
+    batch_size: int = 8192  # read pairs per stage-2 batch (amortizes the
+    # host<->device round-trip latency; each readback costs a full tunnel RTT)
+    stage3_batch: int = 2048  # fragments per stage-3 batch
     sample_size: int = 1000
     min_num_kmer_pairs: int = 10
     min_overlap: int = 10
@@ -95,6 +97,10 @@ class PipelineParams:
     cbf_mem_bytes: int = 0
     pkbf_mem_bytes: int = 0
     sharded: str = "auto"  # -sharded {auto,on,off}: mesh scale-out policy
+    # -cnt {mf8,u16,int32}: counter cell width.  mf8 = the reference's
+    # 1 B/cell MiniFloat (util/MiniFloat.java) so -mem buys the same cell
+    # count as the Java build; u16/int32 trade cells for exact counts
+    counter: str = "mf8"
     verbose: bool = False
 
     def graph_config_overrides(self) -> dict:
@@ -105,6 +111,7 @@ class PipelineParams:
             dbgbf_mem_bytes=self.dbgbf_mem_bytes,
             cbf_mem_bytes=self.cbf_mem_bytes,
             pkbf_mem_bytes=self.pkbf_mem_bytes,
+            counter=self.counter,
         )
 
     def correct_params(self) -> "correct.CorrectParams":
@@ -394,7 +401,9 @@ def _run_stage3(
     with fastx.FastaWriter(tx_path, uracil=params.write_uracil) as wtx, fastx.FastaWriter(
         short_path, uracil=params.write_uracil
     ) as wsh:
-        for sel, sel_len, covs, _conn in store.iter_batches(256, width=frag_L):
+        for sel, sel_len, covs, _conn in store.iter_batches(
+            params.stage3_batch, width=frag_L
+        ):
             sel_bf = np.array(
                 [
                     l > 0 and _stratum_rank(_fragment_stratum(c)) < thr_rank
@@ -541,8 +550,8 @@ def assemble_se(
 
     # stage 2b: rebuild counters from corrected reads (no fpkbf), streaming
     state = engine.fresh_rebuild_state(state, cfg, with_fpkbf=False)
-    for codes, _l, _c, _conn in store.iter_batches(1024, width=read_L):
-        state = engine.build_step(state, cfg, codes)
+    for bi, (codes, _l, _c, _conn) in enumerate(store.iter_batches(1024, width=read_L)):
+        state = engine.build_step(state, cfg, codes, salt=bi)
 
     _run_stage3(state, cfg, store, outdir, params, report)
     report.elapsed_s = time.time() - t0
@@ -709,9 +718,11 @@ def assemble_pool(
             shared, sample_cfg, copy_rpkbf=True
         )
         add_pairs = frag_L - k + 1 > d_frag
-        for codes, _l, _c, _conn in store.iter_batches(1024, width=frag_L):
+        for bi, (codes, _l, _c, _conn) in enumerate(
+            store.iter_batches(1024, width=frag_L)
+        ):
             sample_state = engine.rebuild_step(
-                sample_state, sample_cfg, codes, add_frag_pairs=add_pairs
+                sample_state, sample_cfg, codes, add_frag_pairs=add_pairs, salt=bi
             )
 
         _run_stage3(sample_state, sample_cfg, store, sample_dir, params, report)
@@ -953,8 +964,10 @@ def _finish_pe_stage3(
     frag_L = int(min(max(store.max_len, 2 * k), params.max_walk_len))
     state = engine.fresh_rebuild_state(state, cfg)
     add_pairs = frag_L - k + 1 > d_frag
+    nbatch = 0
     for codes, _lens, _covs, _conn in store.iter_batches(1024, width=frag_L):
-        state = engine.rebuild_step(state, cfg, codes, add_frag_pairs=add_pairs)
+        state = engine.rebuild_step(state, cfg, codes, add_frag_pairs=add_pairs, salt=nbatch)
+        nbatch += 1
 
     # -ref augmentation: add reference transcript k-mers + fragment pairs
     for rp in ref_paths:
@@ -969,7 +982,9 @@ def _finish_pe_stage3(
                 state = engine.rebuild_step(
                     state, cfg, chunk_np,
                     add_frag_pairs=params.max_walk_len - k + 1 > d_frag,
+                    salt=nbatch,
                 )
+                nbatch += 1
 
     _run_stage3(state, cfg, store, outdir, params, report)
     ckpt.touch_stamp(outdir, ckpt.STAMP_TRANSCRIPTS_DONE)
@@ -1085,10 +1100,11 @@ def assemble_pe(
 
     if params.verbose:
         # memory plan table (RNABloom.java:5769-5784)
-        cbf_mb = (cfg.cbf.size * 4) >> 20
+        cbf_mb = (cfg.cbf.size * cfg.cbf.cell_bytes) >> 20
         pk_mb = (cfg.pkbf.size * 1) >> 20 if cfg.pkbf else 0
         print(
-            f"Mem plan: cbf {cbf_mb} MB (2^{cfg.cbf.size_log2} x int32), "
+            f"Mem plan: cbf {cbf_mb} MB (2^{cfg.cbf.size_log2} x "
+            f"{cfg.cbf.cell_bytes} B {cfg.cbf.dtype}), "
             f"rpkbf {pk_mb} MB, fpkbf {pk_mb} MB, sbf {pk_mb} MB; "
             f"k={k} d_read={d_read} hash={cfg.cbf.num_hash}",
             flush=True,

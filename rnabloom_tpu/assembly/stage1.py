@@ -114,7 +114,10 @@ def build_graph(
 
     def flush(state):
         batch, _ = sequtils.pack_batch(pending, B, L)
-        state = engine.build_step(state, cfg, batch, add_read_pairs=add_read_pairs)
+        state = engine.build_step(
+            state, cfg, batch, add_read_pairs=add_read_pairs,
+            salt=stats.num_batches,
+        )
         stats.num_batches += 1
         pending.clear()
         return state
@@ -143,7 +146,8 @@ def build_graph(
                         [codes, np.full((B - codes.shape[0], L), 4, np.uint8)]
                     )
                 state = engine.build_step(
-                    state, cfg, codes, add_read_pairs=add_read_pairs
+                    state, cfg, codes, add_read_pairs=add_read_pairs,
+                    salt=stats.num_batches,
                 )
                 stats.num_batches += 1
             stats.num_reads += parsed
@@ -226,7 +230,7 @@ def build_graph_autosized(
             ),
             cbf=CountingConfig(
                 cfg.cbf.size_log2 + cbf_g, cfg.cbf.num_hash, cfg.cbf.scratch_log2,
-                blocked=cfg.cbf.blocked, merge=cfg.cbf.merge,
+                blocked=cfg.cbf.blocked, merge=cfg.cbf.merge, dtype=cfg.cbf.dtype,
             ),
             pkbf=BloomConfig(
                 cfg.pkbf.size_log2 + pk_g, cfg.pkbf.num_hash, merge=cfg.pkbf.merge
@@ -251,12 +255,17 @@ def default_graph_config(
     dbgbf_mem_bytes: int = 0,
     cbf_mem_bytes: int = 0,
     pkbf_mem_bytes: int = 0,
+    counter: str = "mf8",
 ) -> dbg.GraphConfig:
     """Memory-plan defaults mirroring the reference's split.
 
     The reference gives dbgbf 1/8, cbf 1/2, pkbf 1/8 of the budget in *cells*
-    (RNABloom.java:6822-6830); cells here are 1-byte bit lanes and 4-byte
-    counters, sized to the nearest power of two.
+    (RNABloom.java:6822-6830); cells here are 1-byte bit lanes and — with
+    the default ``counter="mf8"`` — 1-byte MiniFloat counters, the
+    reference's exact cell width (util/MiniFloat.java:27-45): ``-mem`` buys
+    the same counter cell count as the Java build.  ``counter="u16"`` takes
+    2-byte saturating exact counters, ``"int32"`` 4-byte exact (each
+    trading cells for less quantization).
 
     ``expected_num_kmers`` > 0 switches to exact sizing from a distinct-
     k-mer estimate at 1% FPR per filter (the reference's -nk / ntCard path,
@@ -273,18 +282,19 @@ def default_graph_config(
     from ..bloom.filters import BloomConfig as _BC, merge_default, pow2_size
 
     merge = merge_default()
+    cell_bytes = {"int32": 4, "u16": 2, "mf8": 1}[counter]
 
     if expected_num_kmers > 0:
         sized = _BC.for_expected(expected_num_kmers, 0.01, num_hash)
         dbg_bits = cbf_cells = pk_bits = 1 << sized.size_log2
     else:
         dbg_bits = pow2_size(total_mem_bytes // 8)
-        cbf_cells = pow2_size(total_mem_bytes // 2 // 4)  # int32 cells
+        cbf_cells = pow2_size(total_mem_bytes // 2 // cell_bytes)
         pk_bits = pow2_size(total_mem_bytes // 8)
     if dbgbf_mem_bytes > 0:
         dbg_bits = pow2_size(dbgbf_mem_bytes)
     if cbf_mem_bytes > 0:
-        cbf_cells = pow2_size(cbf_mem_bytes // 4)
+        cbf_cells = pow2_size(cbf_mem_bytes // cell_bytes)
     if pkbf_mem_bytes > 0:
         pk_bits = pow2_size(pkbf_mem_bytes)
     return dbg.GraphConfig(
@@ -293,7 +303,8 @@ def default_graph_config(
         dbgbf=BloomConfig(dbg_bits.bit_length() - 1, dbgbf_hash or num_hash, merge=merge),
         cbf=CountingConfig(
             cbf_cells.bit_length() - 1, cbf_hash or num_hash,
-            blocked=not merge, merge=merge,
+            blocked=(not merge) and counter == "int32", merge=merge,
+            dtype=counter,
         ),
         pkbf=BloomConfig(pk_bits.bit_length() - 1, pkbf_hash or num_hash, merge=merge)
         if with_pkbf

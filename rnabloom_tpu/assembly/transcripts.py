@@ -181,17 +181,20 @@ def _gap_rewalk(
     if edge_clip < 0:
         edge_clip = max(k, cfg.read_pair_distance)
 
+    # vectorized row prefilter: only rows with unseen runs AND a seen anchor
+    Bq, Pq = seen.shape
+    nk_all = np.maximum(np.asarray(lengths).astype(np.int64) - k + 1, 0)
+    inlen_q = np.arange(Pq)[None, :] < nk_all[:, None]
+    vm = valid & inlen_q
+    bad_all = (~seen) & vm
+    rows_q = np.flatnonzero(bad_all.any(axis=1) & (seen & vm).any(axis=1))
+
     # jobs: (b, g0, g1, seed (k,), target bases, expected_ext, kind)
     jobs: List[tuple] = []
-    for b in range(codes.shape[0]):
+    for b in rows_q:
         nb = int(lengths[b])
-        n = max(nb - k + 1, 0)
-        if n == 0:
-            continue
-        s, v = seen[b, :n], valid[b, :n]
-        bad = (~s) & v
-        if not bad.any() or not s[v].any():
-            continue
+        n = int(nk_all[b])
+        bad = bad_all[b, :n]
         padded = np.concatenate(([False], bad, [False]))
         d = np.diff(padded.astype(np.int8))
         for g0, g1 in zip(np.flatnonzero(d == 1), np.flatnonzero(d == -1)):
@@ -232,8 +235,9 @@ def _gap_rewalk(
     buf, pos, _ = traverse.harvest(st)
 
     # one batched screen lookup over every walked path
-    wseen_d, wvalid_d = _screen_lookup(screen, scfg, cfg, jnp.asarray(buf[: len(jobs)]))
-    wseen, wvalid = np.asarray(wseen_d), np.asarray(wvalid_d)
+    wseen, wvalid = jax.device_get(
+        _screen_lookup(screen, scfg, cfg, jnp.asarray(buf[: len(jobs)]))
+    )
 
     # failed EDGE gaps fall back to the tip test: walk outward from the
     # sequence's outermost k-mer; a dead end within the clip allowance
@@ -303,13 +307,20 @@ def screen_represented(
     unsupported junction, isChimera :7674) are flagged there.
     """
     from . import artifacts
+    from .correct import _batch_runs
 
-    seen, valid = _screen_lookup(screen, scfg, cfg, jnp.asarray(codes))
+    seen, valid = jax.device_get(_screen_lookup(screen, scfg, cfg, jnp.asarray(codes)))
     seen = np.array(seen)  # writable: repaired gaps are marked seen below
-    valid = np.asarray(valid)
     k = cfg.k
     gap_max = params.screen_max_gap or k
-    out = np.zeros(codes.shape[0], bool)
+    B, P = seen.shape
+    out = np.zeros(B, bool)
+    n_kmers = np.maximum(np.asarray(lengths).astype(np.int64) - k + 1, 0)
+    inlen = np.arange(P)[None, :] < n_kmers[:, None]
+    vmask = valid & inlen
+    badmask = (~seen) & vmask
+    # rows worth repairing: some unseen k-mer AND some seen anchor
+    cand_rows = np.flatnonzero(badmask.any(axis=1) & (seen & vmask).any(axis=1))
 
     # pass 1: repair error bubbles.  A residual substitution or small indel
     # in an otherwise-assembled sequence leaves an unseen run of ~k k-mers;
@@ -323,14 +334,9 @@ def screen_represented(
     wins: List[np.ndarray] = []
     groups: List[Tuple[int, int, int, int, int]] = []  # (b, g0, g1, start, end)
     mi = params.max_indel
-    for b in range(codes.shape[0]):
-        n = max(int(lengths[b]) - k + 1, 0)
-        if n == 0:
-            continue
-        s, v = seen[b, :n], valid[b, :n]
-        bad = (~s) & v
-        if not bad.any() or not s[v].any():
-            continue
+    for b in cand_rows:
+        n = int(n_kmers[b])
+        bad = badmask[b, :n]
         padded = np.concatenate(([False], bad, [False]))
         d = np.diff(padded.astype(np.int8))
         for g0, g1 in zip(np.flatnonzero(d == 1), np.flatnonzero(d == -1)):
@@ -370,8 +376,9 @@ def screen_represented(
         batch = np.full((len(wins), max(seg_len, k)), 4, np.uint8)
         for i, w in enumerate(wins):
             batch[i, : len(w)] = w
-        vseen_d, vvalid_d = _screen_lookup(screen, scfg, cfg, jnp.asarray(batch))
-        vseen, vvalid = np.asarray(vseen_d), np.asarray(vvalid_d)
+        vseen, vvalid = jax.device_get(
+            _screen_lookup(screen, scfg, cfg, jnp.asarray(batch))
+        )
         for b, g0, g1, start, end in groups:
             for i in range(start, end):
                 nk = max(len(wins[i]) - k + 1, 0)
@@ -385,25 +392,26 @@ def screen_represented(
     if graph is not None:
         _gap_rewalk(graph, screen, scfg, cfg, codes, lengths, seen, valid, params)
 
-    for b in range(codes.shape[0]):
-        if chimera_out is not None:
-            n0 = max(int(lengths[b]) - k + 1, 0)
-            if n0 > 0 and artifacts.is_chimera(seen[b, :n0], valid[b, :n0], k):
+    # final decision, vectorized: a row is represented when >= min_frac of
+    # its k-mers are seen and no unseen run exceeds gap_max
+    badf = (~seen) & vmask  # recompute: passes 1/1b marked gaps seen
+    nv = vmask.sum(axis=1)
+    nseen = (seen & vmask).sum(axis=1)
+    trivial = (n_kmers == 0) | (nv == 0)
+    frac_ok = nseen / np.maximum(nv, 1) >= params.screen_min_frac
+    maxrun = np.zeros(B, np.int64)
+    if badf.any():
+        rs, ss, es = _batch_runs(badf)
+        np.maximum.at(maxrun, rs, es - ss)
+    out = trivial | (frac_ok & (maxrun <= gap_max))
+
+    if chimera_out is not None:
+        # chimera signature needs an unsupported junction — only rows with
+        # unseen runs can match
+        for b in np.flatnonzero(badf.any(axis=1) & (n_kmers > 0)):
+            n0 = int(n_kmers[b])
+            if artifacts.is_chimera(seen[b, :n0], valid[b, :n0], k):
                 chimera_out[b] = True
-        n = max(int(lengths[b]) - k + 1, 0)
-        if n == 0:
-            out[b] = True
-            continue
-        s = seen[b, :n]
-        v = valid[b, :n]
-        nv = int(v.sum())
-        if nv == 0:
-            out[b] = True
-            continue
-        frac = s[v].sum() / nv
-        if frac < params.screen_min_frac:
-            continue
-        out[b] = _max_true_run((~s) & v) <= gap_max
     return out
 
 
@@ -532,8 +540,10 @@ def extend_fragments_pair(
 
     Returns (codes (B, max_walk_len), lengths, orig_start, orig_end) where
     [orig_start, orig_end) is each original fragment's base range inside the
-    extended sequence.
+    extended sequence.  The whole extension costs ONE readback.
     """
+    from .fragments import revcomp_rows
+
     B, L = frags.shape
     wcfg = traverse.WalkConfig(
         max_len=params.max_walk_len, pair_ring=params.pair_ring,
@@ -542,7 +552,6 @@ def extend_fragments_pair(
     # right walks: seed with the full fragment
     st = traverse.make_walks(cfg, wcfg, frags, lens)
     st = engine.extend_walks(st, graph, cfg, wcfg, 1.0, params.bound, mode=mode)
-    rbuf, rpos, _ = traverse.harvest(st)
 
     # left walks: seed with the revcomp of the right-extended sequence so the
     # left extension sees the full context in its pair ring
@@ -550,25 +559,19 @@ def extend_fragments_pair(
         max_len=params.max_walk_len, pair_ring=params.pair_ring, left=True,
         lookahead=params.lookahead, tip_probe_depth=params.tip_probe_depth,
     )
-    rc = np.full((B, params.max_walk_len), 4, np.uint8)
-    for b in range(B):
-        rc[b, : rpos[b]] = sequtils.revcomp_codes(rbuf[b, : rpos[b]])
-    st = traverse.make_walks(cfg, wcfg_l, rc, rpos.astype(np.int64))
-    st = engine.extend_walks(st, graph, cfg, wcfg_l, 1.0, params.bound, mode=mode)
-    lbuf, lpos, _ = traverse.harvest(st)
+    rpos_d = st.pos  # survives: revcomp_reseed does not donate
+    stl = traverse.revcomp_reseed(cfg, wcfg_l, st.buf, st.pos)
+    stl = engine.extend_walks(stl, graph, cfg, wcfg_l, 1.0, params.bound, mode=mode)
+    lbuf, meta = jax.device_get(
+        (stl.buf, jnp.stack([stl.pos, rpos_d.astype(jnp.int32)]))
+    )
+    lpos, rpos = meta[0], meta[1]
 
-    out = np.full((B, params.max_walk_len), 4, np.uint8)
-    out_len = np.zeros(B, np.int32)
-    orig_s = np.zeros(B, np.int32)
-    orig_e = np.zeros(B, np.int32)
-    for b in range(B):
-        seq = sequtils.revcomp_codes(lbuf[b, : lpos[b]])
-        n = min(len(seq), params.max_walk_len)
-        out[b, :n] = seq[:n]
-        out_len[b] = n
-        left_ext = lpos[b] - rpos[b]
-        orig_s[b] = left_ext
-        orig_e[b] = min(left_ext + lens[b], n)
+    out = revcomp_rows(lbuf, np.minimum(lpos, params.max_walk_len))[:B]
+    out_len = np.minimum(lpos, params.max_walk_len).astype(np.int32)[:B]
+    left_ext = (lpos - rpos).astype(np.int32)[:B]
+    orig_s = left_ext
+    orig_e = np.minimum(left_ext + np.asarray(lens, np.int32), out_len).astype(np.int32)
     return out, out_len, orig_s, orig_e
 
 

@@ -177,13 +177,29 @@ class CountingConfig:
     scatters — ~1.4x faster on the TPU scatter engine, at the standard
     blocked-Bloom cost of slightly correlated cells.  Lookups gather the
     individual cells either way.  The conservative/parity path keeps the
-    reference's unblocked ``(h >>> 1) % size`` indexing."""
+    reference's unblocked ``(h >>> 1) % size`` indexing.
+
+    ``dtype`` sets the counter cell width — the reference's entire value
+    proposition is Bloom memory efficiency, with 1-byte MiniFloat counters
+    (util/MiniFloat.java:27-45) getting half the total budget in CELLS
+    (RNABloom.java:6822-6830):
+      * "mf8": 1 B/cell MiniFloat (3-bit mantissa, 5-bit exponent) — counts
+        <= 15 exact, larger quantized to ~6-12%.  Increments decode+add+
+        re-encode deterministically (the reference reaches the same codes
+        stochastically via Math.random(); deterministic expected-value
+        encoding stays within its quantization error and is reproducible).
+      * "u16": 2 B/cell saturating exact counters (cap 65535 = ntCard's
+        max tracked multiplicity, util/NTCardHistogram.java:29).
+      * "int32": 4 B/cell exact (the TPU scatter-add fast path).
+    Narrow cells exclude the blocked layout (int32-only row bundles).
+    """
 
     size_log2: int
     num_hash: int
     scratch_log2: int = SCRATCH_LOG2_DEFAULT
     blocked: bool = False
     merge: bool = False  # sort-merge MXU sweep inserts (flat layout only)
+    dtype: str = "int32"  # "int32" | "u16" | "mf8"
 
     @property
     def size(self) -> int:
@@ -197,12 +213,71 @@ class CountingConfig:
             return histmerge.table_pad(self.size_log2)
         return 128 if self.blocked else 1
 
+    @property
+    def cell_bytes(self) -> int:
+        return {"int32": 4, "u16": 2, "mf8": 1}[self.dtype]
+
+    @property
+    def jnp_dtype(self):
+        return {"int32": jnp.int32, "u16": jnp.uint16, "mf8": jnp.uint8}[self.dtype]
+
 
 def make_counting(cfg: CountingConfig) -> jax.Array:
     # blocked layout appends a 128-cell trash ROW; flat one trash cell;
     # merge layout a full trash block (see ops/histmerge.py)
     assert not (cfg.merge and cfg.blocked), "merge inserts use the flat layout"
-    return jnp.zeros(cfg.size + cfg.trash, dtype=jnp.int32)
+    assert cfg.dtype == "int32" or not cfg.blocked, "narrow counters are unblocked"
+    return jnp.zeros(cfg.size + cfg.trash, dtype=cfg.jnp_dtype)
+
+
+def decode_counts(cells: jax.Array, dtype: str) -> jax.Array:
+    """Raw counter cells -> count values (monotonic in the cell code)."""
+    if dtype == "mf8":
+        from ..ops import minifloat
+
+        return minifloat.decode(cells)
+    return cells.astype(jnp.int32)
+
+
+def encode_counts(values: jax.Array, dtype: str, u01: Optional[jax.Array] = None) -> jax.Array:
+    """Count values -> counter cells (monotonic, saturating).
+
+    For mf8, ``u01`` enables stochastic rounding (see minifloat.encode_
+    stochastic) — required on increment paths so sub-quantum increments
+    advance in expectation; plain nearest-rounding otherwise."""
+    if dtype == "mf8":
+        from ..ops import minifloat
+
+        if u01 is not None:
+            return minifloat.encode_stochastic(values, u01)
+        return minifloat.encode(values)
+    if dtype == "u16":
+        return jnp.clip(values, 0, 65535).astype(jnp.uint16)
+    return values.astype(jnp.int32)
+
+
+def apply_cell_increments(
+    cells: jax.Array, inc: jax.Array, dtype: str, salt=0, base_index: int = 0
+) -> jax.Array:
+    """cells += inc elementwise in the cell encoding (saturating).
+
+    mf8 uses salted stochastic rounding keyed by absolute cell index so the
+    same cell rolls a fresh (but reproducible) dice each batch."""
+    if dtype == "int32":
+        return cells + inc
+    if dtype == "u16":
+        return jnp.minimum(cells.astype(jnp.int32) + inc, 65535).astype(jnp.uint16)
+    from ..ops import minifloat
+
+    u01 = minifloat.mix_u01(
+        jnp.arange(cells.shape[0], dtype=jnp.uint32)
+        + jnp.asarray(base_index, jnp.uint32),
+        salt,
+    )
+    new = minifloat.encode_stochastic(
+        minifloat.decode(cells) + inc.astype(jnp.float32), u01
+    )
+    return jnp.where(inc > 0, new, cells)
 
 
 def blocked_cells(
@@ -231,13 +306,19 @@ def blocked_cells(
 
 
 def counting_count(counts: jax.Array, cfg: CountingConfig, hashes: U64) -> jax.Array:
-    """Estimated count per element: min over the h cells."""
+    """Estimated count per element: min over the h cells.
+
+    Cell codes are monotonic in value for every dtype, so the min is taken
+    over raw cells and decoded once."""
     if cfg.blocked:
         row, lanes = blocked_cells(cfg, hashes)
         idx = row[..., None].astype(jnp.uint32) * np.uint32(128) + lanes
         return jnp.min(jnp.take(counts, idx, axis=0), axis=-1)
     idx = bloom_indices(hashes, cfg.size_log2)
-    return jnp.min(jnp.take(counts, idx, axis=0), axis=-1)
+    cells = jnp.min(jnp.take(counts, idx, axis=0), axis=-1)
+    if cfg.dtype == "int32":
+        return cells
+    return decode_counts(cells, cfg.dtype)
 
 
 def counting_increment(
@@ -246,6 +327,7 @@ def counting_increment(
     hashes: U64,
     valid: Optional[jax.Array] = None,
     dec_first: Optional[jax.Array] = None,
+    salt=0,
 ) -> jax.Array:
     """Conservative-update increment of a batch with multiplicity.
 
@@ -277,11 +359,22 @@ def counting_increment(
     if dec_first is not None:
         mult = mult - dec_first.astype(jnp.int32)
 
-    cur_min = jnp.min(jnp.take(counts, idx, axis=0), axis=-1)
-    new_val = cur_min + jnp.maximum(mult, 0)
+    cur_cells = jnp.min(jnp.take(counts, idx, axis=0), axis=-1)
+    cur_min = decode_counts(cur_cells, cfg.dtype)
+    new_val = cur_min + jnp.maximum(mult, 0).astype(cur_min.dtype)
     ok = valid[..., 0] if valid is not None else np.ones(new_val.shape, bool)
     new_val = jnp.where(ok, new_val, 0)
-    upd = jnp.broadcast_to(new_val[..., None], idx.shape)
+    # cell codes are monotonic in value, so scatter-max of codes is the
+    # conservative update in any encoding; mf8 rounds stochastically keyed
+    # by (key hash, batch salt) so sub-quantum increments advance
+    u01 = None
+    if cfg.dtype == "mf8":
+        from ..ops import minifloat
+
+        u01 = minifloat.mix_u01(hashes.lo[..., 0], salt)
+    upd = jnp.broadcast_to(
+        encode_counts(new_val, cfg.dtype, u01)[..., None], idx.shape
+    )
     return counts.at[idx.reshape(-1)].max(upd.reshape(-1), mode="drop")
 
 
@@ -290,6 +383,7 @@ def counting_increment_cm(
     cfg: CountingConfig,
     hashes: U64,
     valid: Optional[jax.Array] = None,
+    salt=0,
 ) -> jax.Array:
     """Plain count-min increment: scatter-add 1 at all h cells.
 
@@ -314,7 +408,17 @@ def counting_increment_cm(
     if cfg.merge:
         from ..ops import histmerge
 
-        return histmerge.hist_update(counts, cfg.size_log2, idx, "add")
+        op = {"int32": "add", "u16": "add_u16", "mf8": "add_mf8"}[cfg.dtype]
+        return histmerge.hist_update(counts, cfg.size_log2, idx, op, salt)
+    if cfg.dtype != "int32":
+        # narrow cells can't scatter-add (no saturating atomics): build a
+        # transient int32 batch histogram and apply it elementwise in the
+        # cell encoding.  One full-table pass per batch — the merge sweep
+        # (TPU default) folds this into its single table pass instead.
+        hist = jnp.zeros(counts.shape, jnp.int32).at[idx.reshape(-1)].add(
+            np.int32(1), mode="drop"
+        )
+        return apply_cell_increments(counts, hist, cfg.dtype, salt=salt)
     return counts.at[idx.reshape(-1)].add(np.int32(1), mode="drop")
 
 

@@ -56,7 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="memory (GB) for the k-mer counting filter [auto]")
     p.add_argument("-pm", "--pkbf-mem", dest="pkbf_mem", type=float, default=0,
                    help="memory (GB) for the paired-k-mers Bloom filter [auto]")
-    p.add_argument("-batch", "--batch", type=int, default=512, help="stage-2 pair batch size")
+    p.add_argument("-batch", "--batch", type=int, default=8192, help="stage-2 pair batch size")
+    p.add_argument("-cnt", "--counter", choices=("mf8", "u16", "int32"), default="mf8",
+                   help="counter cell width: mf8 = 1 B/cell MiniFloat (reference "
+                        "memory parity), u16/int32 = exact counters [mf8]")
     p.add_argument("-t", "--threads", type=int, default=2, help="(accepted for compat; unused)")
     p.add_argument("-lrpb", "--lrpb", action="store_true", help="long reads are PacBio (preset k=35)")
     p.add_argument("-sensitive", "--sensitive", action="store_true", help="sensitive preset (lower thresholds)")
@@ -244,6 +247,7 @@ def main(argv=None) -> int:
         sketch_overlap_prop=args.sop,
         sketch_overlap_num=args.son,
         hpc=args.hpc,
+        counter=args.counter,
     )
     if args.mmopt:
         print("note: -mmopt ignored (internal overlapper replaces minimap2)",
@@ -277,6 +281,58 @@ def main(argv=None) -> int:
                    "transcripts": r.num_transcripts}
             for name, r in reports.items()
         }))
+        return 0
+    if args.coordinator and args.nprocs > 1:
+        # multi-host: the stage-1 graph build is data-parallel across the
+        # process group (one sharded mesh program, record-modulo input
+        # partitioning); later stages run on process 0 against the saved
+        # graph.  See parallel/multihost.py.
+        import jax
+        import numpy as np
+
+        from rnabloom_tpu.assembly import stage1 as s1mod
+        from rnabloom_tpu.parallel import multihost, sharded
+        from rnabloom_tpu.utils import checkpoint as ckpt
+
+        if args.stage != 1:
+            print(
+                "note: multi-host runs stage 1 across the group; run stages "
+                "2-3 single-host from the saved graph (-savebf implied)",
+                file=sys.stderr,
+            )
+        paths = (
+            list(args.long_reads or [])
+            or [p for p in (args.left, args.right) if p]
+        )
+        lengths = s1mod.sample_read_lengths(paths, params.sample_size)
+        d_read, _ = s1mod.read_length_params(lengths, params.k, params.min_num_kmer_pairs)
+        cfg = s1mod.default_graph_config(
+            params.k, params.stranded, params.total_mem_bytes, params.num_hash,
+            d_read, expected_num_kmers=params.expected_num_kmers,
+            counter=params.counter,
+        )
+        s1p = s1mod.Stage1Params(
+            k=params.k, stranded=params.stranded, min_qual=params.min_qual,
+            max_seq_len=int(max(lengths.max(initial=150), 2 * params.k)),
+        )
+        mesh = sharded.make_mesh(len(jax.devices()))
+        flags = [args.revcomp_left, args.revcomp_right][: len(paths)]
+        state, stats = multihost.build_graph_multihost(
+            paths, cfg, s1p, mesh, revcomp_flags=flags, add_read_pairs=True
+        )
+        if jax.process_index() == 0:
+            import os as _os
+
+            _os.makedirs(args.outdir, exist_ok=True)
+            from rnabloom_tpu.graph import engine as eng
+
+            host = eng.to_host_state(
+                eng.MeshGraph(mesh=mesh, state=state), cfg
+            )
+            ckpt.save_graph(_os.path.join(args.outdir, f"{args.name}.graph"), host, cfg)
+            ckpt.touch_stamp(args.outdir, ckpt.STAMP_DBG_DONE)
+            print(json.dumps({"stage": 1, "reads_local": stats.num_reads,
+                              "fprs": stats.fprs}))
         return 0
     if args.long_reads:
         report = pipeline.assemble_long(

@@ -133,20 +133,25 @@ def pair_base_hashes(
 # ---------------------------------------------------------------------------
 
 
-def add_kmers(state: GraphState, cfg: GraphConfig, base: U64, valid: jax.Array) -> GraphState:
+def add_kmers(
+    state: GraphState, cfg: GraphConfig, base: U64, valid: jax.Array, salt=0
+) -> GraphState:
     """Insert k-mer occurrences (base hash per occurrence) into the counters
-    (and dbgbf in exact_counts mode)."""
+    (and dbgbf in exact_counts mode).  ``salt`` (the batch counter) feeds
+    the mf8 stochastic-rounding PRNG."""
     h_cbf = _multi(cfg, base, cfg.cbf.num_hash)
     if not cfg.exact_counts:
         return state._replace(
-            cbf=filters.counting_increment_cm(state.cbf, cfg.cbf, h_cbf, valid=valid)
+            cbf=filters.counting_increment_cm(
+                state.cbf, cfg.cbf, h_cbf, valid=valid, salt=salt
+            )
         )
     h_dbg = _multi(cfg, base, cfg.dbgbf.num_hash)
     new_dbg, present = filters.bloom_lookup_then_add(state.dbgbf, cfg.dbgbf, h_dbg, valid)
     # First occurrence of a batch-new k-mer is accounted to dbgbf only.
     dec_first = jnp.logical_and(valid, jnp.logical_not(present))
     new_cbf = filters.counting_increment(
-        state.cbf, cfg.cbf, h_cbf, valid=valid, dec_first=dec_first
+        state.cbf, cfg.cbf, h_cbf, valid=valid, dec_first=dec_first, salt=salt
     )
     return state._replace(dbgbf=new_dbg, cbf=new_cbf)
 
@@ -214,16 +219,19 @@ def lookup_fragment_pair(state: GraphState, cfg: GraphConfig, pair_base: U64) ->
 
 @partial(jax.jit, static_argnames=("cfg", "add_read_pairs"), donate_argnames=("state",))
 def build_step(
-    state: GraphState, cfg: GraphConfig, codes: jax.Array, add_read_pairs: bool = False
+    state: GraphState, cfg: GraphConfig, codes: jax.Array,
+    add_read_pairs: bool = False, salt=0,
 ) -> GraphState:
     """One stage-1 device step: hash a read batch, scatter into all filters.
 
     codes: (B, L) uint8 2-bit codes (4 = pad/N).  The whole pipeline —
     rolling hash, multi-hash, index math, scatters — fuses into a handful of
-    XLA kernels; there is no host round-trip per batch.
+    XLA kernels; there is no host round-trip per batch.  ``salt`` is the
+    caller's batch counter (mf8 stochastic-rounding seed; traced, so no
+    recompile per batch).
     """
     fh, rh, base, valid = seq_hashes(cfg, codes)
-    state = add_kmers(state, cfg, base, valid)
+    state = add_kmers(state, cfg, base, valid, salt=salt)
     if add_read_pairs and state.rpkbf is not None and cfg.read_pair_distance > 0:
         state = add_read_pair_kmers(state, cfg, fh, rh, valid)
     return state
@@ -231,11 +239,12 @@ def build_step(
 
 @partial(jax.jit, static_argnames=("cfg", "add_frag_pairs"), donate_argnames=("state",))
 def rebuild_step(
-    state: GraphState, cfg: GraphConfig, codes: jax.Array, add_frag_pairs: bool = True
+    state: GraphState, cfg: GraphConfig, codes: jax.Array,
+    add_frag_pairs: bool = True, salt=0,
 ) -> GraphState:
     """Fragment-graph rebuild step: counters + fpkbf pairs in one program."""
     fh, rh, base, valid = seq_hashes(cfg, codes)
-    state = add_kmers(state, cfg, base, valid)
+    state = add_kmers(state, cfg, base, valid, salt=salt)
     if add_frag_pairs and state.fpkbf is not None and cfg.fragment_pair_distance > 0:
         state = add_fragment_pair_kmers(state, cfg, fh, rh, valid)
     return state

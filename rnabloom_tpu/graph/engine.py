@@ -97,9 +97,11 @@ def _pad_rows(codes, n: int):
 # ---------------------------------------------------------------------------
 
 
-def build_step(graph, cfg: GraphConfig, codes, add_read_pairs: bool = False):
+def build_step(graph, cfg: GraphConfig, codes, add_read_pairs: bool = False, salt=0):
     if not is_sharded(graph):
-        return dbg.build_step(graph, cfg, jnp.asarray(codes), add_read_pairs=add_read_pairs)
+        return dbg.build_step(
+            graph, cfg, jnp.asarray(codes), add_read_pairs=add_read_pairs, salt=salt
+        )
     from ..parallel import sharded
 
     step = graph._prog(
@@ -107,13 +109,15 @@ def build_step(graph, cfg: GraphConfig, codes, add_read_pairs: bool = False):
         lambda: sharded.sharded_build_step(graph.mesh, cfg, add_read_pairs=add_read_pairs),
     )
     codes = jnp.asarray(_pad_rows(np.asarray(codes), graph.mesh.devices.size))
-    graph.state = step(graph.state, codes)
+    graph.state = step(graph.state, codes, jnp.uint32(salt))
     return graph
 
 
-def rebuild_step(graph, cfg: GraphConfig, codes, add_frag_pairs: bool = True):
+def rebuild_step(graph, cfg: GraphConfig, codes, add_frag_pairs: bool = True, salt=0):
     if not is_sharded(graph):
-        return dbg.rebuild_step(graph, cfg, jnp.asarray(codes), add_frag_pairs=add_frag_pairs)
+        return dbg.rebuild_step(
+            graph, cfg, jnp.asarray(codes), add_frag_pairs=add_frag_pairs, salt=salt
+        )
     from ..parallel import sharded
 
     step = graph._prog(
@@ -121,7 +125,7 @@ def rebuild_step(graph, cfg: GraphConfig, codes, add_frag_pairs: bool = True):
         lambda: sharded.sharded_rebuild_step(graph.mesh, cfg, add_frag_pairs=add_frag_pairs),
     )
     codes = jnp.asarray(_pad_rows(np.asarray(codes), graph.mesh.devices.size))
-    graph.state = step(graph.state, codes)
+    graph.state = step(graph.state, codes, jnp.uint32(salt))
     return graph
 
 
@@ -308,10 +312,19 @@ def to_host_state(graph, cfg: GraphConfig) -> GraphState:
     if not is_sharded(graph):
         return graph
 
+    replicate = None
+    if jax.process_count() > 1:
+        # shards live on other hosts' devices: replicate before reading
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        replicate = jax.jit(
+            lambda x: x, out_shardings=NamedSharding(graph.mesh, P())
+        )
+
     def merge(lanes, trash, out_trash):
         if lanes is None:
             return None
-        host = np.asarray(lanes)
+        host = np.asarray(jax.device_get(replicate(lanes)) if replicate else lanes)
         flat = np.concatenate([host[i, :-trash] for i in range(host.shape[0])])
         return jnp.asarray(np.concatenate([flat, np.zeros(out_trash, host.dtype)]))
 

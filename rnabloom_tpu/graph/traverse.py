@@ -180,6 +180,21 @@ def make_walks(
     )
 
 
+@partial(jax.jit, static_argnames=("cfg", "wcfg"))
+def revcomp_reseed(cfg: GraphConfig, wcfg: WalkConfig, buf: jax.Array, pos: jax.Array) -> WalkState:
+    """Re-seed walks with the reverse complement of finished walk buffers —
+    the right->left extension hand-off stays ON DEVICE (a host revcomp here
+    costs a full tunnel readback + re-upload per batch)."""
+    B, L = buf.shape
+    j = jnp.arange(L)[None, :]
+    src = jnp.clip(pos[:, None].astype(jnp.int32) - 1 - j, 0, L - 1)
+    vals = jnp.take_along_axis(buf, src, axis=1)
+    rc = jnp.where(
+        j < pos[:, None], jnp.where(vals < 4, 3 - vals, 4), 4
+    ).astype(jnp.uint8)
+    return _make_walks_jit(cfg, wcfg, rc, pos.astype(jnp.int32))
+
+
 def _query_hash(cfg: GraphConfig, wcfg: WalkConfig, fh: U64, rh: U64) -> U64:
     """Filter-query hash of a walk k-mer (see module docstring)."""
     if cfg.stranded:
@@ -855,6 +870,17 @@ def extend_walks(
     )
 
 
+@jax.jit
+def _harvest_meta(pos: jax.Array, status: jax.Array) -> jax.Array:
+    return jnp.stack([pos, status])
+
+
 def harvest(state: WalkState) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(buf, pos, status) as numpy — the walks' emitted code sequences."""
-    return tuple(jax.device_get((state.buf, state.pos, state.status)))
+    """(buf, pos, status) as numpy — the walks' emitted code sequences.
+
+    pos/status ride one packed transfer (each separate readback pays a
+    full host-tunnel round trip)."""
+    buf, meta = jax.device_get(
+        (state.buf, _harvest_meta(state.pos, state.status))
+    )
+    return buf, meta[0], meta[1]

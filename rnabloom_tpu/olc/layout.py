@@ -31,6 +31,7 @@ from .overlap import (
     OverlapRecord,
     classify,
     extract_minimizers,
+    extract_minimizers_reads,
     find_overlaps,
     oriented_t_coords,
 )
@@ -143,10 +144,9 @@ def layout_unitigs(
 ) -> Tuple[List[np.ndarray], List[List[Tuple[int, int]]], Set[int]]:
     """Unitigs (maximal unambiguous chains) over a read set.
     Returns (unitig codes, paths, contained read ids)."""
-    codes, lens = _pad_batch(reads)
-    mins = extract_minimizers(codes, lens, k, params.w)
+    mins = extract_minimizers_reads(reads, k, params.w)
     overlaps = find_overlaps(mins, params)
-    g, contained = build_graph(overlaps, lens, params)
+    g, contained = build_graph(overlaps, mins.lengths, params)
     g.remove_redundant_nodes()
     g.remove_transitive_edges(fuzz=params.diag_band)
     paths = g.simple_paths()
@@ -181,14 +181,14 @@ def unique_olc(
     params = params or OverlapParams()
     if not reads:
         return UniqueOLCResult([], [])
-    codes, lens = _pad_batch(reads)
-    all_mins = extract_minimizers(codes, lens, k, params.w)
+    all_mins = extract_minimizers_reads(reads, k, params.w)
+    lens = all_mins.lengths
 
     # 1. unique-read extraction (over the seeds when subsampling)
     if seed_indices is not None:
         sub = list(seed_indices)
-        s_codes, s_lens = _pad_batch([reads[i] for i in sub])
-        s_mins = extract_minimizers(s_codes, s_lens, k, params.w)
+        s_mins = extract_minimizers_reads([reads[i] for i in sub], k, params.w)
+        s_lens = s_mins.lengths
         s_polya = [polya_flags[i] for i in sub] if polya_flags is not None else None
         overlaps = find_overlaps(s_mins, params)
         kept_sub = extract_unique(overlaps, s_lens, params, min_seq_depth, s_polya)
@@ -206,8 +206,7 @@ def unique_olc(
         return UniqueOLCResult([], [], n_unique=len(kept))
 
     # 3. map ALL reads to unitigs
-    ucodes, ulens = _pad_batch(unitigs)
-    umins = extract_minimizers(ucodes, ulens, k, params.w)
+    umins = extract_minimizers_reads(unitigs, k, params.w)
     placements = cns.place_reads(all_mins, umins, lens, params)
 
     # 4. polish
@@ -266,8 +265,8 @@ def ava_clustered_olc(
     params = params or OverlapParams()
     if not reads:
         return []
-    codes, lens = _pad_batch(reads)
-    mins = extract_minimizers(codes, lens, k, params.w)
+    mins = extract_minimizers_reads(reads, k, params.w)
+    lens = mins.lengths
     records = find_overlaps(mins, params)
     by_pair: Dict[Tuple[int, int], List[OverlapRecord]] = {}
     for rec in records:
@@ -283,8 +282,7 @@ def ava_clustered_olc(
             from ..utils import align as alignutils
 
             hpc_reads = [alignutils.homopolymer_compress(np.asarray(r)) for r in reads]
-            hcodes, hlens = _pad_batch(hpc_reads)
-            hmins = extract_minimizers(hcodes, hlens, k, params.w)
+            hmins = extract_minimizers_reads(hpc_reads, k, params.w)
             cluster_records = find_overlaps(hmins, params)
         clusters = cluster_reads(cluster_records, len(reads))
 
@@ -321,10 +319,9 @@ def layout_backbones(
     params = params or OverlapParams()
     if not reads:
         return []
-    codes, lens = _pad_batch(reads)
-    mins = extract_minimizers(codes, lens, k, params.w)
+    mins = extract_minimizers_reads(reads, k, params.w)
     records = find_overlaps(mins, params)
-    g, contained = build_graph(records, lens, params)
+    g, contained = build_graph(records, mins.lengths, params)
     g.resolve_junctions()
     out: List[np.ndarray] = []
     in_graph: Set[int] = set()
@@ -352,11 +349,9 @@ def trim_split_by_read_depth(
     params = params or OverlapParams()
     if not targets:
         return []
-    tcodes, tlens = _pad_batch(targets)
-    rcodes, rlens = _pad_batch(reads)
-    tmins = extract_minimizers(tcodes, tlens, k, params.w)
-    rmins = extract_minimizers(rcodes, rlens, k, params.w)
-    placements = cns.place_reads(rmins, tmins, rlens, params)
+    tmins = extract_minimizers_reads(targets, k, params.w)
+    rmins = extract_minimizers_reads(reads, k, params.w)
+    placements = cns.place_reads(rmins, tmins, rmins.lengths, params)
 
     depth = [np.zeros(len(t), np.int32) for t in targets]
     for p in placements:
@@ -395,12 +390,10 @@ def overlap_layout_consensus(
     layouts, _, _ = layout_unitigs(reads, k, params)
     if not layouts:
         return [np.array(r, np.uint8) for r in reads]
-    codes, lens = _pad_batch(reads)
-    all_mins = extract_minimizers(codes, lens, k, params.w)
+    all_mins = extract_minimizers_reads(reads, k, params.w)
     for _ in range(max(polish_rounds, 1)):
-        ucodes, ulens = _pad_batch(layouts)
-        umins = extract_minimizers(ucodes, ulens, k, params.w)
-        placements = cns.place_reads(all_mins, umins, lens, params)
+        umins = extract_minimizers_reads(layouts, k, params.w)
+        placements = cns.place_reads(all_mins, umins, all_mins.lengths, params)
         layouts = cns.polish(layouts, reads, placements, min_depth=1)
     return layouts
 
@@ -419,14 +412,13 @@ def map_clustered_olc(
     params = params or OverlapParams()
     if not reads:
         return []
-    codes, lens = _pad_batch(reads)
-    mins = extract_minimizers(codes, lens, k, params.w)
+    mins = extract_minimizers_reads(reads, k, params.w)
+    lens = mins.lengths
     overlaps = find_overlaps(mins, params)
     seeds = extract_unique(overlaps, lens, params, 1, None)
     if not seeds:
         seeds = list(range(len(reads)))
-    scodes, slens = _pad_batch([reads[i] for i in seeds])
-    smins = extract_minimizers(scodes, slens, k, params.w)
+    smins = extract_minimizers_reads([reads[i] for i in seeds], k, params.w)
     placements = cns.place_reads(mins, smins, lens, params)
 
     best_shared: Dict[int, int] = {}
@@ -486,11 +478,9 @@ def seeded_unique_olc(
         return UniqueOLCResult([], [])
 
     # 4-5. map all reads, polish, greedy layout (shared with unique_olc)
-    codes, lens = _pad_batch(reads)
-    all_mins = extract_minimizers(codes, lens, k, params.w)
-    ucodes, ulens = _pad_batch(unitigs)
-    umins = extract_minimizers(ucodes, ulens, k, params.w)
-    placements = cns.place_reads(all_mins, umins, lens, params)
+    all_mins = extract_minimizers_reads(reads, k, params.w)
+    umins = extract_minimizers_reads(unitigs, k, params.w)
+    placements = cns.place_reads(all_mins, umins, all_mins.lengths, params)
     polished = cns.polish(unitigs, reads, placements, min_depth=polish_min_depth)
     return _greedy_transcripts(
         polished, placements, k, params, sample_lengths, polya_finder,
@@ -510,8 +500,8 @@ def _greedy_transcripts(
 ) -> UniqueOLCResult:
     """Step 5 of uniqueOLC: overlap the polished unitigs and extract
     binomial-filtered greedy max-weight paths."""
-    pcodes, plens = _pad_batch(polished)
-    pmins = extract_minimizers(pcodes, plens, k, params.w)
+    pmins = extract_minimizers_reads(polished, k, params.w)
+    plens = pmins.lengths
     p_overlaps = find_overlaps(pmins, params)
     g, p_contained = build_graph(p_overlaps, plens, params)
     g.remove_redundant_nodes()

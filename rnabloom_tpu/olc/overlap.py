@@ -147,6 +147,48 @@ def extract_minimizers(
     )
 
 
+def extract_minimizers_reads(
+    reads: Sequence[np.ndarray], k: int, w: int, chunk: int = 1024
+) -> Minimizers:
+    """Winnowed minimizers over an arbitrary read list, CHUNKED.
+
+    Never materializes one dense (n_reads, max_len) matrix — a 100k-read
+    ONT set with one 10 kb read would otherwise allocate gigabytes of
+    padding (and 8x that in uint64 hash planes).  Chunks pad to the chunk's
+    own pow2 length, so host memory is bounded by the chunk size and the
+    flat minimizer arrays (~2/(w+1) entries per base)."""
+    lengths = np.fromiter((len(r) for r in reads), np.int32, count=len(reads))
+    parts: List[Minimizers] = []
+    for s in range(0, len(reads), chunk):
+        sub = reads[s : s + chunk]
+        L = max((len(r) for r in sub), default=1)
+        Lp = 1 << max(6, (max(L, k) - 1).bit_length())  # pow2: stable kernels
+        codes = np.full((len(sub), Lp), 4, np.uint8)
+        lens = np.zeros(len(sub), np.int32)
+        for i, r in enumerate(sub):
+            codes[i, : len(r)] = r
+            lens[i] = len(r)
+        m = extract_minimizers(codes, lens, k, w)
+        if m.key.size:
+            parts.append(
+                Minimizers(m.key, m.pos, m.strand, m.read + np.int32(s), lengths, k)
+            )
+    if not parts:
+        e = np.empty(0)
+        return Minimizers(
+            e.astype(np.uint64), e.astype(np.int32), e.astype(bool),
+            e.astype(np.int32), lengths, k,
+        )
+    return Minimizers(
+        key=np.concatenate([p.key for p in parts]),
+        pos=np.concatenate([p.pos for p in parts]),
+        strand=np.concatenate([p.strand for p in parts]),
+        read=np.concatenate([p.read for p in parts]),
+        lengths=lengths,
+        k=k,
+    )
+
+
 def _drop_frequent(m: Minimizers, max_occ: int) -> Minimizers:
     order = np.argsort(m.key, kind="stable")
     key = m.key[order]

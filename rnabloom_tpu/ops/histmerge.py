@@ -184,7 +184,7 @@ def _wchunk(rows: int) -> int:
     return max(1, (1 << 21) // (128 * rows))
 
 
-def _sweep_kernel(win_ref, tab_ref, out_ref, *, geo: MergeGeometry, op: str):
+def _sweep_kernel(salt_ref, win_ref, tab_ref, out_ref, *, geo: MergeGeometry, op: str):
     g = pl.program_id(0)
     rows, w = geo.rows, geo.wrows
     wc = min(_wchunk(rows), w)
@@ -217,6 +217,28 @@ def _sweep_kernel(win_ref, tab_ref, out_ref, *, geo: MergeGeometry, op: str):
         tab = tab_ref[pl.ds(lo, rows), :]
         if op == "add":
             out_ref[pl.ds(lo, rows), :] = tab + delta.astype(out_ref.dtype)
+        elif op == "add_u16":  # saturating 16-bit counters
+            out_ref[pl.ds(lo, rows), :] = jnp.minimum(
+                tab.astype(jnp.int32) + delta, 65535
+            ).astype(out_ref.dtype)
+        elif op == "add_mf8":
+            # 1-byte MiniFloat counters: decode + add + stochastically-
+            # rounded encode, keyed by (absolute cell index, batch salt) so
+            # sub-quantum increments advance in expectation (the
+            # deterministic-PRNG analog of MiniFloat.java:31-38)
+            from . import minifloat
+
+            base = (g * SUBBLOCKS + s) * (rows * 128)
+            cell = (
+                jax.lax.broadcasted_iota(jnp.uint32, (rows, 128), 0) * np.uint32(128)
+                + jax.lax.broadcasted_iota(jnp.uint32, (rows, 128), 1)
+                + base.astype(jnp.uint32)
+            )
+            u01 = minifloat.mix_u01(cell, salt_ref[0])
+            new = minifloat.encode_stochastic(
+                minifloat.decode(tab) + delta.astype(jnp.float32), u01
+            )
+            out_ref[pl.ds(lo, rows), :] = jnp.where(delta > 0, new, tab)
         else:  # "set": lanes hold 0/1 only, so OR == saturating set
             out_ref[pl.ds(lo, rows), :] = tab | (delta > 0).astype(out_ref.dtype)
         return 0
@@ -230,28 +252,34 @@ def _sweep_kernel(win_ref, tab_ref, out_ref, *, geo: MergeGeometry, op: str):
         jax.lax.fori_loop(0, SUBBLOCKS, sub, 0)
 
 
-def _sweep2(body: jax.Array, geo: MergeGeometry, windows: jax.Array, op: str) -> jax.Array:
+def _sweep2(
+    body: jax.Array, geo: MergeGeometry, windows: jax.Array, op: str, salt=0
+) -> jax.Array:
     """One linear pass over the whole (block-padded) 2-D table view."""
     rows = geo.rows
     nblk = padded_blocks(geo.size_log2)
     grid = nblk // SUBBLOCKS
+    salt_arr = jnp.asarray(salt, jnp.uint32).reshape(1)
     # aliasing the table through the kernel keeps the whole update in place,
     # so the overflow lax.cond never needs a defensive copy of the filter
     return pl.pallas_call(
         partial(_sweep_kernel, geo=geo, op=op),
         grid=(grid,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((SUBBLOCKS, geo.wrows, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((SUBBLOCKS * rows, 128), lambda g: (g, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((SUBBLOCKS * rows, 128), lambda g: (g, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nblk * rows, 128), body.dtype),
-        input_output_aliases={1: 0},
+        input_output_aliases={2: 0},
         interpret=_interpret(),
-    )(windows, body)
+    )(salt_arr, windows, body)
 
 
-def hist_update(table: jax.Array, size_log2: int, idx: jax.Array, op: str) -> jax.Array:
+def hist_update(
+    table: jax.Array, size_log2: int, idx: jax.Array, op: str, salt=0
+) -> jax.Array:
     """Exact merge-based batch update of ``table`` at ``idx``.
 
     Args:
@@ -274,7 +302,7 @@ def hist_update(table: jax.Array, size_log2: int, idx: jax.Array, op: str) -> ja
     flat = idx.reshape(-1)
     geo = plan(size_log2, flat.shape[0])
     if geo is None:
-        return _scatter(table, flat, op)
+        return _scatter(table, flat, op, salt)
     # route anything out of [0, size) to the sentinel so it sorts to the tail
     size = np.uint32((1 << size_log2) - 1) + np.uint32(1)
     flat = jnp.where(flat < size, flat, SENTINEL)
@@ -289,25 +317,52 @@ def hist_update(table: jax.Array, size_log2: int, idx: jax.Array, op: str) -> ja
     has_uniform = jnp.any(uvals != SENTINEL)
 
     def merge_path(tab):
-        tab = _sweep2(tab.reshape(nrows2d, 128), geo, windows, op).reshape(-1)
+        tab = _sweep2(tab.reshape(nrows2d, 128), geo, windows, op, salt).reshape(-1)
 
         # the heavy-duplicate scatter costs ~3 ms even for a no-op update
         # stream, so skip it entirely on batches with no uniform rows
         def apply_uniform(t):
             if op == "add":
                 return t.at[uvals].add(np.int32(128).astype(t.dtype), mode="drop")
+            if op in ("add_u16", "add_mf8"):
+                # narrow cells: total the 128-row multiplicity per heavy cell
+                # (duplicates across uniform rows), then gather-modify-set —
+                # every duplicate writes the same final code
+                su = jnp.sort(uvals)
+                left = jnp.searchsorted(su, uvals, side="left")
+                right = jnp.searchsorted(su, uvals, side="right")
+                inc = (right - left).astype(jnp.int32) * np.int32(128)
+                old = jnp.take(t, jnp.minimum(uvals, t.shape[0] - 1), axis=0)
+                if op == "add_u16":
+                    new = jnp.minimum(old.astype(jnp.int32) + inc, 65535).astype(t.dtype)
+                else:
+                    from . import minifloat
+
+                    new = minifloat.encode_stochastic(
+                        minifloat.decode(old) + inc.astype(jnp.float32),
+                        minifloat.mix_u01(uvals, salt),
+                    )
+                return t.at[uvals].set(new, mode="drop")
             return t.at[uvals].set(np.uint8(1).astype(t.dtype), mode="drop")
 
         return jax.lax.cond(has_uniform, apply_uniform, lambda t: t, tab)
 
     def scatter_path(tab):
         # uniform rows were not applied in this branch: scatter everything
-        return _scatter(tab, flat, op)
+        return _scatter(tab, flat, op, salt)
 
     return jax.lax.cond(overflow, scatter_path, merge_path, table)
 
 
-def _scatter(table: jax.Array, flat: jax.Array, op: str) -> jax.Array:
+def _scatter(table: jax.Array, flat: jax.Array, op: str, salt=0) -> jax.Array:
     if op == "add":
         return table.at[flat].add(np.int32(1).astype(table.dtype), mode="drop")
+    if op in ("add_u16", "add_mf8"):
+        # narrow cells: transient int32 histogram, applied in the encoding
+        from ..bloom.filters import apply_cell_increments
+
+        hist = jnp.zeros(table.shape, jnp.int32).at[flat].add(np.int32(1), mode="drop")
+        return apply_cell_increments(
+            table, hist, "u16" if op == "add_u16" else "mf8", salt=salt
+        )
     return table.at[flat].set(np.uint8(1).astype(table.dtype), mode="drop")

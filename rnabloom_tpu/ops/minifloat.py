@@ -47,6 +47,48 @@ def encode(count: jax.Array) -> jax.Array:
     return out.astype(jnp.uint8)
 
 
+def encode_floor(count: jax.Array) -> jax.Array:
+    """float/int count -> largest representable MiniFloat byte <= count."""
+    c = jnp.maximum(count.astype(jnp.float32), 0.0)
+    small = jnp.clip(jnp.floor(c), 0, 7).astype(jnp.int32)
+    e = jnp.maximum(jnp.floor(jnp.log2(jnp.maximum(c, 8.0))) - 2.0, 1.0)
+    mant = jnp.clip(jnp.floor(c / jnp.exp2(e - 1.0)), 8, 15)
+    big = ((e.astype(jnp.int32)) << 3) | (mant.astype(jnp.int32) & 7)
+    out = jnp.where(c < 8, small, jnp.minimum(big, 127))
+    return out.astype(jnp.uint8)
+
+
+def encode_stochastic(count: jax.Array, u01: jax.Array) -> jax.Array:
+    """Stochastically-rounded encode: round up to the next representable
+    value with probability proportional to the residual.
+
+    This is the deterministic-PRNG equivalent of the reference's
+    Math.random() increment (util/MiniFloat.java:31-38): counts advance in
+    expectation even when per-batch increments are smaller than the local
+    quantization step (a floor/nearest encode would stick at 16 forever
+    under +1-per-batch traffic).  ``u01``: uniform [0,1) values derived
+    from a per-(cell, batch) hash — reproducible across runs.
+    """
+    c = jnp.maximum(count.astype(jnp.float32), 0.0)
+    c0 = encode_floor(c).astype(jnp.int32)
+    c1 = jnp.minimum(c0 + 1, 127)
+    v0 = decode(c0.astype(jnp.uint8))
+    v1 = decode(c1.astype(jnp.uint8))
+    frac = jnp.where(v1 > v0, (c - v0) / jnp.maximum(v1 - v0, 1e-9), 0.0)
+    return jnp.where(u01 < frac, c1, c0).astype(jnp.uint8)
+
+
+def mix_u01(idx: jax.Array, salt) -> jax.Array:
+    """Deterministic per-(index, salt) uniform [0,1) (xxhash-style mix)."""
+    x = idx.astype(jnp.uint32) * np.uint32(0x9E3779B1)
+    x = x ^ (jnp.asarray(salt, jnp.uint32) * np.uint32(0x85EBCA6B))
+    x = x ^ (x >> 16)
+    x = x * np.uint32(0x27D4EB2F)
+    x = x ^ (x >> 15)
+    # (x >> 8) < 2^24 fits int32; Mosaic lacks a direct uint32->f32 cast
+    return (x >> 8).astype(jnp.int32).astype(jnp.float32) / np.float32(1 << 24)
+
+
 def max_value() -> float:
     """Largest representable count (byte 127)."""
     return float(15 * 2**14)

@@ -1,35 +1,46 @@
-"""Multi-host (multi-process) execution scaffolding.
+"""Multi-host (multi-process) stage-1 execution.
 
 The sharded engine's mesh programs are host-count-agnostic: every filter
 shard lives on one device, queries ride all-to-alls over ICI within a
 slice and DCN across slices, and the same shard_map programs compile
-unchanged under multi-controller JAX.  What multi-host adds is (1) process
-group initialization and (2) feeding each process only its slice of the
-input — the generalization of the reference's N threads sharing one
-synchronized reader (RNABloom.java:1203-1238) to N hosts sharing the
-input file set.
+unchanged under multi-controller JAX.  This module adds what multi-host
+needs on top (the generalization of the reference's N threads sharing one
+synchronized reader, RNABloom.java:1203-1246, to N processes sharing the
+input file set):
 
-Usage (one command per host):
+  * process-group initialization (``initialize``),
+  * input partitioning — record-modulo over every file (pair-alignment
+    safe: record i of the left file and record i of the right file land on
+    the same process) plus byte-range splitting for plain (seekable) files,
+  * a lockstep batch loop (``build_graph_multihost``): every process
+    dispatches the SAME sequence of mesh programs — a process whose input
+    is exhausted feeds empty batches until a global all-reduce agrees that
+    everyone is done (collectives deadlock otherwise),
+  * global batch assembly from per-process rows
+    (``jax.make_array_from_process_local_data``).
 
-    python -m rnabloom_tpu.cli ... \
-        -coordinator HOST0:9876 -nprocs 2 -procid $ID
+Run one command per host:
 
-Only single-process execution is exercised by this repo's test rig (one
-TPU chip / a virtual CPU mesh); the helpers below use only stable JAX
-multi-controller APIs (jax.distributed.initialize,
-make_array_from_process_local_data).
+    python -m rnabloom_tpu.cli ... -coordinator HOST0:9876 -nprocs 2 -procid $ID
+
+CI exercises the real thing: tests/test_multihost.py launches TWO
+jax.distributed CPU processes (gloo collectives) through this module's
+``__main__`` worker and asserts the merged filters equal a single-process
+build bit-for-bit.
 """
 
 from __future__ import annotations
 
-from typing import List, Sequence
+import os
+from typing import Iterator, List, Optional, Sequence, Tuple
 
-import jax
 import numpy as np
 
 
 def initialize(coordinator: str, num_processes: int, process_id: int) -> None:
     """Join the JAX process group; after this, jax.devices() is global."""
+    import jax
+
     jax.distributed.initialize(
         coordinator_address=coordinator,
         num_processes=num_processes,
@@ -37,11 +48,62 @@ def initialize(coordinator: str, num_processes: int, process_id: int) -> None:
     )
 
 
-def partition_paths(paths: Sequence[str], process_id: int, num_processes: int) -> List[str]:
-    """Static file partitioning: process i reads files i, i+n, i+2n, ...
-    (the reference's per-file worker assignment, populateGraphHelper
-    RNABloom.java:1178-1246, generalized across hosts)."""
-    return [p for j, p in enumerate(paths) if j % num_processes == process_id]
+def partition_records(
+    records: Iterator, process_id: int, num_processes: int
+) -> Iterator:
+    """Record-modulo partition of any record iterator: process p keeps
+    records p, p+n, p+2n, ...  Pair-alignment safe — the same rule applied
+    to the left and right files keeps mates on the same process — and
+    balanced to within one record per file (unlike the old per-FILE
+    round-robin, which sent the whole left file to process 0 and the whole
+    right file to process 1)."""
+    for i, rec in enumerate(records):
+        if i % num_processes == process_id:
+            yield rec
+
+
+def byte_ranges(path: str, num_parts: int) -> Optional[List[Tuple[int, int]]]:
+    """[start, end) byte ranges splitting a PLAIN FASTQ/FASTA at record
+    boundaries, or None when the file is compressed (gzip streams cannot
+    seek — callers fall back to record-modulo partitioning).
+
+    FASTQ boundary detection: a line starting with '@' whose third
+    successor line starts with '+' (a bare '@' test would false-positive
+    on quality lines).  FASTA: a line starting with '>'.
+    """
+    with open(path, "rb") as f:
+        head = f.read(2)
+        if head[:2] == b"\x1f\x8b":  # gzip magic
+            return None
+        is_fastq = head[:1] == b"@"
+        f.seek(0, 2)
+        size = f.tell()
+        cuts = [0]
+        for p in range(1, num_parts):
+            target = size * p // num_parts
+            f.seek(target)
+            f.readline()  # skip the partial line
+            cut = None
+            lines = []
+            pos = f.tell()
+            positions = [pos]
+            while len(lines) < 8:
+                line = f.readline()
+                if not line:
+                    break
+                lines.append(line)
+                positions.append(f.tell())
+            for j, line in enumerate(lines):
+                if is_fastq:
+                    if line[:1] == b"@" and j + 2 < len(lines) and lines[j + 2][:1] == b"+":
+                        cut = positions[j]
+                        break
+                elif line[:1] == b">":
+                    cut = positions[j]
+                    break
+            cuts.append(cut if cut is not None else size)
+        cuts.append(size)
+        return [(cuts[i], cuts[i + 1]) for i in range(num_parts)]
 
 
 def global_batch(mesh, local_codes: np.ndarray):
@@ -51,9 +113,169 @@ def global_batch(mesh, local_codes: np.ndarray):
     sharded row-wise over the mesh, ready for the sharded build/query
     programs.  With one process this is a plain device_put.
     """
+    import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     sharding = NamedSharding(mesh, P(mesh.axis_names[0], None))
     if jax.process_count() == 1:
         return jax.device_put(local_codes, sharding)
     return jax.make_array_from_process_local_data(sharding, local_codes)
+
+
+def _global_any(mesh, flag: bool):
+    """Do ANY processes still have input?  One tiny collective per round so
+    every process schedules the same number of mesh programs."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P(mesh.axis_names[0]))
+    local = np.full((jax.local_device_count(),), 1 if flag else 0, np.int32)
+    if jax.process_count() == 1:
+        garr = jax.device_put(local, sh)
+    else:
+        garr = jax.make_array_from_process_local_data(sh, local)
+    out = jax.jit(jnp.max, out_shardings=NamedSharding(mesh, P()))(garr)
+    return bool(np.asarray(jax.device_get(out)))
+
+
+def build_graph_multihost(
+    paths: Sequence[str],
+    cfg,
+    params,
+    mesh,
+    revcomp_flags: Optional[Sequence[bool]] = None,
+    add_read_pairs: bool = False,
+):
+    """Stage-1 graph build across all processes of the group.
+
+    Every process streams ITS record-modulo slice of every file into local
+    row blocks; blocks assemble into mesh-global batches and one sharded
+    build step runs per round.  Returns (ShardedGraphState, Stage1Stats
+    with per-process local counts).
+    """
+    import time
+
+    import jax
+
+    from ..assembly import stage1 as s1
+    from ..io import fastx
+    from ..utils import seq as sequtils
+    from . import sharded
+
+    t0 = time.time()
+    stats = s1.Stage1Stats()
+    k = params.k
+    pid, n = jax.process_index(), jax.process_count()
+    n_dev = mesh.devices.size
+    rows_local = max(params.batch_size // max(n, 1), n_dev // max(n, 1))
+    L = params.max_seq_len
+    if revcomp_flags is None:
+        revcomp_flags = [False] * len(paths)
+
+    state = sharded.make_sharded_graph(cfg, mesh, with_rpkbf=add_read_pairs)
+    step = sharded.sharded_build_step(mesh, cfg, add_read_pairs=add_read_pairs)
+
+    def local_segments():
+        for path, rc in zip(paths, revcomp_flags):
+            reader = partition_records(fastx.read_seqs(path), pid, n)
+            for _, seq, qual in reader:
+                stats.num_reads += 1
+                codes = sequtils.encode(seq)
+                quals = (
+                    np.frombuffer(qual.encode("ascii"), dtype=np.uint8)
+                    if qual is not None
+                    else None
+                )
+                for seg in sequtils.segment_read(codes, quals, params.min_qual, k):
+                    if rc:
+                        seg = sequtils.revcomp_codes(seg)
+                    stats.num_segments += 1
+                    stats.num_bases += len(seg)
+                    for chunk in sequtils.chunk_segments([seg], L, k - 1):
+                        yield chunk
+
+    gen = local_segments()
+    pending: List[np.ndarray] = []
+    done = False
+    salt = 0
+    while True:
+        while not done and len(pending) < rows_local:
+            nxt = next(gen, None)
+            if nxt is None:
+                done = True
+                break
+            pending.append(nxt)
+        have = bool(pending)
+        if not _global_any(mesh, have):
+            break
+        batch, _ = sequtils.pack_batch(pending, rows_local, L)
+        pending.clear()
+        state = step(state, global_batch(mesh, np.asarray(batch)), salt)
+        stats.num_batches += 1
+        salt += 1
+
+    jax.block_until_ready(state.cbf)
+    stats.elapsed_s = time.time() - t0
+    stats.fprs = sharded.sharded_fprs(state, cfg)
+    return state, stats
+
+
+def _worker_main(argv: Sequence[str]) -> None:
+    """Subprocess entry for the multi-host CI test:
+
+        python -m rnabloom_tpu.parallel.multihost \
+            PROCID NPROCS COORD OUT_NPZ FASTQ [FASTQ...]
+
+    Builds the sharded stage-1 graph over this process's input slice on
+    the global mesh; process 0 writes the merged filter arrays to OUT_NPZ.
+    """
+    pid, n, coord, out = int(argv[0]), int(argv[1]), argv[2], argv[3]
+    paths = list(argv[4:])
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    initialize(coord, n, pid)
+
+    from jax.sharding import Mesh
+
+    from ..assembly import stage1 as s1
+    from ..bloom.filters import BloomConfig, CountingConfig
+    from ..graph import dbg
+
+    cfg = dbg.GraphConfig(
+        k=25,
+        stranded=False,
+        dbgbf=BloomConfig(size_log2=14, num_hash=2),
+        cbf=CountingConfig(size_log2=14, num_hash=2, scratch_log2=16),
+        pkbf=BloomConfig(size_log2=14, num_hash=2),
+        read_pair_distance=20,
+    )
+    params = s1.Stage1Params(k=25, batch_size=64, max_seq_len=128)
+    mesh = Mesh(np.array(jax.devices()), ("d",))
+    state, stats = build_graph_multihost(
+        paths, cfg, params, mesh, add_read_pairs=True
+    )
+
+    # replicate the global filter arrays so every process can read them
+    # (device_get on a partially-addressable array is not allowed)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = jax.jit(lambda x: x, out_shardings=NamedSharding(mesh, P()))
+    cbf = np.asarray(jax.device_get(rep(state.cbf)))
+    rpk = np.asarray(jax.device_get(rep(state.rpkbf)))
+    if pid == 0:
+        nsh = cbf.shape[0]
+        np.savez(
+            out,
+            cbf=np.concatenate([cbf[i, :-1] for i in range(nsh)]),
+            rpkbf=np.concatenate([rpk[i, :-1] for i in range(nsh)]),
+            reads=stats.num_reads,
+        )
+
+
+if __name__ == "__main__":  # pragma: no cover - exercised via subprocess
+    import sys
+
+    _worker_main(sys.argv[1:])

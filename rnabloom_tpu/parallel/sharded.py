@@ -70,7 +70,10 @@ def make_sharded_graph(
     return ShardedGraphState(
         dbgbf=filt(cfg.dbgbf.size_log2, jnp.uint8) if cfg.exact_counts else None,
         # blocked layout appends a 128-cell trash ROW per shard
-        cbf=filt(cfg.cbf.size_log2, jnp.int32, trash=128 if cfg.cbf.blocked else 1),
+        cbf=filt(
+            cfg.cbf.size_log2, cfg.cbf.jnp_dtype,
+            trash=128 if cfg.cbf.blocked else 1,
+        ),
         rpkbf=filt(cfg.pkbf.size_log2, jnp.uint8) if with_rpkbf else None,
         fpkbf=filt(cfg.pkbf.size_log2, jnp.uint8) if with_fpkbf else None,
     )
@@ -235,6 +238,7 @@ def _sharded_counting_increment(
     ccfg: CountingConfig,
     n: int,
     axis: str,
+    salt=0,
 ):
     local_log2 = ccfg.size_log2 - int(math.log2(n))
     my = jax.lax.axis_index(axis).astype(jnp.int32)
@@ -250,7 +254,9 @@ def _sharded_counting_increment(
         resp_specs=((flat.dtype, 0),),
     )
     mine = mine.reshape(hashes.lo.shape)
-    cur_min = jnp.min(mine, axis=-1)
+    from ..bloom import filters as _flt
+
+    cur_min = _flt.decode_counts(jnp.min(mine, axis=-1), ccfg.dtype)
 
     # local within-batch multiplicity via scratch sketch
     from ..bloom import filters as _f
@@ -264,13 +270,20 @@ def _sharded_counting_increment(
     mult = jnp.min(jnp.take(scratch, sidx, axis=0), axis=-1)
     if dec_first is not None:
         mult = mult - dec_first.astype(jnp.int32)
-    new_val = cur_min + jnp.maximum(mult, 0)
+    new_val = cur_min + jnp.maximum(mult, 0).astype(cur_min.dtype)
     if valid is not None:
         new_val = jnp.where(valid, new_val, 0)
 
-    # scatter-max of the conservative update: max is commutative and
-    # idempotent, so multi-round application is exact
-    upd_flat = jnp.broadcast_to(new_val[..., None], hashes.lo.shape).reshape(-1)
+    # scatter-max of the conservative update: cell codes are monotonic in
+    # value and max is commutative/idempotent, so multi-round application
+    # is exact in any encoding; mf8 rounds stochastically per (key, batch)
+    u01 = None
+    if ccfg.dtype == "mf8":
+        from ..ops import minifloat as _mf
+
+        u01 = _mf.mix_u01(hashes.lo[..., 0], salt)
+    new_cells = _flt.encode_counts(new_val, ccfg.dtype, u01)
+    upd_flat = jnp.broadcast_to(new_cells[..., None], hashes.lo.shape).reshape(-1)
 
     def max_fn(fl, req, preq):
         return fl.at[req.reshape(-1)].max(preq[0].reshape(-1), mode="drop"), ()
@@ -286,6 +299,7 @@ def _sharded_counting_add_cm(
     ccfg: CountingConfig,
     n: int,
     axis: str,
+    salt=0,
 ):
     """Count-min increment: route indices once, scatter-add locally."""
     local_log2 = ccfg.size_log2 - int(math.log2(n))
@@ -298,6 +312,20 @@ def _sharded_counting_add_cm(
     def add_fn(fl, req, _):
         return fl.at[req.reshape(-1)].add(np.int32(1), mode="drop"), ()
 
+    if ccfg.dtype != "int32":
+        # narrow cells: accumulate an int32 shard-local histogram across the
+        # routing rounds, then apply it in the cell encoding
+        from ..bloom import filters as _f
+
+        hist0 = jnp.zeros(counts[0].shape, jnp.int32)
+        hist, _ = _routed_rounds(hist0, lidx, t, (), n, axis, trash, add_fn)
+        # rounding-PRNG key = GLOBAL cell index (my * local + i), matching
+        # the single-device key stream so sharded == single stays
+        # byte-identical for mf8 cells
+        base = my.astype(jnp.uint32) * np.uint32(1 << local_log2)
+        return _f.apply_cell_increments(
+            counts[0], hist, ccfg.dtype, salt=salt, base_index=base
+        )[None]
     flat, _ = _routed_rounds(counts[0], lidx, t, (), n, axis, trash, add_fn)
     return flat[None]
 
@@ -320,6 +348,7 @@ def _sharded_counting_add_blocked(
     from ..bloom import filters as _f
 
     assert ccfg.num_hash == 2, "packed routing supports num_hash == 2"
+    assert ccfg.dtype == "int32", "blocked layout is int32-only"
     rows_log2 = ccfg.size_log2 - 7
     local_rows_log2 = rows_log2 - int(math.log2(n))
     # trash_row << 14 must stay inside uint32
@@ -403,7 +432,9 @@ def _sharded_counting_count(
         lidx, t = _global_indices(h, ccfg.size_log2, None, my, local_log2, n)
         sentinel = 1 << local_log2
     mine = _routed_gather(counts_flat, lidx, t, n, axis, sentinel)
-    return jnp.min(mine.reshape(h.lo.shape), axis=-1)
+    from ..bloom import filters as _flt
+
+    return _flt.decode_counts(jnp.min(mine.reshape(h.lo.shape), axis=-1), ccfg.dtype)
 
 
 def _sharded_bloom_query(
@@ -487,7 +518,9 @@ def sharded_build_step(mesh: Mesh, cfg: GraphConfig, add_read_pairs: bool = Fals
         fpkbf=None,
     )
 
-    def step_local(state: ShardedGraphState, codes: jax.Array) -> ShardedGraphState:
+    def step_local(
+        state: ShardedGraphState, codes: jax.Array, salt: jax.Array
+    ) -> ShardedGraphState:
         fh, rh, base, valid = dbg.seq_hashes(cfg, codes)
         h_cbf = nthash.multi_hash(base, cfg.k, cfg.cbf.num_hash)
         if cfg.exact_counts:
@@ -497,7 +530,7 @@ def sharded_build_step(mesh: Mesh, cfg: GraphConfig, add_read_pairs: bool = Fals
             )
             dec_first = jnp.logical_and(valid, jnp.logical_not(present))
             new_cbf = _sharded_counting_increment(
-                state.cbf, h_cbf, valid, dec_first, cfg.cbf, n, axis
+                state.cbf, h_cbf, valid, dec_first, cfg.cbf, n, axis, salt
             )
         else:
             # count-min fast path: one all-to-all of indices, local scatter-add
@@ -508,7 +541,7 @@ def sharded_build_step(mesh: Mesh, cfg: GraphConfig, add_read_pairs: bool = Fals
                 )
             else:
                 new_cbf = _sharded_counting_add_cm(
-                    state.cbf, h_cbf, valid, cfg.cbf, n, axis
+                    state.cbf, h_cbf, valid, cfg.cbf, n, axis, salt
                 )
         new_rpk = state.rpkbf
         if add_read_pairs and state.rpkbf is not None and cfg.read_pair_distance > 0:
@@ -524,11 +557,16 @@ def sharded_build_step(mesh: Mesh, cfg: GraphConfig, add_read_pairs: bool = Fals
     smapped = shard_map(
         step_local,
         mesh=mesh,
-        in_specs=(state_specs, P(axis, None)),
+        in_specs=(state_specs, P(axis, None), P()),
         out_specs=state_specs,
         check_vma=False,
     )
-    return jax.jit(smapped, donate_argnums=(0,))
+    jitted = jax.jit(smapped, donate_argnums=(0,))
+
+    def step(state, codes, salt=0):
+        return jitted(state, codes, jnp.uint32(salt))
+
+    return step
 
 
 def sharded_count_query(mesh: Mesh, cfg: GraphConfig):
@@ -555,7 +593,11 @@ def sharded_count_query(mesh: Mesh, cfg: GraphConfig):
             lidx, t = _global_indices(h_cbf, cfg.cbf.size_log2, valid, my, local_log2, n)
             sentinel = 1 << local_log2
         mine = _routed_gather(state.cbf[0], lidx, t, n, axis, sentinel)
-        est = jnp.min(mine.reshape(h_cbf.lo.shape), axis=-1)
+        from ..bloom import filters as _flt
+
+        est = _flt.decode_counts(
+            jnp.min(mine.reshape(h_cbf.lo.shape), axis=-1), cfg.cbf.dtype
+        )
         if cfg.exact_counts:
             h_dbg = nthash.multi_hash(base, cfg.k, cfg.dbgbf.num_hash)
             _, member = _sharded_bloom_insert_lookup(
@@ -594,7 +636,9 @@ def sharded_rebuild_step(mesh: Mesh, cfg: GraphConfig, add_frag_pairs: bool = Tr
     axis = mesh.axis_names[0]
     specs = _state_specs(cfg, axis, rpkbf=True, fpkbf=True)
 
-    def step_local(state: ShardedGraphState, codes: jax.Array) -> ShardedGraphState:
+    def step_local(
+        state: ShardedGraphState, codes: jax.Array, salt: jax.Array
+    ) -> ShardedGraphState:
         fh, rh, base, valid = dbg.seq_hashes(cfg, codes)
         h_cbf = nthash.multi_hash(base, cfg.k, cfg.cbf.num_hash)
         if cfg.exact_counts:
@@ -604,14 +648,14 @@ def sharded_rebuild_step(mesh: Mesh, cfg: GraphConfig, add_frag_pairs: bool = Tr
             )
             dec_first = jnp.logical_and(valid, jnp.logical_not(present))
             new_cbf = _sharded_counting_increment(
-                state.cbf, h_cbf, valid, dec_first, cfg.cbf, n, axis
+                state.cbf, h_cbf, valid, dec_first, cfg.cbf, n, axis, salt
             )
         else:
             new_dbg = None
             if cfg.cbf.blocked:
                 new_cbf = _sharded_counting_add_blocked(state.cbf, h_cbf, valid, cfg.cbf, n, axis)
             else:
-                new_cbf = _sharded_counting_add_cm(state.cbf, h_cbf, valid, cfg.cbf, n, axis)
+                new_cbf = _sharded_counting_add_cm(state.cbf, h_cbf, valid, cfg.cbf, n, axis, salt)
         new_fpk = state.fpkbf
         if add_frag_pairs and state.fpkbf is not None and cfg.fragment_pair_distance > 0:
             d = cfg.fragment_pair_distance
@@ -625,10 +669,15 @@ def sharded_rebuild_step(mesh: Mesh, cfg: GraphConfig, add_frag_pairs: bool = Tr
         return ShardedGraphState(new_dbg, new_cbf, state.rpkbf, new_fpk)
 
     smapped = shard_map(
-        step_local, mesh=mesh, in_specs=(specs, P(axis, None)),
+        step_local, mesh=mesh, in_specs=(specs, P(axis, None), P()),
         out_specs=specs, check_vma=False,
     )
-    return jax.jit(smapped, donate_argnums=(0,))
+    jitted = jax.jit(smapped, donate_argnums=(0,))
+
+    def step(state, codes, salt=0):
+        return jitted(state, codes, jnp.uint32(salt))
+
+    return step
 
 
 def sharded_pair_support(mesh: Mesh, cfg: GraphConfig, d_frag: int, d_read: int,

@@ -87,7 +87,9 @@ def save_graph(
             continue
         path = f"{prefix}.{name}.npy"
         host = np.asarray(arr)
-        if name == "cbf" and compact_counters:
+        if name == "cbf" and compact_counters and cfg.cbf.dtype == "int32":
+            # narrow runtime counters (mf8/u16) are stored raw; int32
+            # counters compact to the reference's MiniFloat byte format
             host = np.asarray(minifloat.encode(jnp.asarray(host)))
             desc["codecs"][name] = "minifloat"
         np.save(path, host)

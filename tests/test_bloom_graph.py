@@ -273,3 +273,83 @@ def test_blocked_counting_matches_flat_counts():
     row, lanes = filters.blocked_cells(cfgb, h)
     lanes = np.asarray(lanes)
     assert (lanes[:, 0] != lanes[:, 1]).all()
+
+
+class TestNarrowCounters:
+    """mf8 (1 B MiniFloat) and u16 (2 B saturating) counter cells — the
+    reference's memory model (util/MiniFloat.java:27-45, 1 byte/cell with
+    half the -mem budget in cells, RNABloom.java:6822-6830)."""
+
+    def _insert(self, dtype, merge=False, values=(1, 3, 9, 40, 1000)):
+        from rnabloom_tpu.bloom import filters
+        from rnabloom_tpu.bloom.filters import CountingConfig
+        from rnabloom_tpu.ops.u64 import U64
+
+        cfg = CountingConfig(size_log2=20, num_hash=2, dtype=dtype, merge=merge)
+        counts = filters.make_counting(cfg)
+        rng = np.random.default_rng(5)
+        keys = rng.integers(0, 1 << 62, size=len(values), dtype=np.uint64)
+        # one batch containing each key with its multiplicity
+        stream = np.repeat(keys, np.asarray(values))
+        rng.shuffle(stream)
+        h2 = np.stack([stream, stream ^ 0x9E3779B97F4A7C15], axis=-1)
+        h = U64(
+            jnp.asarray((h2 & 0xFFFFFFFF).astype(np.uint32)),
+            jnp.asarray((h2 >> 32).astype(np.uint32)),
+        )
+        counts = filters.counting_increment_cm(counts, cfg, h)
+        hq2 = np.stack([keys, keys ^ 0x9E3779B97F4A7C15], axis=-1)
+        hq = U64(
+            jnp.asarray((hq2 & 0xFFFFFFFF).astype(np.uint32)),
+            jnp.asarray((hq2 >> 32).astype(np.uint32)),
+        )
+        got = np.asarray(filters.counting_count(counts, cfg, hq))
+        return np.asarray(values), got, counts
+
+    def test_mf8_quantized_counts(self):
+        want, got, counts = self._insert("mf8")
+        assert counts.dtype == np.uint8
+        # exact through 15, within MiniFloat quantization (~12%) above
+        for w, g in zip(want, got):
+            if w <= 15:
+                assert g == w, (w, g)
+            else:
+                assert abs(g - w) / w < 0.13, (w, g)
+
+    def test_u16_exact_saturating(self):
+        want, got, counts = self._insert("u16", values=(1, 3, 9, 40, 1000, 70000))
+        assert counts.dtype == np.uint16
+        for w, g in zip(want, got):
+            assert g == min(w, 65535), (w, g)
+
+    def test_mf8_merge_matches_scatter(self):
+        """mf8 merge vs scatter agree to within ONE quantization step: the
+        merge path splits heavy cells into uniform-row and mixed-row
+        updates (two stochastic encodes), so codes may differ by 1."""
+        want, got_m, cm = self._insert("mf8", merge=True, values=(2, 7, 30, 500) * 64)
+        _, got_s, cs = self._insert("mf8", merge=False, values=(2, 7, 30, 500) * 64)
+        for w, m, s in zip(want, got_m, got_s):
+            tol = 1 if w <= 15 else 0.14 * w
+            assert abs(m - w) <= tol and abs(s - w) <= tol, (w, m, s)
+
+    def test_mf8_conservative_increment(self):
+        from rnabloom_tpu.bloom import filters
+        from rnabloom_tpu.bloom.filters import CountingConfig
+        from rnabloom_tpu.ops.u64 import U64
+
+        cfg = CountingConfig(size_log2=16, num_hash=2, dtype="mf8")
+        counts = filters.make_counting(cfg)
+        key = np.uint64(123456789)
+        h2 = np.stack([key[None], key[None] ^ 0x9E3779B97F4A7C15], axis=-1)
+        h = U64(
+            jnp.asarray((h2 & 0xFFFFFFFF).astype(np.uint32)),
+            jnp.asarray((h2 >> 32).astype(np.uint32)),
+        )
+        # 20 conservative increments of 1, one per "batch" (the salt is the
+        # batch counter — it drives the stochastic rounding across batches)
+        for i in range(20):
+            counts = filters.counting_increment(counts, cfg, h, salt=i)
+        got = float(np.asarray(filters.counting_count(counts, cfg, h))[0])
+        # stochastic rounding: unbiased but noisy for +1 steps above the
+        # quantization knee; accept a generous band around 20
+        assert 15 <= got <= 27, got

@@ -290,3 +290,34 @@ def test_long_e2e_exact_sequences(tmp_path):
     assert exact >= max(1, int(0.8 * len(assembled))), (
         f"only {exact}/{len(assembled)} emitted transcripts are exact"
     )
+
+
+@pytest.mark.slow
+def test_minimizer_extraction_bounded_memory():
+    """100k-read ONT-scale minimizer extraction stays within a bounded RSS.
+
+    The old path padded ALL reads into one dense (n_reads, max_len) matrix
+    before hashing — one 8 kb read among 100k short ones allocated
+    gigabytes of padding (and 8x that in uint64 hash planes).  The chunked
+    extractor (olc/overlap.extract_minimizers_reads) keeps host memory
+    proportional to the chunk, not the read count x max length.
+    """
+    import resource
+
+    from rnabloom_tpu.olc import overlap as ovl
+
+    rng = np.random.default_rng(123)
+    reads = [
+        rng.integers(0, 4, size=int(n), dtype=np.uint8)
+        for n in rng.integers(250, 450, size=100_000)
+    ]
+    reads.append(rng.integers(0, 4, size=8192, dtype=np.uint8))  # one long read
+
+    mins = ovl.extract_minimizers_reads(reads, 25, 10)
+    assert mins.key.size > 1_000_000  # ~2/(w+1) per base over ~35 Mbp
+    assert mins.read.max() == len(reads) - 1
+
+    rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    # dense padding would exceed 100001 * 8192 * (1 + 8 + 8) B ~= 14 GB;
+    # chunked extraction keeps the whole process under a few GB
+    assert rss_gb < 4.0, f"RSS {rss_gb:.2f} GB — minimizer path not bounded"

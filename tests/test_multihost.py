@@ -1,0 +1,139 @@
+"""Multi-host execution: TWO real jax.distributed CPU processes build the
+sharded stage-1 graph and must produce filters bit-identical to a
+single-process build over the same input.
+
+This is the multi-controller path that scales to TPU pods (one process per
+host, collectives over ICI/DCN); on CPU the collectives ride gloo.  The
+subprocesses run rnabloom_tpu.parallel.multihost's __main__ worker.
+"""
+
+import gzip
+import os
+import socket
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rnabloom_tpu.bloom.filters import BloomConfig, CountingConfig
+from rnabloom_tpu.graph import dbg
+from rnabloom_tpu.parallel import multihost
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _make_fastq(path: str, n_reads: int, seed: int) -> list:
+    rng = np.random.default_rng(seed)
+    reads = ["".join(rng.choice(list("ACGT"), size=100)) for _ in range(n_reads)]
+    with gzip.open(path, "wt") as f:
+        for i, r in enumerate(reads):
+            f.write(f"@r{i}\n{r}\n+\n{'I' * len(r)}\n")
+    return reads
+
+
+def test_partition_records_balances_and_pairs():
+    recs = list(range(10))
+    p0 = list(multihost.partition_records(iter(recs), 0, 2))
+    p1 = list(multihost.partition_records(iter(recs), 1, 2))
+    assert p0 == [0, 2, 4, 6, 8] and p1 == [1, 3, 5, 7, 9]
+    # pair alignment: the same rule on left and right files keeps mate i
+    # of both files on the same process
+    assert sorted(p0 + p1) == recs
+
+
+def test_byte_ranges_plain_fastq(tmp_path):
+    path = str(tmp_path / "r.fq")
+    rng = np.random.default_rng(0)
+    with open(path, "w") as f:
+        for i in range(101):
+            r = "".join(rng.choice(list("ACGT"), size=80))
+            f.write(f"@read{i}\n{r}\n+\n{'@' * len(r)}\n")  # '@' quals: hard case
+    ranges = multihost.byte_ranges(path, 3)
+    assert ranges is not None and len(ranges) == 3
+    size = os.path.getsize(path)
+    assert ranges[0][0] == 0 and ranges[-1][1] == size
+    # contiguous, and each cut lands exactly on a record header
+    total = 0
+    with open(path, "rb") as f:
+        for s, e in ranges:
+            assert e >= s
+            if s not in (0, size):
+                f.seek(s)
+                line = f.readline()
+                assert line.startswith(b"@read"), line
+            total += e - s
+    assert total == size
+
+
+def test_byte_ranges_gzip_returns_none(tmp_path):
+    path = str(tmp_path / "r.fq.gz")
+    _make_fastq(path, 5, 1)
+    assert multihost.byte_ranges(path, 2) is None
+
+
+@pytest.mark.slow
+def test_two_process_build_matches_single(tmp_path):
+    """2 jax.distributed CPU processes == 1 process, bit-for-bit filters."""
+    left = str(tmp_path / "mh.fq.gz")
+    reads = _make_fastq(left, 60, seed=7)
+    out = str(tmp_path / "merged.npz")
+    port = _free_port()
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env.pop("PYTHONWARNINGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "rnabloom_tpu.parallel.multihost",
+             str(pid), "2", f"127.0.0.1:{port}", out, left],
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(2)
+    ]
+    logs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-3000:]}"
+    got = np.load(out)
+
+    # single-process reference build (same cfg as the worker, exact int32
+    # count-min adds are batching-order independent)
+    cfg = dbg.GraphConfig(
+        k=25,
+        stranded=False,
+        dbgbf=BloomConfig(size_log2=14, num_hash=2),
+        cbf=CountingConfig(size_log2=14, num_hash=2, scratch_log2=16),
+        pkbf=BloomConfig(size_log2=14, num_hash=2),
+        read_pair_distance=20,
+    )
+    state = dbg.make_graph(cfg, with_rpkbf=True)
+    arr = np.full((64, 128), 4, np.uint8)
+    n = 0
+    from rnabloom_tpu.utils import seq as sequtils
+
+    for r in reads:
+        codes = sequtils.encode(r)
+        arr[n, : len(codes)] = codes
+        n += 1
+        if n == 64:
+            state = dbg.build_step(state, cfg, jnp.asarray(arr), add_read_pairs=True)
+            arr = np.full((64, 128), 4, np.uint8)
+            n = 0
+    if n:
+        state = dbg.build_step(state, cfg, jnp.asarray(arr), add_read_pairs=True)
+
+    # the worker records ITS process-local read count: exactly half the
+    # input (record-modulo balance), not the old whole-file-per-process skew
+    assert int(got["reads"]) == len(reads) // 2
+    np.testing.assert_array_equal(got["cbf"], np.asarray(state.cbf[:-1]))
+    np.testing.assert_array_equal(got["rpkbf"], np.asarray(state.rpkbf[:-1]))

@@ -32,8 +32,8 @@ def encode_batch(seqs, L):
 
 @pytest.fixture(
     scope="module",
-    params=["exact", "cm", "cm_blocked"],
-    ids=["exact", "cm", "cm_blocked"],
+    params=["exact", "cm", "cm_blocked", "cm_mf8"],
+    ids=["exact", "cm", "cm_blocked", "cm_mf8"],
 )
 def cfg(request):
     return dbg.GraphConfig(
@@ -43,6 +43,7 @@ def cfg(request):
         cbf=CountingConfig(
             size_log2=16, num_hash=2, scratch_log2=20,
             blocked=request.param == "cm_blocked",
+            dtype="mf8" if request.param == "cm_mf8" else "int32",
         ),
         pkbf=BloomConfig(size_log2=16, num_hash=2),
         read_pair_distance=20,

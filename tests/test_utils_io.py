@@ -209,7 +209,9 @@ def test_per_filter_overrides():
         dbgbf_mem_bytes=1 << 20, cbf_mem_bytes=1 << 22, pkbf_mem_bytes=1 << 21,
     )
     assert cfg.dbgbf.num_hash == 3 and cfg.dbgbf.size_log2 == 20
-    assert cfg.cbf.num_hash == 4 and cfg.cbf.size_log2 == 20  # bytes/4 cells
+    # -cm bytes buy cells at the counter's cell width (mf8 default: 1 B/cell,
+    # the reference's memory model)
+    assert cfg.cbf.num_hash == 4 and cfg.cbf.size_log2 == 22
     assert cfg.pkbf.num_hash == 5 and cfg.pkbf.size_log2 == 21
 
 
