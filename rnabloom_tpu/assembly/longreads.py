@@ -202,7 +202,7 @@ def correct_long_reads(
         for i, seglist in enumerate(segs):
             multi = len(seglist) > 1
             for seg in seglist:
-                seg = artifacts.trim_rc_artifact(seg)
+                seg = artifacts.trim_rc_artifact(seg, k=cfg.k)
                 if len(seg) < cfg.k:
                     continue
                 fl = polya_flags[s + i] and not multi

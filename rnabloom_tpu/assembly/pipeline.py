@@ -189,6 +189,100 @@ def _segments_of(
     return segs
 
 
+def _best_segments(
+    codes: np.ndarray, lens: np.ndarray, k: int, rc: bool
+) -> Tuple[np.ndarray, np.ndarray, dict]:
+    """Per-row longest quality segment from MASKED rows (bad bases = 4).
+
+    Vectorized over the batch: segments are the runs of codes < 4; the
+    longest (>= k) lands left-aligned in the output buffer, and rows with
+    several segments report them all for connect(segments) re-joining.
+    With ``rc`` the whole row is reverse-complemented first — segments
+    flip into fragment orientation and reverse order in one shot."""
+    from .correct import _batch_runs
+    from .fragments import revcomp_rows
+
+    B, L = codes.shape
+    if rc:
+        codes = revcomp_rows(codes, np.asarray(lens, np.int64))
+    inlen = np.arange(L)[None, :] < np.asarray(lens)[:, None]
+    good = (codes < 4) & inlen
+    out = np.full((B, L), 4, np.uint8)
+    outlen = np.zeros(B, np.int32)
+    multi: dict = {}
+    if not good.any():
+        return out, outlen, multi
+    rs, ss, es = _batch_runs(good)
+    rl = es - ss
+    keep = rl >= k
+    rs, ss, es, rl = rs[keep], ss[keep], es[keep], rl[keep]
+    if len(rs) == 0:
+        return out, outlen, multi
+    best_len = np.zeros(B, np.int64)
+    np.maximum.at(best_len, rs, rl)
+    cand = np.flatnonzero(rl == best_len[rs])
+    first = np.ones(len(cand), bool)
+    first[1:] = rs[cand][1:] != rs[cand][:-1]  # runs are emitted row-major
+    sel = cand[first]
+    rows, s0, ln = rs[sel], ss[sel], rl[sel]
+    idx = np.minimum(s0[:, None] + np.arange(L)[None, :], L - 1)
+    gathered = np.take_along_axis(codes[rows], idx, axis=1)
+    m = np.arange(L)[None, :] < ln[:, None]
+    out[rows] = np.where(m, gathered, np.uint8(4))
+    outlen[rows] = ln
+    cnt = np.bincount(rs, minlength=B)
+    for b in np.flatnonzero(cnt > 1):
+        sel_b = rs == b
+        multi[int(b)] = [
+            codes[b, a:z] for a, z in zip(ss[sel_b], es[sel_b])
+        ]
+    return out, outlen, multi
+
+
+def _iter_pair_batches_native(
+    left_path: str,
+    right_path: str,
+    params: PipelineParams,
+    k: int,
+    revcomp_left: bool,
+    revcomp_right: bool,
+    L: int,
+):
+    """Native-reader stage-2 feeder: the C++ parser masks low-quality
+    bases to 4 and the segment selection is vectorized — no per-read
+    Python on the critical path (the stage the JVM throws its threads at,
+    RNABloom.java:4465-4663)."""
+    from ..io import native
+
+    B = params.batch_size
+    gl = native.read_masked_batches(left_path, B, L, params.min_qual)
+    gr = native.read_masked_batches(right_path, B, L, params.min_qual)
+    for (lb0, ll0, lq), (rb0, rl0, rq) in zip(gl, gr):
+        n = min(lb0.shape[0], rb0.shape[0])
+        lb0, ll0, rb0, rl0 = lb0[:n], ll0[:n].copy(), rb0[:n], rl0[:n].copy()
+        if params.min_avg_qual > 0:
+            bad = (lq[:n] < params.min_avg_qual) | (rq[:n] < params.min_avg_qual)
+            ll0[bad] = 0
+            rl0[bad] = 0
+        lbuf, llen, lmulti = _best_segments(lb0, ll0, k, revcomp_left)
+        rbuf, rlen, rmulti = _best_segments(rb0, rl0, k, revcomp_right)
+        # a pair needs a usable segment on BOTH sides
+        none = (llen == 0) | (rlen == 0)
+        llen[none] = 0
+        rlen[none] = 0
+        multi = {("l", b): segs for b, segs in lmulti.items() if not none[b]}
+        multi.update(
+            (("r", b), segs) for b, segs in rmulti.items() if not none[b]
+        )
+        if n < B:  # keep the (B, L) shape: new shapes recompile kernels
+            pad = B - n
+            lbuf = np.concatenate([lbuf, np.full((pad, L), 4, np.uint8)])
+            rbuf = np.concatenate([rbuf, np.full((pad, L), 4, np.uint8)])
+            llen = np.concatenate([llen, np.zeros(pad, np.int32)])
+            rlen = np.concatenate([rlen, np.zeros(pad, np.int32)])
+        yield lbuf, llen, rbuf, rlen, multi
+
+
 def _iter_pair_batches(
     left_path: str,
     right_path: str,
@@ -208,6 +302,13 @@ def _iter_pair_batches(
     longest segment goes in the buffer while ``multi`` records
     (side, row) -> all segments for connect(segments) re-joining.
     """
+    from ..io import native
+
+    if native.available():
+        yield from _iter_pair_batches_native(
+            left_path, right_path, params, k, revcomp_left, revcomp_right, L
+        )
+        return
     B = params.batch_size
     lbuf = np.full((B, L), 4, np.uint8)
     rbuf = np.full((B, L), 4, np.uint8)
@@ -323,6 +424,8 @@ def _ingest_se_fragments(
                 )
                 frag_lengths.append(int(flens[i]))
 
+        from . import artifacts
+
         for _, rs, rq in fastx.read_seqs(path):
             if params.min_avg_qual > 0 and not _avg_qual_ok(rq, params.min_avg_qual):
                 continue
@@ -330,6 +433,11 @@ def _ingest_se_fragments(
             if rc:
                 codes_r = sequtils.revcomp_codes(codes_r)
             if len(codes_r) < k:
+                continue
+            # low-complexity unpaired reads are skipped (the reference's
+            # SingleEndReadExtractor isLowComplexityShort gate,
+            # RNABloom.java:1983)
+            if artifacts.is_low_complexity_short(codes_r):
                 continue
             buf[n, : len(codes_r)] = codes_r
             buf[n, len(codes_r) :] = 4
@@ -1160,6 +1268,7 @@ def assemble_pe(
     store = _new_fragment_store(outdir, params)
     frag_lengths: List[int] = []
     learned = False
+    d_frag = -1
     for lb, ll, rb, rl, multi in _iter_pair_batches(
         left_path, right_path, params, k, revcomp_left, revcomp_right, read_L
     ):
@@ -1171,9 +1280,15 @@ def assemble_pe(
                 _store_fragment(store, f, params)
                 frag_lengths.append(f.length)
         if not learned and len(frag_lengths) >= params.sample_size:
+            # the reference learns BOTH the fragment pair distance (sample
+            # Q1 - k - minNumKmerPairs) and the walk bound from the first
+            # sampleSize fragments' quartiles, then continues with the new
+            # bound — sampled fragments are kept as assembled
+            # (RNABloom.java:4534-4568)
             learned = True
             q1, _, q3 = sequtils.quartiles(np.asarray(frag_lengths))
             fparams.bound = int(q3 + (q3 - q1) * 3 // 2)
+            d_frag = max(1, int(q1) - k - params.min_num_kmer_pairs)
 
     report.num_fragments = store.count
     if store.count == 0:
@@ -1181,8 +1296,9 @@ def assemble_pe(
         report.elapsed_s = time.time() - t0
         return report
 
-    q1, _, q3 = sequtils.quartiles(np.asarray(frag_lengths))
-    d_frag = max(1, int(q1) - k - params.min_num_kmer_pairs)
+    if d_frag < 0:  # input smaller than the sample: use all lengths
+        q1, _, q3 = sequtils.quartiles(np.asarray(frag_lengths))
+        d_frag = max(1, int(q1) - k - params.min_num_kmer_pairs)
     report.fragment_pair_distance = d_frag
     cfg = dbg.GraphConfig(
         k=cfg.k, stranded=cfg.stranded, dbgbf=cfg.dbgbf, cbf=cfg.cbf,

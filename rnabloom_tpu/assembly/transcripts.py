@@ -761,7 +761,7 @@ def assemble_transcripts_batch(
             continue
         seq = ext[i, s:e]
         if not params.keep_artifacts:
-            seq = artifacts.trim_rc_artifact(seq)
+            seq = artifacts.trim_rc_artifact(seq, k=cfg.k)
         if len(seq) < cfg.k:
             continue
         final[i, : len(seq)] = seq

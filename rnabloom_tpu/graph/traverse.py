@@ -31,7 +31,9 @@ Deviations from the reference (documented for the parity checker):
     route.
   * cycle detection compares against a ring of the last ``cycle_window``
     k-mer hashes instead of the full visited set.
-  * back-branch checks (left variants with depth) are not yet applied.
+  * back-branch stops (naiveExtendRight, GraphUtils.java:6846-6851) are
+    depth-qualified like the reference's variant.hasDepth — but the probe
+    depth is ``tip_probe_depth`` (< k), not the full maxTipLength.
 """
 
 from __future__ import annotations
@@ -69,12 +71,11 @@ class WalkConfig:
     tip_probe_depth: int = 8  # must stay < k (probe out-chars read the buffer)
     cycle_window: int = 64
     left: bool = False  # walk is the reverse complement of the sequence
-    # stop when the current k-mer has an existing left SNV variant — an
-    # incoming branch merges here (naiveExtendRight's back-branch check,
-    # GraphUtils.java:6846-6851; the reference additionally requires the
-    # variant to have depth > maxTipLength — here any variant passing
-    # min_cov counts, the same stricter approximation as the -stratum
-    # branch-free gate)
+    # stop when the current k-mer has a DEEP left SNV variant — an incoming
+    # branch merges here (naiveExtendRight's back-branch check,
+    # GraphUtils.java:6846-6851).  Depth-qualified as in the reference
+    # (variant depth > maxTipLength), with the probe bounded by
+    # tip_probe_depth; shallow variants (tips) do not stop the walk.
     check_back_branches: bool = False
     use_terminators: bool = False
     term_cfg: Optional["filters.BloomConfig"] = None  # screening BF shape
@@ -359,15 +360,25 @@ def walk_superstep(
 
         back = jnp.zeros_like(cyc)
         if wcfg.check_back_branches:
+            # naiveExtendRight's back-branch stop: an incoming branch merges
+            # at this k-mer.  The reference additionally requires the
+            # variant to have depth > maxTipLength (GraphUtils.java:
+            # 6846-6851) — probe each viable left variant with a greedy
+            # descent of tip_probe_depth steps (capped < k, the bounded
+            # stand-in for the unbounded depth qualification); shallow
+            # variants are mere tips and do not stop the walk.
             flv, rlv = nthash.variant_hashes_left(st.fh, out_codes, cfg.k, st.rh)
             qv = _query_hash(cfg, wcfg, flv, rlv)
             cv = backend.counts(graph, cfg, qv)  # (W, 4)
             is_self = (
                 jnp.arange(4, dtype=jnp.uint8)[None, :] == out_codes[:, None]
             )
-            back = jnp.any(
-                (cv >= jnp.maximum(min_cov, 1.0)[:, None]) & ~is_self, axis=1
+            viable_v = (cv >= jnp.maximum(min_cov, 1.0)[:, None]) & ~is_self
+            depth_v = _variant_depth_probe(
+                graph, cfg, wcfg, st.buf, st.pos, flv, rlv, viable_v,
+                min_cov, backend=backend,
             )
+            back = jnp.any(depth_v >= wcfg.tip_probe_depth, axis=1)
 
         advance = active & (nviable == 1) & ~cyc & ~term & ~full & ~back
         new_status = jnp.where(
@@ -475,6 +486,63 @@ def _expand_scores(
 
     _, _, pmin = jax.lax.fori_loop(0, wcfg.lookahead - 3, body, (fh_c, rh_c, pmin))
     return jnp.max(pmin.reshape(W, 4, 16), axis=-1)
+
+
+def _variant_depth_probe(
+    graph: GraphState,
+    cfg: GraphConfig,
+    wcfg: WalkConfig,
+    buf: jax.Array,
+    pos: jax.Array,
+    flv: U64,
+    rlv: U64,
+    viable0: jax.Array,  # (W, 4)
+    min_cov: jax.Array,
+    backend: DeviceBackend = DEVICE_BACKEND,
+) -> jax.Array:
+    """Greedy forward depth of each LEFT VARIANT of the current k-mer.
+
+    The variant shares the current k-mer's window; its first probe step
+    departs the VARIANT base, later steps depart the walk buffer (the
+    variant path rejoins the walk's suffix).  Returns (W, 4) int32 depths
+    (the variant itself counts as depth 1 when viable)."""
+    W = pos.shape[0]
+    depth = viable0.astype(jnp.int32)
+    fh_c = u64.reshape(flv, (W * 4,))
+    rh_c = u64.reshape(rlv, (W * 4,))
+    alive = viable0.reshape(W * 4)
+    var_base = jnp.broadcast_to(
+        jnp.arange(4, dtype=jnp.uint8)[None, :], (W, 4)
+    ).reshape(W * 4)
+    mc = jnp.broadcast_to(jnp.maximum(min_cov, 1.0)[:, None], (W, 4)).reshape(W * 4)
+    rows = jnp.arange(W * 4)
+
+    def body(i, carry):
+        fh_c, rh_c, alive, depth = carry
+        off = jnp.minimum(jnp.maximum(pos - cfg.k + i, 0), wcfg.max_len - 1)
+        buf_out = jnp.take_along_axis(buf, off[:, None], axis=1)[:, 0]
+        buf_out = jnp.broadcast_to(buf_out[:, None], (W, 4)).reshape(W * 4)
+        outc = jnp.where(i == 0, var_base, buf_out)
+        f4, r4 = nthash.successor_hashes(fh_c, outc, cfg.k, rh=rh_c)
+        qq = _query_hash(cfg, wcfg, f4, r4)
+        cc = backend.counts(graph, cfg, qq)
+        ok = cc >= mc[:, None]
+        best = jnp.argmax(jnp.where(ok, cc, -1.0), axis=1).astype(jnp.int32)
+        alive_n = alive & jnp.any(ok, axis=1)
+        fh_n = u64.U64(f4.lo[rows, best], f4.hi[rows, best])
+        rh_n = u64.U64(r4.lo[rows, best], r4.hi[rows, best])
+        depth_n = depth + alive_n.reshape(W, 4).astype(jnp.int32)
+        return (
+            u64.select(alive_n, fh_n, fh_c),
+            u64.select(alive_n, rh_n, rh_c),
+            alive_n,
+            depth_n,
+        )
+
+    _, _, _, depth = jax.lax.fori_loop(
+        0, wcfg.tip_probe_depth - 1, body, (fh_c, rh_c, alive, depth)
+    )
+    return depth
 
 
 def _tip_probe(

@@ -46,6 +46,13 @@ def _load() -> Optional[ctypes.CDLL]:
                 np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
                 ctypes.POINTER(ctypes.c_long),
             ]
+            dll.fx_next_masked_batch.restype = ctypes.c_long
+            dll.fx_next_masked_batch.argtypes = [
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+                np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+            ]
             _lib = dll
         except Exception:
             _build_failed = True
@@ -88,5 +95,35 @@ def read_code_batches(
             if n == 0:
                 return
             yield codes[:n], lens[:n], int(parsed.value)
+    finally:
+        lib.fx_close(h)
+
+
+def read_masked_batches(
+    path: str,
+    batch_size: int,
+    max_len: int,
+    min_qual: int,
+) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Yield (codes (B, L) uint8, lengths (B,), avg_qual (B,) float32) —
+    ONE row per read, low-quality/ambiguous bases masked to 4 (quality
+    segments are the runs of codes < 4).  The paired stage-2 feeder."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native fastxio unavailable")
+    h = lib.fx_open(path.encode())
+    if not h:
+        raise FileNotFoundError(path)
+    try:
+        while True:
+            codes = np.empty((batch_size, max_len), np.uint8)
+            lens = np.empty(batch_size, np.int32)
+            avgq = np.empty(batch_size, np.float32)
+            n = lib.fx_next_masked_batch(h, batch_size, max_len, min_qual, codes, lens, avgq)
+            if n < 0:
+                raise IOError(f"native parse error in {path}")
+            if n == 0:
+                return
+            yield codes[:n], lens[:n], avgq[:n]
     finally:
         lib.fx_close(h)

@@ -199,4 +199,73 @@ long fx_next_batch(void* handle, int max_segments, int max_len, int min_qual,
   return filled;
 }
 
+// Paired-stage feeder: ONE row per read (not per segment).  Bases failing
+// the quality/ACGT gate become code 4, so quality segments are exactly the
+// runs of codes < 4 — the Python side recovers them with vectorized run
+// scans instead of a per-read loop (the reference's FastqFilteredReader
+// segmenting, applied at stage 2, RNABloom.java:4465-4663).
+//   long fx_next_masked_batch(void* h, int max_reads, int max_len,
+//                             int min_qual, unsigned char* out_codes,
+//                             int* out_lens, float* out_avg_qual)
+//     -> number of reads written (row-major [max_reads, max_len], padded
+//        with 4; out_lens = min(read length, max_len); out_avg_qual = mean
+//        Phred score per read, 127 for FASTA).  0 => EOF, -1 => error.
+long fx_next_masked_batch(void* handle, int max_reads, int max_len,
+                          int min_qual, unsigned char* out_codes,
+                          int* out_lens, float* out_avg_qual) {
+  Reader* r = static_cast<Reader*>(handle);
+  if (!r) return -1;
+  const char qmin = static_cast<char>(33 + min_qual);
+  long filled = 0;
+  std::string line, seq, qual;
+
+  while (filled < max_reads) {
+    if (!read_line(r, &line)) break;
+    if (line.empty()) continue;
+    if (!r->inited) {
+      r->is_fastq = line[0] == '@';
+      if (!r->is_fastq && line[0] != '>') return -1;
+      r->inited = true;
+    }
+    seq.clear();
+    qual.clear();
+    if (r->is_fastq) {
+      if (line[0] != '@') return -1;
+      if (!read_line(r, &seq)) break;
+      if (!read_line(r, &line) || line.empty() || line[0] != '+') return -1;
+      if (!read_line(r, &qual)) return -1;
+    } else {
+      if (line[0] != '>') return -1;
+      while (read_line(r, &line)) {
+        if (!line.empty() && line[0] == '>') {
+          r->pending = std::move(line);
+          break;
+        }
+        seq.append(line);
+        line.clear();
+      }
+    }
+    ++r->reads_parsed;
+    const size_t n = seq.size();
+    const bool has_qual = !qual.empty() && qual.size() == n;
+    const size_t keep = n < static_cast<size_t>(max_len) ? n : max_len;
+    unsigned char* row = out_codes + static_cast<long>(filled) * max_len;
+    long qsum = 0;
+    for (size_t i = 0; i < keep; ++i) {
+      uint8_t c = kCode[(uint8_t)seq[i]];
+      if (has_qual && qual[i] < qmin) c = 4;
+      row[i] = c;
+    }
+    if (has_qual) {
+      for (size_t i = 0; i < n; ++i) qsum += qual[i] - 33;
+    }
+    memset(row + keep, 4, max_len - keep);
+    out_lens[filled] = static_cast<int>(keep);
+    out_avg_qual[filled] =
+        has_qual ? static_cast<float>(qsum) / static_cast<float>(n) : 127.0f;
+    ++filled;
+  }
+  return filled;
+}
+
 }  // extern "C"

@@ -108,3 +108,48 @@ def test_python_fallback_path_matches_native(tmp_path, have_native, monkeypatch)
 
     np.testing.assert_array_equal(np.asarray(s_nat.cbf), np.asarray(s_py.cbf))
     np.testing.assert_array_equal(np.asarray(s_nat.rpkbf), np.asarray(s_py.rpkbf))
+
+
+def test_native_pair_feeder_matches_python(tmp_path):
+    """The native masked-batch stage-2 feeder yields byte-identical pair
+    segments (and multi-segment lists) to the pure-Python path."""
+    import gzip
+
+    import rnabloom_tpu.io.native as natmod
+    from rnabloom_tpu.assembly import pipeline as pl
+
+    if not natmod.available():
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(9)
+    n = 500
+    with gzip.open(tmp_path / "l.fq.gz", "wt") as fl, gzip.open(
+        tmp_path / "r.fq.gz", "wt"
+    ) as fr:
+        for i in range(n):
+            s1 = "".join(rng.choice(list("ACGT"), 100))
+            s2 = "".join(rng.choice(list("ACGT"), 100))
+            q1 = "".join(rng.choice(list("I#"), 100, p=[0.95, 0.05]))
+            fl.write(f"@r{i}/1\n{s1}\n+\n{q1}\n")
+            fr.write(f"@r{i}/2\n{s2}\n+\n{'I' * 100}\n")
+
+    params = pl.PipelineParams(batch_size=128, min_qual=3)
+    args = (str(tmp_path / "l.fq.gz"), str(tmp_path / "r.fq.gz"), params, 25, False, True, 128)
+    nat = list(pl._iter_pair_batches_native(*args))
+    natmod._build_failed, natmod._lib = True, None  # force the Python path
+    try:
+        py = list(pl._iter_pair_batches(*args))
+    finally:
+        natmod._build_failed = False
+
+    def rowset(batches):
+        out = []
+        for lb, ll, rb, rl, _m in batches:
+            for i in range(lb.shape[0]):
+                if ll[i] > 0 and rl[i] > 0:
+                    out.append((lb[i, : ll[i]].tobytes(), rb[i, : rl[i]].tobytes()))
+        return sorted(out)
+
+    assert rowset(nat) == rowset(py)
+    msn = sorted(s.tobytes() for *_, m in nat for segs in m.values() for s in segs)
+    msp = sorted(s.tobytes() for *_, m in py for segs in m.values() for s in segs)
+    assert msn == msp

@@ -221,3 +221,81 @@ def test_represented_collapses_indel_bubble():
     ):
         rep = txmod.screen_represented(screen, scfg, cfg, codes, lens, p)
         assert not rep[0]
+
+
+class TestLowComplexityDetectors:
+    """Reference 1/2/3-mer detectors (SeqUtils.java:370-683) — the old
+    single base-fraction heuristic passed dinucleotide/trinucleotide
+    repeats (AT-rich UTRs)."""
+
+    @staticmethod
+    def _e(s):
+        enc = {c: i for i, c in enumerate("ACGT")}
+        return np.array([enc.get(c, 4) for c in s], np.uint8)
+
+    def test_homopolymer(self):
+        assert artifacts.is_low_complexity2(self._e("A" * 80))
+        assert artifacts.is_low_complexity_short(self._e("A" * 80))
+        assert artifacts.is_repeat(self._e("A" * 80))
+
+    def test_dinucleotide_repeat(self):
+        at = self._e("AT" * 50)
+        assert artifacts.is_low_complexity2(at)
+        assert artifacts.is_low_complexity_long(at)
+        assert artifacts.is_repeat(at)
+
+    def test_trinucleotide_repeat(self):
+        cag = self._e("CAG" * 40)
+        assert artifacts.is_low_complexity2(cag)
+        assert artifacts.is_repeat(cag)
+
+    def test_random_passes(self):
+        rng = np.random.default_rng(1)
+        # is_low_complexity2 is the reference's k-mer-scale test (its
+        # byte-capped thresholds bind for len > ~267, exactly as in
+        # SeqUtils.java:372-374 — it is only ever applied to k-mers)
+        kmer = rng.integers(0, 4, 25).astype(np.uint8)
+        assert not artifacts.is_low_complexity2(kmer)
+        rnd = rng.integers(0, 4, 300).astype(np.uint8)
+        assert not artifacts.is_low_complexity_long(rnd)
+        assert not artifacts.is_low_complexity_short(rnd)
+        assert not artifacts.is_repeat(rnd)
+        assert not artifacts.is_low_complexity_long_windowed(rnd)
+
+    def test_windowed_mixed(self):
+        # 3/4 of the windows low-complexity -> flagged
+        rnd = np.random.default_rng(2).integers(0, 4, 50).astype(np.uint8)
+        seq = np.concatenate([self._e("AT" * 25)] * 3 + [rnd])
+        assert artifacts.is_low_complexity_long_windowed(seq)
+
+
+class TestHairpinTrim:
+    """trimHairpinBySequenceMatching (GraphUtils.java:8059-8205): hairpins
+    with unequal arms or internal folds that the suffix-fold scan misses."""
+
+    @staticmethod
+    def _rand(n, seed):
+        return np.random.default_rng(seed).integers(0, 4, n).astype(np.uint8)
+
+    def test_unequal_arm_hairpin_trimmed(self):
+        k = 25
+        stem = self._rand(300, 3)
+        # long arm + short folded-back arm (arm lengths differ 300 vs 150)
+        hp = np.concatenate([stem, (3 - stem[::-1])[:150]]).astype(np.uint8)
+        out = artifacts.trim_rc_artifact(hp, k=k)
+        assert len(out) < len(hp)
+        # the kept half must be a contiguous piece of the original
+        assert len(out) >= len(hp) // 2 - k
+
+    def test_internal_loop_hairpin_trimmed(self):
+        k = 25
+        stem = self._rand(260, 4)
+        loop = self._rand(60, 5)  # short non-palindromic loop
+        hp = np.concatenate([stem, loop, (3 - stem[::-1])]).astype(np.uint8)
+        out = artifacts.trim_rc_artifact(hp, k=k)
+        assert len(out) < len(hp)
+
+    def test_clean_sequence_untouched(self):
+        clean = self._rand(500, 6)
+        out = artifacts.trim_rc_artifact(clean, k=25)
+        assert np.array_equal(out, clean)
