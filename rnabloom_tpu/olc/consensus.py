@@ -47,32 +47,42 @@ def place_reads(
     read_lengths: np.ndarray,
     params: OverlapParams,
 ) -> List[Placement]:
-    """Best placement of each read onto the unitig set."""
-    recs = map_to_targets(read_mins, unitig_mins, params)
-    best: Dict[Tuple[int, int], OverlapRecord] = {}
-    for r in recs:
-        cur = best.get((r.q, r.t))
-        if cur is None or r.shared > cur.shared:
-            best[(r.q, r.t)] = r
-    out: List[Placement] = []
-    for r in best.values():
-        rl = int(read_lengths[r.q])
-        if r.strand == 1:
-            start = r.t_start - r.q_start
-            orient = 0
-        else:
-            # reverse-complement the read: fwd pos p -> rl - (p + k)... the
-            # aligned block's right end on the read maps to t_start
-            start = r.t_start - (rl - r.q_end)
-            orient = 1
-        out.append(
-            Placement(
-                read=r.q, target=r.t, orient=orient, start=start,
-                q_start=r.q_start, q_end=r.q_end,
-                t_start=r.t_start, t_end=r.t_end,
-            )
+    """Best placement of each read onto the unitig set (selection and
+    geometry vectorized over the whole overlap set)."""
+    ov = map_to_targets(read_mins, unitig_mins, params)
+    n = len(ov)
+    if n == 0:
+        return []
+    # best strand per (q, t) by shared count, first (forward) wins ties —
+    # _chain emits rows in (q, t, strand) lexicographic order, so groups
+    # are contiguous
+    newg = np.ones(n, bool)
+    newg[1:] = (ov.q[1:] != ov.q[:-1]) | (ov.t[1:] != ov.t[:-1])
+    gid = np.cumsum(newg) - 1
+    ngroups = int(gid[-1]) + 1
+    best = np.zeros(ngroups, np.int64)
+    np.maximum.at(best, gid, ov.shared)
+    cand = np.flatnonzero(ov.shared == best[gid])
+    first = np.ones(len(cand), bool)
+    first[1:] = gid[cand][1:] != gid[cand][:-1]
+    sel = cand[first]
+
+    rl = np.asarray(read_lengths, np.int64)[ov.q[sel]]
+    fwd = ov.strand[sel] == 1
+    start = np.where(
+        fwd, ov.t_start[sel] - ov.q_start[sel],
+        ov.t_start[sel] - (rl - ov.q_end[sel]),
+    )
+    orient = (~fwd).astype(np.int64)
+    return [
+        Placement(
+            read=int(ov.q[sel[i]]), target=int(ov.t[sel[i]]),
+            orient=int(orient[i]), start=int(start[i]),
+            q_start=int(ov.q_start[sel[i]]), q_end=int(ov.q_end[sel[i]]),
+            t_start=int(ov.t_start[sel[i]]), t_end=int(ov.t_end[sel[i]]),
         )
-    return out
+        for i in range(len(sel))
+    ]
 
 
 @partial(jax.jit, static_argnames=("n_unitigs", "max_len"))

@@ -422,23 +422,76 @@ def _binom_cdf(s: int, c: int, p: float) -> float:
 
 
 def build_graph(
-    records: Iterable[OverlapRecord],
+    records,
     lengths: np.ndarray,
     params: OverlapParams,
 ) -> Tuple[OverlapGraph, Set[int]]:
     """Classify once to collect containments, then insert dovetails between
-    non-contained reads (populateGraphFromOverlaps, Layout.java:2869)."""
-    recs = list(records)
-    contained: Set[int] = set()
-    for rec in recs:
-        kind = classify(rec, int(lengths[rec.q]), int(lengths[rec.t]), params)
-        if kind == "q_contained":
-            contained.add(rec.q)
-        elif kind == "t_contained":
-            contained.add(rec.t)
-    g = OverlapGraph(lengths=np.asarray(lengths))
-    for rec in recs:
-        if rec.q in contained or rec.t in contained:
-            continue
-        g.add_overlap(rec, params)
+    non-contained reads (populateGraphFromOverlaps, Layout.java:2869).
+
+    Accepts an ``overlap.Overlaps`` struct-of-arrays (classification and
+    edge geometry vectorized; Python only touches the kept dovetails) or
+    any iterable of OverlapRecord (legacy flows)."""
+    from .overlap import (
+        KIND_DOVETAIL, KIND_Q_CONTAINED, KIND_T_CONTAINED, Overlaps,
+        classify_batch,
+    )
+
+    lengths = np.asarray(lengths)
+    g = OverlapGraph(lengths=lengths)
+    if not isinstance(records, Overlaps):
+        recs = list(records)
+        contained: Set[int] = set()
+        for rec in recs:
+            kind = classify(rec, int(lengths[rec.q]), int(lengths[rec.t]), params)
+            if kind == "q_contained":
+                contained.add(rec.q)
+            elif kind == "t_contained":
+                contained.add(rec.t)
+        for rec in recs:
+            if rec.q in contained or rec.t in contained:
+                continue
+            g.add_overlap(rec, params)
+        return g, contained
+
+    ov = records
+    kinds = classify_batch(ov, lengths, params)
+    contained = set(
+        np.concatenate(
+            [ov.q[kinds == KIND_Q_CONTAINED], ov.t[kinds == KIND_T_CONTAINED]]
+        ).tolist()
+    )
+    if len(contained):
+        carr = np.fromiter(contained, np.int64, count=len(contained))
+        ok = ~(np.isin(ov.q, carr) | np.isin(ov.t, carr))
+    else:
+        ok = np.ones(len(ov), bool)
+    sel = np.flatnonzero(ok & (kinds == KIND_DOVETAIL))
+    if len(sel) == 0:
+        return g, contained
+
+    # vectorized dovetail edge geometry (the scalar form is add_overlap)
+    q, t = ov.q[sel], ov.t[sel]
+    q_len, t_len = lengths[q].astype(np.int64), lengths[t].astype(np.int64)
+    strand = ov.strand[sel]
+    ot_s = np.where(strand == 1, ov.t_start[sel], t_len - ov.t_end[sel])
+    ot_e = np.where(strand == 1, ov.t_end[sel], t_len - ov.t_start[sel])
+    t_orient = (strand != 1).astype(np.int64)
+    ovl = ((ov.q_end[sel] - ov.q_start[sel]) + (ot_e - ot_s)) / 2.0
+    q_first = ov.q_start[sel] > ot_s
+    u = np.where(q_first, q * 2, t * 2 + t_orient)
+    v = np.where(q_first, t * 2 + t_orient, q * 2)
+    off = np.where(q_first, ov.q_start[sel] - ot_s, ot_s - ov.q_start[sel])
+    lu = np.where(q_first, q_len, t_len)
+    lv = np.where(q_first, t_len, q_len)
+    proper = (off > 0) & (off + lv > lu)
+    shared = ov.shared[sel]
+    m_off = off + lv - lu
+    for i in np.flatnonzero(proper):
+        e = Edge(offset=int(off[i]), ovl=float(ovl[i]), support=int(shared[i]))
+        g._add_edge(int(u[i]), int(v[i]), e)
+        g._add_edge(
+            vrc(int(v[i])), vrc(int(u[i])),
+            Edge(offset=int(m_off[i]), ovl=float(ovl[i]), support=int(shared[i])),
+        )
     return g, contained

@@ -74,29 +74,66 @@ def extract_unique(
     min_seq_depth > 1, reads whose interior is not covered by at least
     min_seq_depth-1 overlapping reads are dropped as unsupported.
     """
+    from .overlap import (
+        KIND_Q_CONTAINED, KIND_T_CONTAINED, Overlaps, classify_batch,
+    )
+
     n = len(lengths)
-    contained_by: Dict[int, int] = {}
     bin_size = 100
-    depth = [None] * n  # lazy per-read interior coverage histograms
-
-    def hist(r: int) -> np.ndarray:
-        h = depth[r]
-        if h is None:
-            h = np.zeros(max(int(lengths[r]), 1) // bin_size + 1, np.int32)
-            depth[r] = h
-        return h
-
     need_depth = min_seq_depth > 1
-    for rec in records:
-        q_len, t_len = int(lengths[rec.q]), int(lengths[rec.t])
-        kind = classify(rec, q_len, t_len, params)
-        if kind == "q_contained" and rec.q not in contained_by:
-            contained_by[rec.q] = rec.t
-        elif kind == "t_contained" and rec.t not in contained_by:
-            contained_by[rec.t] = rec.q
-        if need_depth:
-            hist(rec.q)[rec.q_start // bin_size : rec.q_end // bin_size + 1] += 1
-            hist(rec.t)[rec.t_start // bin_size : rec.t_end // bin_size + 1] += 1
+    contained_by: Dict[int, int] = {}
+    depth = [None] * n  # per-read interior coverage histograms
+
+    if isinstance(records, Overlaps):
+        ov = records
+        kinds = classify_batch(ov, np.asarray(lengths), params)
+        ev = np.flatnonzero((kinds == KIND_Q_CONTAINED) | (kinds == KIND_T_CONTAINED))
+        is_q = kinds[ev] == KIND_Q_CONTAINED
+        reads_ev = np.where(is_q, ov.q[ev], ov.t[ev])
+        partners = np.where(is_q, ov.t[ev], ov.q[ev])
+        # first containment record per read wins (record order)
+        uniq_r, first_idx = np.unique(reads_ev, return_index=True)
+        contained_by = dict(
+            zip(uniq_r.tolist(), partners[first_idx].tolist())
+        )
+        if need_depth and len(ov):
+            # range-add via +1/-1 difference marks + one global cumsum:
+            # every read gets (bins + 1) slots, so each event's -1 lands in
+            # its own read's range and nothing carries across reads
+            bins = np.maximum(np.asarray(lengths, np.int64), 1) // bin_size + 1
+            offs = np.zeros(n + 1, np.int64)
+            np.cumsum(bins + 1, out=offs[1:])
+            acc = np.zeros(offs[-1] + 1, np.int32)
+            for side_r, s0, e0 in (
+                (ov.q, ov.q_start, ov.q_end),
+                (ov.t, ov.t_start, ov.t_end),
+            ):
+                start = offs[side_r] + s0 // bin_size
+                stop = offs[side_r] + np.minimum(
+                    e0 // bin_size + 1, bins[side_r]
+                )
+                np.add.at(acc, start, 1)
+                np.add.at(acc, stop, -1)
+            flat = np.cumsum(acc)
+            depth = [flat[offs[r] : offs[r] + bins[r]] for r in range(n)]
+    else:
+        def hist(r: int) -> np.ndarray:
+            h = depth[r]
+            if h is None:
+                h = np.zeros(max(int(lengths[r]), 1) // bin_size + 1, np.int32)
+                depth[r] = h
+            return h
+
+        for rec in records:
+            q_len, t_len = int(lengths[rec.q]), int(lengths[rec.t])
+            kind = classify(rec, q_len, t_len, params)
+            if kind == "q_contained" and rec.q not in contained_by:
+                contained_by[rec.q] = rec.t
+            elif kind == "t_contained" and rec.t not in contained_by:
+                contained_by[rec.t] = rec.q
+            if need_depth:
+                hist(rec.q)[rec.q_start // bin_size : rec.q_end // bin_size + 1] += 1
+                hist(rec.t)[rec.t_start // bin_size : rec.t_end // bin_size + 1] += 1
 
     kept: List[int] = []
     for r in range(n):

@@ -67,6 +67,49 @@ class OverlapRecord:
 
 
 @dataclass
+class Overlaps:
+    """Structure-of-arrays overlap set (one entry per record).
+
+    Replaces per-record Python objects on the hot paths — a 1M-overlap ONT
+    run holds eight flat int arrays instead of a million dataclasses.
+    Iteration yields ``OverlapRecord`` views for the legacy flows."""
+
+    q: np.ndarray
+    t: np.ndarray
+    strand: np.ndarray  # +1 / -1
+    q_start: np.ndarray
+    q_end: np.ndarray
+    t_start: np.ndarray
+    t_end: np.ndarray
+    shared: np.ndarray
+
+    def __len__(self) -> int:
+        return len(self.q)
+
+    def __getitem__(self, i: int) -> OverlapRecord:
+        return OverlapRecord(
+            q=int(self.q[i]), t=int(self.t[i]), strand=int(self.strand[i]),
+            q_start=int(self.q_start[i]), q_end=int(self.q_end[i]),
+            t_start=int(self.t_start[i]), t_end=int(self.t_end[i]),
+            shared=int(self.shared[i]),
+        )
+
+    def __iter__(self):
+        for i in range(len(self.q)):
+            yield OverlapRecord(
+                q=int(self.q[i]), t=int(self.t[i]), strand=int(self.strand[i]),
+                q_start=int(self.q_start[i]), q_end=int(self.q_end[i]),
+                t_start=int(self.t_start[i]), t_end=int(self.t_end[i]),
+                shared=int(self.shared[i]),
+            )
+
+    @classmethod
+    def empty(cls) -> "Overlaps":
+        z = np.zeros(0, np.int64)
+        return cls(z, z, z, z, z, z, z, z)
+
+
+@dataclass
 class Minimizers:
     """Flat winnowed-minimizer arrays over a read batch."""
 
@@ -245,10 +288,11 @@ def _match_pairs(
 
 def _chain(
     qr, tr, qp, tp, rel, k: int, params: OverlapParams
-) -> List[OverlapRecord]:
-    """Diagonal-binned chaining: per (q, t, strand) keep the best bin."""
+) -> Overlaps:
+    """Diagonal-binned chaining: per (q, t, strand) keep the best bin.
+    Fully vectorized — returns a structure-of-arrays ``Overlaps``."""
     if qr.shape[0] == 0:
-        return []
+        return Overlaps.empty()
     diag = np.where(rel == 1, qp - tp, qp + tp)
     dbin = diag // params.diag_band
     # pack a group key; reads < 2^31, bins offset into non-negative range
@@ -265,52 +309,46 @@ def _chain(
     np.minimum.at(ts, inv, tp)
     np.maximum.at(te, inv, tp)
 
-    # best bin per (q, t, strand)
+    # best bin per (q, t, strand): groups sort lexicographically by
+    # (q, t, strand, bin), so same-pair groups are contiguous — the first
+    # group matching its pair's max count wins (the reference's
+    # first-candidate tie rule)
     pair = np.stack([uniq[:, 0], uniq[:, 1], uniq[:, 2]], axis=1)
     puniq, pinv = np.unique(pair, axis=0, return_inverse=True)
-    best = np.full(puniq.shape[0], -1)
     best_count = np.zeros(puniq.shape[0], np.int64)
     np.maximum.at(best_count, pinv, counts)
-    for g in range(n_groups):
-        p = pinv[g]
-        if counts[g] == best_count[p] and best[p] < 0:
-            best[p] = g
+    cand = np.flatnonzero(counts == best_count[pinv])
+    first = np.ones(len(cand), bool)
+    first[1:] = pinv[cand][1:] != pinv[cand][:-1]
+    g = cand[first]  # one best group per pair, in pair order
 
-    out: List[OverlapRecord] = []
+    # acceptance filters, vectorized
+    q_span = qe[g] - qs[g] + k
+    t_span = te[g] - ts[g] + k
+    span = np.minimum(q_span, t_span)
+    keep = (counts[g] >= params.min_shared) & (
+        (q_span >= params.min_overlap) | (t_span >= params.min_overlap)
+    )
     exp_density = 2.0 / (params.w + 1)  # minimizers per base at identity 1
-    for p in range(puniq.shape[0]):
-        g = best[p]
-        if g < 0 or counts[g] < params.min_shared:
-            continue
-        q_span = qe[g] - qs[g] + k
-        t_span = te[g] - ts[g] + k
-        if q_span < params.min_overlap and t_span < params.min_overlap:
-            continue
-        span = min(q_span, t_span)
-        if params.min_shared_frac > 0 and counts[g] < (
-            params.min_shared_frac * exp_density * span
-        ):
-            continue
-        if params.min_match_prop > 0 and counts[g] < (
-            (params.min_match_prop**k) * exp_density * span
-        ):
-            continue
-        out.append(
-            OverlapRecord(
-                q=int(puniq[p, 0]),
-                t=int(puniq[p, 1]),
-                strand=1 if puniq[p, 2] == 1 else -1,
-                q_start=int(qs[g]),
-                q_end=int(qe[g] + k),
-                t_start=int(ts[g]),
-                t_end=int(te[g] + k),
-                shared=int(counts[g]),
-            )
-        )
-    return out
+    if params.min_shared_frac > 0:
+        keep &= counts[g] >= params.min_shared_frac * exp_density * span
+    if params.min_match_prop > 0:
+        keep &= counts[g] >= (params.min_match_prop**k) * exp_density * span
+    g = g[keep]
+    p = np.flatnonzero(keep)
+    return Overlaps(
+        q=puniq[p, 0].astype(np.int64),
+        t=puniq[p, 1].astype(np.int64),
+        strand=np.where(puniq[p, 2] == 1, 1, -1).astype(np.int64),
+        q_start=qs[g],
+        q_end=qe[g] + k,
+        t_start=ts[g],
+        t_end=te[g] + k,
+        shared=counts[g].astype(np.int64),
+    )
 
 
-def find_overlaps(mins: Minimizers, params: OverlapParams) -> List[OverlapRecord]:
+def find_overlaps(mins: Minimizers, params: OverlapParams) -> Overlaps:
     """All-vs-all overlap candidates via minimizer hash join + diagonal bins."""
     qr, tr, qp, tp, rel = _match_pairs(mins, mins, ava=True, max_occ=params.max_occ)
     return _chain(qr, tr, qp, tp, rel, mins.k, params)
@@ -318,7 +356,7 @@ def find_overlaps(mins: Minimizers, params: OverlapParams) -> List[OverlapRecord
 
 def map_to_targets(
     query_mins: Minimizers, target_mins: Minimizers, params: OverlapParams
-) -> List[OverlapRecord]:
+) -> Overlaps:
     """Map queries (reads) onto targets (unitigs); q/t in separate id spaces."""
     qr, tr, qp, tp, rel = _match_pairs(
         query_mins, target_mins, ava=False, max_occ=params.max_occ
@@ -331,6 +369,34 @@ def oriented_t_coords(rec: OverlapRecord, t_len: int) -> Tuple[int, int]:
     if rec.strand == 1:
         return rec.t_start, rec.t_end
     return t_len - rec.t_end, t_len - rec.t_start
+
+
+KIND_Q_CONTAINED, KIND_T_CONTAINED, KIND_DOVETAIL, KIND_INTERNAL = 0, 1, 2, 3
+
+
+def classify_batch(ov: Overlaps, lengths: np.ndarray, params: OverlapParams) -> np.ndarray:
+    """Vectorized PAF classification over a whole overlap set.
+
+    Returns int8 kind codes (KIND_*); the per-record ``classify`` below is
+    the scalar reference."""
+    q_len = lengths[ov.q].astype(np.int64)
+    t_len = lengths[ov.t].astype(np.int64)
+    h = params.max_overhang
+    q_l = ov.q_start
+    q_r = q_len - ov.q_end
+    # target coords oriented to the target's own strand
+    ot_s = np.where(ov.strand == 1, ov.t_start, t_len - ov.t_end)
+    ot_e = np.where(ov.strand == 1, ov.t_end, t_len - ov.t_start)
+    t_l = ot_s
+    t_r = t_len - ot_e
+    out = np.full(len(ov), KIND_INTERNAL, np.int8)
+    dove = ((q_l <= h) & (t_r <= h)) | ((t_l <= h) & (q_r <= h))
+    out[dove] = KIND_DOVETAIL
+    t_cont = (t_l <= h) & (t_r <= h)
+    out[t_cont] = KIND_T_CONTAINED
+    q_cont = (q_l <= h) & (q_r <= h)
+    out[q_cont] = KIND_Q_CONTAINED
+    return out
 
 
 def classify(rec: OverlapRecord, q_len: int, t_len: int, params: OverlapParams) -> str:
