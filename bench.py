@@ -152,43 +152,56 @@ def main() -> None:
 
 
 def _bench_stage23() -> float:
-    """End-to-end PE stage 2+3 throughput (pairs/s) on synthetic reads."""
-    import gzip
-    import shutil
-    import tempfile
+    """End-to-end PE stage 2+3 throughput (pairs/s) on synthetic reads.
 
-    from rnabloom_tpu.assembly import pipeline as pl
-    from rnabloom_tpu.utils import seq as sequtils
+    Runs in a SUBPROCESS with a hard timeout: the tunneled TPU backend can
+    wedge on a lost reply mid-compile, and a hung secondary metric must not
+    hang the whole bench (the driver runs this file once per round)."""
+    import subprocess
+    import sys
 
-    rng = np.random.default_rng(3)
-    tmp = tempfile.mkdtemp(prefix="rb_bench_")
-    try:
-        transcripts = ["".join(rng.choice(list("ACGT"), size=800)) for _ in range(8)]
-        q = "I" * 150
-        n_pairs = 0
-        with gzip.open(f"{tmp}/b_1.fq.gz", "wt") as fl, gzip.open(
-            f"{tmp}/b_2.fq.gz", "wt"
-        ) as fr:
-            for t in transcripts:
-                for _ in range(2048):
-                    s = rng.integers(0, len(t) - 300 + 1)
-                    frag = t[s : s + 300]
-                    fl.write(f"@r{n_pairs}/1\n{frag[:150]}\n+\n{q}\n")
-                    fr.write(f"@r{n_pairs}/2\n{sequtils.revcomp(frag[-150:])}\n+\n{q}\n")
-                    n_pairs += 1
-        params = pl.PipelineParams(
-            total_mem_bytes=1 << 26, sample_size=500, no_reduce=True
-        )
-        # warm-up pass compiles every stage-2/3 kernel shape (cached
-        # persistently); the timed pass measures steady-state throughput
-        pl.assemble_pe(f"{tmp}/b_1.fq.gz", f"{tmp}/b_2.fq.gz", f"{tmp}/warm", params)
-        t0 = time.time()
-        report = pl.assemble_pe(f"{tmp}/b_1.fq.gz", f"{tmp}/b_2.fq.gz", f"{tmp}/out", params)
-        dt = time.time() - t0
-        assert report.num_transcripts > 0
-        return report.num_pairs / dt
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    code = r"""
+import gzip, json, shutil, tempfile, time
+import numpy as np
+from rnabloom_tpu.cli import _enable_compilation_cache
+_enable_compilation_cache()
+from rnabloom_tpu.assembly import pipeline as pl
+from rnabloom_tpu.utils import seq as sequtils
+
+rng = np.random.default_rng(3)
+tmp = tempfile.mkdtemp(prefix="rb_bench_")
+try:
+    transcripts = ["".join(rng.choice(list("ACGT"), size=800)) for _ in range(8)]
+    q = "I" * 150
+    n_pairs = 0
+    with gzip.open(f"{tmp}/b_1.fq.gz", "wt") as fl, gzip.open(
+        f"{tmp}/b_2.fq.gz", "wt"
+    ) as fr:
+        for t in transcripts:
+            for _ in range(2048):
+                s = rng.integers(0, len(t) - 300 + 1)
+                frag = t[s : s + 300]
+                fl.write(f"@r{n_pairs}/1\n{frag[:150]}\n+\n{q}\n")
+                fr.write(f"@r{n_pairs}/2\n{sequtils.revcomp(frag[-150:])}\n+\n{q}\n")
+                n_pairs += 1
+    params = pl.PipelineParams(total_mem_bytes=1 << 26, sample_size=500, no_reduce=True)
+    # warm-up pass compiles every stage-2/3 kernel shape (cached
+    # persistently); the timed pass measures steady-state throughput
+    pl.assemble_pe(f"{tmp}/b_1.fq.gz", f"{tmp}/b_2.fq.gz", f"{tmp}/warm", params)
+    t0 = time.time()
+    report = pl.assemble_pe(f"{tmp}/b_1.fq.gz", f"{tmp}/b_2.fq.gz", f"{tmp}/out", params)
+    dt = time.time() - t0
+    assert report.num_transcripts > 0
+    print(json.dumps({"pairs_per_s": report.num_pairs / dt}))
+finally:
+    shutil.rmtree(tmp, ignore_errors=True)
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=3000, cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    line = out.stdout.strip().split("\n")[-1]
+    return json.loads(line)["pairs_per_s"]
 
 
 def _bench_sharded_cpu() -> dict:

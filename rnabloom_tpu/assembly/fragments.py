@@ -483,8 +483,9 @@ def connect_segments_batch(
         ]
         if not rows:
             break
-        Lc = max(len(chains[i]) for i in rows)
-        Rc = max(len(segments[i][wave]) for i in rows)
+        # pow2 dims: distinct shapes recompile the overlap/bridge kernels
+        Lc = 1 << (max(max(len(chains[i]) for i in rows), k) - 1).bit_length()
+        Rc = 1 << (max(max(len(segments[i][wave]) for i in rows), k) - 1).bit_length()
         B = len(rows)
         lbuf = np.full((B, Lc), 4, np.uint8)
         llen = np.zeros(B, np.int64)

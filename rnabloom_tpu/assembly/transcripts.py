@@ -126,8 +126,9 @@ def screen_template_switch(
         tips.append((b, sequtils.revcomp_codes(codes[b, ks : ke + k - 1])))
     if not tips:
         return out
-    TL = max(len(t) for _, t in tips)
-    batch = np.full((len(tips), max(TL, k)), 4, np.uint8)
+    TL = 1 << (max(max(len(t) for _, t in tips), k) - 1).bit_length()
+    rows_p = 1 << max(4, (len(tips) - 1).bit_length())
+    batch = np.full((rows_p, TL), 4, np.uint8)  # pow2: stable kernel shapes
     for i, (_, t) in enumerate(tips):
         batch[i, : len(t)] = t
     tseen_d, tvalid_d = _screen_lookup(screen, scfg, cfg, jnp.asarray(batch))
@@ -224,7 +225,10 @@ def _gap_rewalk(
     if not jobs:
         return
 
+    # pow2 walk length: wcfg.max_len is a static kernel parameter, and a
+    # data-dependent value would compile a fresh walk engine per batch
     max_ext = max(j[5] for j in jobs) + mi
+    max_ext = 1 << max(6, (max_ext - 1).bit_length())
     wcfg = traverse.WalkConfig(max_len=k + max_ext, lookahead=params.lookahead)
     seeds = np.stack([j[3] for j in jobs])
     W = 1 << max(6, (len(jobs) - 1).bit_length())  # make_walks pads rows
@@ -372,8 +376,12 @@ def screen_represented(
                         )
             groups.append((b, g0, g1, start, len(wins)))
     if wins:
-        seg_len = max(len(w) for w in wins)
-        batch = np.full((len(wins), max(seg_len, k)), 4, np.uint8)
+        # pow2-pad both dims: every distinct shape is a fresh (minutes-long
+        # remote) TPU compile
+        seg_len = max(max(len(w) for w in wins), k)
+        seg_p = 1 << (seg_len - 1).bit_length()
+        rows_p = 1 << max(5, (len(wins) - 1).bit_length())
+        batch = np.full((rows_p, seg_p), 4, np.uint8)
         for i, w in enumerate(wins):
             batch[i, : len(w)] = w
         vseen, vvalid = jax.device_get(
