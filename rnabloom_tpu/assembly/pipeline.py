@@ -283,6 +283,36 @@ def _iter_pair_batches_native(
         yield lbuf, llen, rbuf, rlen, multi
 
 
+def _prefetch(gen, depth: int = 2):
+    """Run a generator on a background thread with a bounded queue —
+    host parsing/segmenting of batch i+1 overlaps device compute of batch
+    i (the reference gets this overlap from its reader/worker threads,
+    RNABloom.java:1203-1238)."""
+    import queue as queue_mod
+    import threading
+
+    q: "queue_mod.Queue" = queue_mod.Queue(maxsize=depth)
+    END = object()
+
+    def worker():
+        try:
+            for item in gen:
+                q.put(item)
+            q.put(END)
+        except BaseException as e:  # surfaced on the consumer side
+            q.put(e)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def _iter_pair_batches(
     left_path: str,
     right_path: str,
@@ -305,8 +335,10 @@ def _iter_pair_batches(
     from ..io import native
 
     if native.available():
-        yield from _iter_pair_batches_native(
-            left_path, right_path, params, k, revcomp_left, revcomp_right, L
+        yield from _prefetch(
+            _iter_pair_batches_native(
+                left_path, right_path, params, k, revcomp_left, revcomp_right, L
+            )
         )
         return
     B = params.batch_size

@@ -26,9 +26,9 @@ reverse-strand hash (the actual forward-strand k-mer's hash).
 
 Deviations from the reference (documented for the parity checker):
   * hasDepthLeft/Right DFS probes (Kmer.java:407-486) are replaced by a
-    greedy max-count descent of ``tip_probe_depth`` steps — exact for real
-    tips (dead ends), approximate when the only deep path is off the greedy
-    route.
+    width-2 beam descent of ``tip_probe_depth`` steps — exact for real
+    tips (dead ends), approximate only when every deep path leaves the
+    two best-scoring branches at some step.
   * cycle detection compares against a ring of the last ``cycle_window``
     k-mer hashes instead of the full visited set.
   * back-branch stops (naiveExtendRight, GraphUtils.java:6846-6851) are
@@ -557,36 +557,61 @@ def _tip_probe(
     min_cov: jax.Array,
     backend: DeviceBackend = DEVICE_BACKEND,
 ) -> jax.Array:
-    """Greedy depth probe per candidate: depth reached following max-count
-    successors, up to tip_probe_depth.  Returns (W, 4) int32 depths
-    (candidate itself = depth 1 when viable)."""
+    """Beam-2 depth probe per candidate: depth reached following the two
+    best viable successor paths, up to tip_probe_depth.  Returns (W, 4)
+    int32 depths (candidate itself = depth 1 when viable).
+
+    The reference's hasDepth is an exhaustive DFS (graph/Kmer.java:407-486);
+    a single greedy descent misclassifies branchy-but-deep paths whose
+    max-count branch dead-ends.  A width-2 beam keeps the sibling branch
+    alive — still bounded, still one lane per candidate pair."""
     W = pos.shape[0]
     counts = backend.counts(graph, cfg, q4)
     viable0 = counts >= jnp.maximum(min_cov, 1.0)[:, None]
     depth = viable0.astype(jnp.int32)
 
-    fh_c = u64.reshape(fh4, (W * 4,))
-    rh_c = u64.reshape(rh4, (W * 4,))
-    alive = viable0.reshape(W * 4)
+    # beam slots start as two copies of the candidate (slot 1 inactive
+    # until a branch splits the beam — identical hashes are harmless)
+    def dup(x):
+        return jnp.stack([x, x], axis=-1).reshape(W * 4 * 2)
 
-    # out-chars walk forward from (pos - k + 1)
+    fh_c = u64.U64(dup(fh4.lo.reshape(W * 4)), dup(fh4.hi.reshape(W * 4)))
+    rh_c = u64.U64(dup(rh4.lo.reshape(W * 4)), dup(rh4.hi.reshape(W * 4)))
+    alive = jnp.stack(
+        [viable0.reshape(W * 4), jnp.zeros(W * 4, bool)], axis=-1
+    ).reshape(W * 4 * 2)
+
     def body(i, carry):
         fh_c, rh_c, alive, depth = carry
         off = jnp.minimum(pos - cfg.k + 1 + i, wcfg.max_len - 1)
         outc = jnp.take_along_axis(buf, off[:, None], axis=1)[:, 0]
-        outc = jnp.broadcast_to(outc[:, None], (W, 4)).reshape(W * 4)
-        f4, r4 = nthash.successor_hashes(fh_c, outc, cfg.k, rh=rh_c)
+        outc = jnp.broadcast_to(outc[:, None, None], (W, 4, 2)).reshape(W * 4 * 2)
+        f4, r4 = nthash.successor_hashes(fh_c, outc, cfg.k, rh=rh_c)  # (W*4*2, 4)
         qq = _query_hash(cfg, wcfg, f4, r4)
-        cc = backend.counts(graph, cfg, qq)  # (W*4, 4)
-        mc = jnp.broadcast_to(jnp.maximum(min_cov, 1.0)[:, None], (W, 4)).reshape(W * 4)
-        ok = cc >= mc[:, None]
-        best = jnp.argmax(jnp.where(ok, cc, -1.0), axis=1).astype(jnp.int32)
-        any_ok = jnp.any(ok, axis=1)
-        rows = jnp.arange(W * 4)
-        fh_n = u64.U64(f4.lo[rows, best], f4.hi[rows, best])
-        rh_n = u64.U64(r4.lo[rows, best], r4.hi[rows, best])
-        alive_n = alive & any_ok
-        depth_n = depth + alive_n.reshape(W, 4).astype(jnp.int32)
+        cc = backend.counts(graph, cfg, qq)
+        mc = jnp.broadcast_to(
+            jnp.maximum(min_cov, 1.0)[:, None, None], (W, 4, 2)
+        ).reshape(W * 4 * 2)
+        ok = (cc >= mc[:, None]) & alive[:, None]
+        # merge both slots' successors and keep the top-2 viable by count
+        score = jnp.where(ok, cc, -1.0).reshape(W * 4, 8)
+        top1 = jnp.argmax(score, axis=1)
+        rows8 = jnp.arange(W * 4)
+        s2 = score.at[rows8, top1].set(-1.0)
+        top2 = jnp.argmax(s2, axis=1)
+        ok8 = ok.reshape(W * 4, 8)
+
+        flo = f4.lo.reshape(W * 4, 8)
+        fhi = f4.hi.reshape(W * 4, 8)
+        rlo = r4.lo.reshape(W * 4, 8)
+        rhi = r4.hi.reshape(W * 4, 8)
+        pick = jnp.stack([top1, top2], axis=-1)  # (W*4, 2)
+        rows2 = rows8[:, None]
+        fh_n = u64.U64(flo[rows2, pick].reshape(-1), fhi[rows2, pick].reshape(-1))
+        rh_n = u64.U64(rlo[rows2, pick].reshape(-1), rhi[rows2, pick].reshape(-1))
+        alive_n = ok8[rows2, pick].reshape(-1)
+        any_alive = alive_n.reshape(W * 4, 2).any(axis=1)
+        depth_n = depth + any_alive.reshape(W, 4).astype(jnp.int32)
         return (
             u64.select(alive_n, fh_n, fh_c),
             u64.select(alive_n, rh_n, rh_c),
