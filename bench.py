@@ -6,13 +6,18 @@ dbgbf+cbf+rpkbf) on synthetic 150 bp reads at k=25 — the reference's
 stage-1 hot loop (RNABloom.java:760-905).  ``extra`` carries secondary
 metrics: end-to-end PE stage-2+3 throughput (pairs/s, fragment connect +
 EC + extendPE + screening on the chip) and the sharded-step scaling proxy
-measured on a virtual 8-device CPU mesh in a subprocess (the real
-multi-chip path; no multi-chip hardware is attached here).
+measured on a virtual 8-device CPU mesh (the real multi-chip path; no
+multi-chip hardware is attached here).
+
+Every phase runs in its own SUBPROCESS with a hard timeout and one retry:
+the tunneled TPU backend occasionally wedges on a lost reply (the client
+blocks forever on a TCP recv) and a hung phase must degrade to an error
+field, not hang the driver's bench run.
 
 Correctness gate: before timing, one batch is inserted through BOTH the
 sort-merge MXU-sweep path (ops/histmerge.py) and the plain scatter engine
 and the tables must be bit-identical ON THE REAL CHIP — CI pins
-JAX_PLATFORMS=cpu, so a Pallas miscompile could otherwise ship behind 170
+JAX_PLATFORMS=cpu, so a Pallas miscompile could otherwise ship behind
 green tests.
 
 vs_baseline: the reference's multi-thread Java baseline is NOT runnable in
@@ -25,22 +30,30 @@ JSON labels it "estimated" so it cannot be mistaken for a measurement.
 
 import json
 import os
+import subprocess
+import sys
 import time
-
-import numpy as np
 
 BASELINE_READS_PER_S = 320_000.0
 BASELINE_LABEL = "estimated-320k-reads-per-s (10x est. 4-thread Java; no JRE here to measure)"
+HERE = os.path.dirname(os.path.abspath(__file__))
 
 
-def _gate_merge_vs_scatter() -> None:
-    """Assert the MXU sort-merge insert path matches the scatter engine
-    bit-for-bit on this backend (counting add + bloom set)."""
-    import jax
-    import jax.numpy as jnp
+_STAGE1_CODE = r"""
+import json, time
+import numpy as np
+from rnabloom_tpu.cli import _enable_compilation_cache
+_enable_compilation_cache()
+import jax
+import jax.numpy as jnp
+from rnabloom_tpu.bloom.filters import BloomConfig, CountingConfig
+from rnabloom_tpu.graph import dbg
 
+out = {}
+
+
+def gate_merge_vs_scatter():
     from rnabloom_tpu.bloom import filters
-    from rnabloom_tpu.bloom.filters import BloomConfig, CountingConfig
     from rnabloom_tpu.ops.u64 import U64
 
     rng = np.random.default_rng(11)
@@ -57,9 +70,9 @@ def _gate_merge_vs_scatter() -> None:
     a = np.asarray(cm[: ccfg_m.size])
     b = np.asarray(cs[: ccfg_s.size])
     if not np.array_equal(a, b):
-        bad = int((a != b).sum())
-        raise AssertionError(f"merge-insert counters diverge from scatter on {bad} cells")
-
+        raise AssertionError(
+            f"merge-insert counters diverge from scatter on {int((a != b).sum())} cells"
+        )
     bcfg_m = BloomConfig(size_log2=20, num_hash=2, merge=True)
     bcfg_s = BloomConfig(size_log2=20, num_hash=2)
     bm = filters.bloom_add(filters.make_bloom(bcfg_m), bcfg_m, h, valid)
@@ -68,99 +81,54 @@ def _gate_merge_vs_scatter() -> None:
         raise AssertionError("merge-insert bloom lanes diverge from scatter")
 
 
-def main() -> None:
-    import jax
-    import jax.numpy as jnp
+read_len, k, batch = 150, 25, 16384
+merge = jax.default_backend() == "tpu"
+if merge:
+    gate_merge_vs_scatter()
+    out["merge_exactness_gate"] = "passed"
+cfg = dbg.GraphConfig(
+    k=k,
+    stranded=False,
+    dbgbf=BloomConfig(size_log2=30, num_hash=2),  # 1 Gi lanes
+    cbf=CountingConfig(
+        size_log2=28, num_hash=2, scratch_log2=22, blocked=not merge, merge=merge
+    ),
+    pkbf=BloomConfig(size_log2=28, num_hash=2, merge=merge),
+    read_pair_distance=90,
+)
+state = dbg.make_graph(cfg, with_rpkbf=True)
+rng = np.random.default_rng(0)
+batches = [
+    jnp.asarray(rng.integers(0, 4, size=(batch, read_len), dtype=np.uint8))
+    for _ in range(8)
+]
 
-    from rnabloom_tpu.cli import _enable_compilation_cache
 
-    _enable_compilation_cache()
+def nonzero_cells(c):
+    return float(jnp.sum((c[:-1] != 0).astype(jnp.float32)))
 
-    from rnabloom_tpu.bloom.filters import BloomConfig, CountingConfig
-    from rnabloom_tpu.graph import dbg
 
-    read_len = 150
-    k = 25
-    batch = 16384
-    # insert path: sort-merge MXU sweep on TPU (the pipeline default there),
-    # cache-blocked scatter elsewhere — mirrors stage1.default_graph_config
-    merge = jax.default_backend() == "tpu"
-    extra = {}
-    if merge:
-        # on-chip exactness gate for the Pallas/merge insert path (CI is
-        # CPU-only; a miscompiled kernel must not ship behind green tests)
-        _gate_merge_vs_scatter()
-        extra["merge_exactness_gate"] = "passed"
-    cfg = dbg.GraphConfig(
-        k=k,
-        stranded=False,
-        dbgbf=BloomConfig(size_log2=30, num_hash=2),  # 1 Gi lanes
-        cbf=CountingConfig(
-            size_log2=28, num_hash=2, scratch_log2=22, blocked=not merge, merge=merge
-        ),  # 1 GiB
-        pkbf=BloomConfig(size_log2=28, num_hash=2, merge=merge),
-        read_pair_distance=90,
+# warmup / compile
+state = dbg.build_step(state, cfg, batches[0], add_read_pairs=True, salt=0)
+nonzero_cells(state.cbf)  # also compiles the readback
+
+# timed region ends with a device reduction + host readback so that any
+# runtime-side async completion cannot flatter the number
+t0 = time.time()
+iters = 64
+for i in range(iters):
+    state = dbg.build_step(
+        state, cfg, batches[i % len(batches)], add_read_pairs=True, salt=i
     )
-    state = dbg.make_graph(cfg, with_rpkbf=True)
-
-    rng = np.random.default_rng(0)
-    batches = [
-        jnp.asarray(rng.integers(0, 4, size=(batch, read_len), dtype=np.uint8))
-        for _ in range(8)
-    ]
-
-    def nonzero_cells(c):
-        return float(jnp.sum((c[:-1] != 0).astype(jnp.float32)))
-
-    # warmup / compile
-    state = dbg.build_step(state, cfg, batches[0], add_read_pairs=True)
-    nonzero_cells(state.cbf)  # also compiles the readback
-
-    # timed region ends with a device reduction + host readback so that any
-    # runtime-side async completion cannot flatter the number
-    t0 = time.time()
-    iters = 64
-    for i in range(iters):
-        state = dbg.build_step(state, cfg, batches[i % len(batches)], add_read_pairs=True)
-    popcount = nonzero_cells(state.cbf)
-    dt = time.time() - t0
-    assert popcount > 1e6, "graph build produced an implausibly empty filter"
-
-    reads_per_s = batch * iters / dt
-
-    try:
-        extra["stage23_pairs_per_s"] = round(_bench_stage23(), 1)
-    except Exception as e:  # secondary metric must not sink the primary
-        extra["stage23_pairs_per_s"] = f"error: {e}"
-    try:
-        extra.update(_bench_sharded_cpu())
-    except Exception as e:
-        extra["sharded_cpu"] = f"error: {e}"
-
-    print(
-        json.dumps(
-            {
-                "metric": "stage1_reads_per_s_per_chip",
-                "value": round(reads_per_s, 1),
-                "unit": "reads/s (150bp, k=25, insert dbgbf+cbf+rpkbf)",
-                "vs_baseline": round(reads_per_s / BASELINE_READS_PER_S, 3),
-                "baseline": BASELINE_LABEL,
-                "extra": extra,
-            }
-        )
-    )
+popcount = nonzero_cells(state.cbf)
+dt = time.time() - t0
+assert popcount > 1e6, "graph build produced an implausibly empty filter"
+out["reads_per_s"] = batch * iters / dt
+print(json.dumps(out))
+"""
 
 
-def _bench_stage23() -> float:
-    """End-to-end PE stage 2+3 throughput (pairs/s) on synthetic reads.
-
-    Runs in a SUBPROCESS with a hard timeout: the tunneled TPU backend can
-    wedge on a lost reply mid-compile, and a hung secondary metric must not
-    hang the whole bench (the driver runs this file once per round)."""
-    import subprocess
-    import sys
-
-    code = r"""
+_STAGE23_CODE = r"""
 import gzip, json, shutil, tempfile, time
 import numpy as np
 from rnabloom_tpu.cli import _enable_compilation_cache
@@ -192,32 +160,13 @@ try:
     report = pl.assemble_pe(f"{tmp}/b_1.fq.gz", f"{tmp}/b_2.fq.gz", f"{tmp}/out", params)
     dt = time.time() - t0
     assert report.num_transcripts > 0
-    print(json.dumps({"pairs_per_s": report.num_pairs / dt}))
+    print(json.dumps({"stage23_pairs_per_s": round(report.num_pairs / dt, 1)}))
 finally:
     shutil.rmtree(tmp, ignore_errors=True)
 """
-    out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True,
-        timeout=3000, cwd=os.path.dirname(os.path.abspath(__file__)),
-    )
-    line = out.stdout.strip().split("\n")[-1]
-    return json.loads(line)["pairs_per_s"]
 
 
-def _bench_sharded_cpu() -> dict:
-    """Sharded stage-1 step + walk engine on a virtual 8-device CPU mesh
-    (subprocess — the attached TPU is one chip; this validates + times the
-    multi-chip programs).  Efficiency is a proxy: the 8 'devices' share one
-    host CPU.  ``sharded_walk_*`` answers VERDICT r2 item 9: is the sharded
-    walk engine viable for stage 3, or should the walk phase replicate the
-    graph instead?  Collective accounting: one walk superstep costs 2
-    routed gathers per hop (successor counts) x 2 all-to-alls each, plus 1
-    psum for loop control; the build step costs 1-2 all-to-alls per filter.
-    """
-    import subprocess
-    import sys
-
-    code = r"""
+_SHARDED_CODE = r"""
 import json, os, time
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
 os.environ["JAX_PLATFORMS"] = "cpu"
@@ -243,8 +192,8 @@ st = sharded.make_sharded_graph(cfg, mesh, with_rpkbf=True)
 st = step(st, codes)  # compile
 jax.block_until_ready(st.cbf)
 t0 = time.time()
-for _ in range(8):
-    st = step(st, codes)
+for i in range(8):
+    st = step(st, codes, i)
 jax.block_until_ready(st.cbf)
 dt8 = time.time() - t0
 
@@ -252,12 +201,13 @@ s1 = dbg.make_graph(cfg, with_rpkbf=True)
 s1 = dbg.build_step(s1, cfg, codes, add_read_pairs=True)
 jax.block_until_ready(s1.cbf)
 t0 = time.time()
-for _ in range(8):
-    s1 = dbg.build_step(s1, cfg, codes, add_read_pairs=True)
+for i in range(8):
+    s1 = dbg.build_step(s1, cfg, codes, add_read_pairs=True, salt=i)
 jax.block_until_ready(s1.cbf)
 dt1 = time.time() - t0
 
 # walk engine: 512 greedy walks, bound 200, over the sharded vs single graph
+# (VERDICT r2 item 9: is the sharded walk engine viable for stage 3?)
 wcfg = traverse.WalkConfig(max_len=256, lookahead=3)
 seeds = np.asarray(rng.integers(0, 4, size=(512, 25), dtype=np.uint8))
 ws = traverse.make_walks(cfg, wcfg, seeds)
@@ -280,12 +230,59 @@ print(json.dumps({
     "single_cpu_walk_lanes_per_s": round(512 / wdt1, 1),
 }))
 """
-    out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=900,
-        cwd=os.path.dirname(os.path.abspath(__file__)),
+
+
+def _run_phase(name: str, code: str, timeout_s: int, retries: int = 1) -> dict:
+    """Run one bench phase in a subprocess; on timeout/crash, retry once."""
+    last_err = ""
+    for attempt in range(retries + 1):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True, text=True,
+                timeout=timeout_s, cwd=HERE,
+            )
+        except subprocess.TimeoutExpired:
+            last_err = f"timeout after {timeout_s}s (attempt {attempt + 1})"
+            continue
+        if out.returncode == 0:
+            try:
+                return json.loads(out.stdout.strip().split("\n")[-1])
+            except (json.JSONDecodeError, IndexError):
+                last_err = f"unparseable output: {out.stdout[-300:]!r}"
+                continue
+        last_err = (out.stderr or out.stdout)[-400:]
+    return {"error": f"{name}: {last_err}"}
+
+
+def main() -> None:
+    extra = {}
+    s1 = _run_phase("stage1", _STAGE1_CODE, timeout_s=1500, retries=1)
+    reads_per_s = float(s1.get("reads_per_s", 0.0))
+    if "merge_exactness_gate" in s1:
+        extra["merge_exactness_gate"] = s1["merge_exactness_gate"]
+    if "error" in s1:
+        extra["stage1_error"] = s1["error"]
+
+    s23 = _run_phase("stage23", _STAGE23_CODE, timeout_s=3000, retries=1)
+    extra["stage23_pairs_per_s"] = s23.get(
+        "stage23_pairs_per_s", s23.get("error", "missing")
     )
-    line = out.stdout.strip().split("\n")[-1]
-    return json.loads(line)
+
+    sh = _run_phase("sharded_cpu", _SHARDED_CODE, timeout_s=1200, retries=1)
+    extra.update({k: v for k, v in sh.items()})
+
+    print(
+        json.dumps(
+            {
+                "metric": "stage1_reads_per_s_per_chip",
+                "value": round(reads_per_s, 1),
+                "unit": "reads/s (150bp, k=25, insert dbgbf+cbf+rpkbf)",
+                "vs_baseline": round(reads_per_s / BASELINE_READS_PER_S, 3),
+                "baseline": BASELINE_LABEL,
+                "extra": extra,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

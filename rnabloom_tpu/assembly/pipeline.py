@@ -87,6 +87,7 @@ class PipelineParams:
     sketch_overlap_prop: float = 0.0  # -sop
     sketch_overlap_num: int = 0  # -son
     hpc: bool = False  # -hpc: HPC minimizers in clustered OLC
+    write_paf: bool = False  # -paf: write the ava overlaps as PAF
     # per-filter overrides, 0 = inherit (-sh/-dh/-ch/-ph, -sm/-dm/-cm/-pm)
     sbf_hash: int = 0
     dbgbf_hash: int = 0
@@ -1039,6 +1040,21 @@ def assemble_long(
         op.w = params.minimizer_window
     if params.sketch_overlap_num > 0:
         op.min_shared = params.sketch_overlap_num
+    if params.write_paf and corrected:
+        # -paf: the reference's OLC stage leaves `*.ava.paf.gz` behind
+        # (olc/OverlapLayoutConsensus.java:78-106); emit the internal
+        # engine's all-vs-all overlaps in the same format for interop
+        from ..io import paf as pafmod
+        from ..olc import overlap as olc_overlap_mod
+
+        mk = params.minimizer_size or k
+        mins = olc_overlap_mod.extract_minimizers_reads(corrected, mk, op.w)
+        ov = olc_overlap_mod.find_overlaps(mins, op)
+        pafmod.write_paf(
+            os.path.join(outdir, f"{params.name}.ava.paf"),
+            pafmod.overlaps_to_paf(ov, mins.lengths, mk),
+        )
+
     res = olc_layout.unique_olc(
         corrected,
         params.minimizer_size or k,  # -m: OLC minimizer size

@@ -57,6 +57,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-pm", "--pkbf-mem", dest="pkbf_mem", type=float, default=0,
                    help="memory (GB) for the paired-k-mers Bloom filter [auto]")
     p.add_argument("-batch", "--batch", type=int, default=8192, help="stage-2 pair batch size")
+    p.add_argument("-paf", "--paf", action="store_true",
+                   help="long reads: also write the all-vs-all overlaps as PAF")
     p.add_argument("-cnt", "--counter", choices=("mf8", "u16", "int32"), default="mf8",
                    help="counter cell width: mf8 = 1 B/cell MiniFloat (reference "
                         "memory parity), u16/int32 = exact counters [mf8]")
@@ -248,6 +250,7 @@ def main(argv=None) -> int:
         sketch_overlap_num=args.son,
         hpc=args.hpc,
         counter=args.counter,
+        write_paf=args.paf,
     )
     if args.mmopt:
         print("note: -mmopt ignored (internal overlapper replaces minimap2)",

@@ -92,6 +92,28 @@ def write_paf(path: str, records) -> None:
             f.write(line + "\n")
 
 
+def overlaps_to_paf(ov, lengths, k: int, name_fmt: str = "lr.{}") -> Iterator[PafRecord]:
+    """PAF records from an internal ``olc.overlap.Overlaps`` set — the
+    interop bridge from the internal ava engine to the reference's PAF
+    intermediates (olc/OverlapLayoutConsensus.java writes `ava.paf.gz`;
+    `-paf` requests the same artifact here).  ``num_match`` approximates
+    matched bases as shared_minimizers * k; ``mapq`` is left at 255."""
+    for i in range(len(ov)):
+        q, t = int(ov.q[i]), int(ov.t[i])
+        span = int(
+            max(ov.q_end[i] - ov.q_start[i], ov.t_end[i] - ov.t_start[i])
+        )
+        yield PafRecord(
+            qname=name_fmt.format(q), qlen=int(lengths[q]),
+            qstart=int(ov.q_start[i]), qend=int(ov.q_end[i]),
+            strand="+" if int(ov.strand[i]) == 1 else "-",
+            tname=name_fmt.format(t), tlen=int(lengths[t]),
+            tstart=int(ov.t_start[i]), tend=int(ov.t_end[i]),
+            num_match=min(int(ov.shared[i]) * k, span),
+            block_len=span, mapq=255,
+        )
+
+
 def has_good_overlap(r: PafRecord, min_identity: float) -> bool:
     """PafUtils.hasGoodOverlap: alignment identity over the block."""
     return r.block_len > 0 and r.num_match / r.block_len >= min_identity

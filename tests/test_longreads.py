@@ -321,3 +321,33 @@ def test_minimizer_extraction_bounded_memory():
     # dense padding would exceed 100001 * 8192 * (1 + 8 + 8) B ~= 14 GB;
     # chunked extraction keeps the whole process under a few GB
     assert rss_gb < 4.0, f"RSS {rss_gb:.2f} GB — minimizer path not bounded"
+
+
+def test_long_pipeline_writes_paf(tmp_path):
+    """-paf leaves the internal ava overlaps as a PAF artifact that the
+    reader round-trips (the reference's `*.ava.paf.gz` interop)."""
+    from rnabloom_tpu.assembly import pipeline as pl
+    from rnabloom_tpu.io import paf as pafmod
+
+    rng = np.random.default_rng(31)
+    t = "".join(rng.choice(list("ACGT"), size=900))
+    reads = []
+    for _ in range(40):
+        s = rng.integers(0, 300)
+        reads.append(t[s : s + 600])
+    path = tmp_path / "lr.fa"
+    with open(path, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f">r{i}\n{r}\n")
+    params = pl.PipelineParams(
+        total_mem_bytes=1 << 24, min_transcript_length=300, write_paf=True
+    )
+    rep = pl.assemble_long([str(path)], str(tmp_path / "out"), params)
+    paf_path = tmp_path / "out" / "rnabloom.ava.paf"
+    assert paf_path.exists()
+    recs = list(pafmod.read_paf(str(paf_path)))
+    assert recs, "no overlaps written"
+    for r in recs[:5]:
+        assert r.qlen > 0 and r.tlen > 0
+        assert 0 <= r.qstart < r.qend <= r.qlen
+        assert r.strand in "+-"
