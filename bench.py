@@ -223,11 +223,39 @@ t0 = time.time()
 ws1 = traverse.extend_walks(traverse.make_walks(cfg, wcfg, seeds), s1, cfg, wcfg, 1.0, 200)
 jax.block_until_ready(ws1.pos)
 wdt1 = time.time() - t0
+
+# replicated walk engine (engine.extend_walks default on a mesh): one
+# all-gather of the filters, then collective-free DP supersteps
+from rnabloom_tpu.graph import engine as geng
+mg = geng.MeshGraph(mesh=mesh, state=st)
+wsr = geng.extend_walks(traverse.make_walks(cfg, wcfg, seeds), mg, cfg, wcfg, 1.0, 200)
+jax.block_until_ready(wsr.pos)
+t0 = time.time()
+wsr = geng.extend_walks(traverse.make_walks(cfg, wcfg, seeds), mg, cfg, wcfg, 1.0, 200)
+jax.block_until_ready(wsr.pos)
+wdtr = time.time() - t0
+# trace-time collective accounting (VERDICT r2 item 9): collectives per
+# routing round / walk superstep and per-shard payload bytes — the numbers
+# that decide sharded vs replicated graphs for multi-chip stage 3
+# fresh closures: eval_shape on the already-compiled step would hit the
+# jit trace cache and never re-run the accounting hooks
+with sharded.comm_accounting() as comm_build:
+    jax.eval_shape(sharded.sharded_build_step(mesh, cfg, add_read_pairs=True), st, codes)
+with sharded.comm_accounting() as comm_walk:
+    # 256 lanes (not 512): a distinct aval forces a retrace past any
+    # module-level jit cache inside the walk factory
+    jax.eval_shape(
+        sharded.sharded_extend_walks(mesh, cfg, wcfg, "greedy", True, False),
+        traverse.make_walks(cfg, wcfg, seeds[:256]), st, 1.0, 200,
+    )
 print(json.dumps({
     "sharded8_cpu_reads_per_s": round(4096 * 8 / dt8, 1),
     "single_cpu_reads_per_s": round(4096 * 8 / dt1, 1),
     "sharded8_cpu_walk_lanes_per_s": round(512 / wdt8, 1),
+    "replicated8_cpu_walk_lanes_per_s": round(512 / wdtr, 1),
     "single_cpu_walk_lanes_per_s": round(512 / wdt1, 1),
+    "build_step_comm": comm_build,
+    "walk_superstep_comm": comm_walk,
 }))
 """
 

@@ -18,6 +18,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Optional, Tuple
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -226,12 +228,33 @@ def _variant_exists_jit(graph: GraphState, cfg: GraphConfig, codes: jax.Array):
     return jnp.where(valid, out, False), valid
 
 
+def _use_replicated() -> bool:
+    """Mesh read-only queries/walks default to the replicated engine; set
+    RNB_MESH_WALK=routed for graphs too large to fit one device's HBM."""
+    return os.environ.get("RNB_MESH_WALK", "replicated") == "replicated"
+
+
+def _dp_codes(graph, codes):
+    """Pad a host code batch to the device count and DP-shard its rows."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    codes = np.asarray(codes)
+    B = codes.shape[0]
+    padded = jnp.asarray(_pad_rows(codes, graph.mesh.devices.size))
+    sh = NamedSharding(graph.mesh, P(graph.mesh.axis_names[0], None))
+    return jax.device_put(padded, sh), B
+
+
 def count_step(graph, cfg: GraphConfig, codes) -> Tuple[jax.Array, jax.Array]:
     """(counts (B, P) float32, valid) for every k-mer of a code batch."""
     if not is_sharded(graph):
         return dbg.count_step(graph, cfg, jnp.asarray(codes))
     from ..parallel import sharded
 
+    if _use_replicated():
+        padded, B = _dp_codes(graph, codes)
+        counts, valid = dbg.count_step(_replicated_graph(graph, cfg), cfg, padded)
+        return counts[:B], valid[:B]
     q = graph._prog(
         ("count", cfg), lambda: sharded.sharded_count_query(graph.mesh, cfg)
     )
@@ -249,6 +272,16 @@ def pair_support_both(graph, cfg: GraphConfig, codes, d_frag: int, d_read: int) 
         )
     from ..parallel import sharded
 
+    if _use_replicated():
+        padded, B = _dp_codes(graph, codes)
+        rep = _replicated_graph(graph, cfg)
+        # a missing filter answers a False plane (matches the routed engine)
+        out = _pair_support_both_jit(
+            rep, cfg, padded,
+            d_frag if rep.fpkbf is not None else 0,
+            d_read if rep.rpkbf is not None else 0,
+        )
+        return np.asarray(out)[:, :B]
     rpk, fpk = graph._flags()
     q = graph._prog(
         ("pair", cfg, d_frag, d_read),
@@ -266,6 +299,10 @@ def variant_exists(graph, cfg: GraphConfig, codes) -> Tuple[np.ndarray, np.ndarr
         return np.asarray(hit), np.asarray(valid)
     from ..parallel import sharded
 
+    if _use_replicated():
+        padded, B = _dp_codes(graph, codes)
+        hit, valid = _variant_exists_jit(_replicated_graph(graph, cfg), cfg, padded)
+        return np.asarray(hit)[:B], np.asarray(valid)[:B]
     rpk, fpk = graph._flags()
     q = graph._prog(
         ("variant", cfg),
@@ -277,13 +314,70 @@ def variant_exists(graph, cfg: GraphConfig, codes) -> Tuple[np.ndarray, np.ndarr
     return np.asarray(hit)[:B], np.asarray(valid)[:B]
 
 
+def _replicated_graph(graph, cfg: GraphConfig):
+    """Cached merged+replicated GraphState for the current filter contents.
+
+    Invalidated whenever ``graph.state`` is rebound (build/rebuild steps
+    replace the state tuple, so identity tracks mutation)."""
+    from ..parallel import sharded
+
+    cached = graph._programs.get("rep_graph")
+    if cached is not None and cached[0] is graph.state:
+        return cached[1]
+    rep = sharded.replicate_graph(graph.mesh, graph.state, cfg)
+    graph._programs["rep_graph"] = (graph.state, rep)
+    return rep
+
+
+def _pad_lanes(tree, pad: int):
+    """Append ``pad`` copies of lane 0 along axis 0 of every leaf."""
+    return jax.tree.map(
+        lambda x: jnp.concatenate(
+            [x, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])]
+        ),
+        tree,
+    )
+
+
 def extend_walks(
     wstate, graph, cfg: GraphConfig, wcfg, min_cov, bound, mode: str = "greedy"
 ):
-    """Walk extension on whichever engine owns the filters."""
+    """Walk extension on whichever engine owns the filters.
+
+    On a mesh the default is the REPLICATED engine: the filters are merged
+    and all-gathered into every device's HBM once per graph version, walk
+    lanes are data-parallel, and supersteps are collective-free.  The
+    routed (hash-range-sharded) engine costs ~13 collectives per superstep
+    on KB payloads (``sharded.comm_accounting``) — ICI-latency-bound and
+    ~1000x slower on the 8-device CPU proxy — so it is kept only for
+    graphs too large to replicate (``RNB_MESH_WALK=routed``).
+    """
     if not is_sharded(graph):
         return traverse.extend_walks(wstate, graph, cfg, wcfg, min_cov, bound, mode=mode)
     from ..parallel import sharded
+
+    if os.environ.get("RNB_MESH_WALK", "replicated") == "replicated":
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = _replicated_graph(graph, cfg)
+        n = graph.mesh.devices.size
+        axis = graph.mesh.axis_names[0]
+        W = int(wstate.pos.shape[0])
+        min_cov = jnp.broadcast_to(jnp.asarray(min_cov, jnp.float32), (W,))
+        bound = jnp.broadcast_to(jnp.asarray(bound, jnp.int32), (W,))
+        pad = (-W) % n
+        if pad:
+            wstate, min_cov, bound = (
+                _pad_lanes(wstate, pad), _pad_lanes(min_cov, pad), _pad_lanes(bound, pad)
+            )
+        lane = lambda x: jax.device_put(
+            x, NamedSharding(graph.mesh, P(axis, *([None] * (x.ndim - 1))))
+        )
+        out = traverse.extend_walks(
+            jax.tree.map(lane, wstate), rep, cfg, wcfg,
+            lane(min_cov), lane(bound), mode=mode,
+        )
+        return jax.tree.map(lambda x: x[:W], out) if pad else out
 
     rpk, fpk = graph._flags()
     run = graph._prog(

@@ -227,3 +227,62 @@ def test_sharded_skewed_batch_matches_single(cfg):
     c8, v8 = query(s8, probes)
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v8))
     np.testing.assert_array_equal(np.asarray(c1), np.asarray(c8))
+
+
+def test_comm_accounting_build_step():
+    """Trace-time collective accounting (VERDICT r2, sharded cost item).
+
+    The build step's documented schedule is 6 all-to-alls + 1 psum per
+    routing round (module docstring); the accounting must see exactly the
+    collectives the trace schedules, with non-zero byte volumes.  Single-
+    round case (tiny batch): no while_loop, so no completion-psum.
+    """
+    mesh = sharded.make_mesh(8)
+    cfg_ = dbg.GraphConfig(
+        k=K, stranded=False,
+        dbgbf=BloomConfig(size_log2=16, num_hash=2),
+        cbf=CountingConfig(size_log2=16, num_hash=2, scratch_log2=20),
+        pkbf=BloomConfig(size_log2=16, num_hash=2),
+        read_pair_distance=20,
+        exact_counts=True,  # conservative-update path: gathers + scratch psum
+    )
+    step = sharded.sharded_build_step(mesh, cfg_, add_read_pairs=True)
+    st = sharded.make_sharded_graph(cfg_, mesh, with_rpkbf=True)
+    codes = encode_batch([rand_seq(64) for _ in range(32)], 64)
+    with sharded.comm_accounting() as comm:
+        jax.eval_shape(step, st, codes)
+    # dbgbf insert+lookup, cbf gather + scatter-max, rpkbf insert — each
+    # routing leg is one a2a; the documented schedule is >= 6 per round
+    assert comm["all_to_all"] >= 6
+    assert comm["psum"] >= 1  # scratch-sketch allreduce
+    assert comm["a2a_bytes_per_shard"] > 0
+    assert comm["psum_bytes_per_shard"] > 0
+    # accounting is trace-scoped: outside the context nothing is counted
+    before = dict(comm)
+    jax.eval_shape(step, st, codes)
+    assert comm == before
+
+
+def test_comm_accounting_walk_superstep():
+    from rnabloom_tpu.graph import traverse
+
+    mesh = sharded.make_mesh(8)
+    cfg_ = dbg.GraphConfig(
+        k=K, stranded=False,
+        dbgbf=BloomConfig(size_log2=16, num_hash=2),
+        cbf=CountingConfig(size_log2=16, num_hash=2, scratch_log2=20),
+        pkbf=BloomConfig(size_log2=16, num_hash=2),
+        read_pair_distance=20,
+    )
+    st = sharded.make_sharded_graph(cfg_, mesh, with_rpkbf=True)
+    wcfg = traverse.WalkConfig(max_len=64, lookahead=3)
+    seeds = np.asarray([ref.encode(rand_seq(K)) for _ in range(16)], np.uint8)
+    ws = traverse.make_walks(cfg_, wcfg, seeds)
+    run = sharded.sharded_extend_walks(mesh, cfg_, wcfg, "greedy", True, False)
+    with sharded.comm_accounting() as comm:
+        jax.eval_shape(run, ws, st, 1.0, 32)
+    # each superstep routes candidate counts (a2a gathers) and agrees on
+    # continuation (psum); the while body traces once, so these counts are
+    # the per-superstep collective schedule
+    assert comm["all_to_all"] >= 2
+    assert comm["psum"] >= 1
