@@ -128,41 +128,59 @@ print(json.dumps(out))
 """
 
 
-_STAGE23_CODE = r"""
-import gzip, json, shutil, tempfile, time
+_STAGE23_COMMON = r"""
+import gzip, json, os, shutil, time
 import numpy as np
 from rnabloom_tpu.cli import _enable_compilation_cache
 _enable_compilation_cache()
 from rnabloom_tpu.assembly import pipeline as pl
 from rnabloom_tpu.utils import seq as sequtils
 
-rng = np.random.default_rng(3)
-tmp = tempfile.mkdtemp(prefix="rb_bench_")
-try:
+TMP = "/tmp/rb_bench_s23"
+
+def make_data():
+    rng = np.random.default_rng(3)
+    os.makedirs(TMP, exist_ok=True)
     transcripts = ["".join(rng.choice(list("ACGT"), size=800)) for _ in range(8)]
     q = "I" * 150
-    n_pairs = 0
-    with gzip.open(f"{tmp}/b_1.fq.gz", "wt") as fl, gzip.open(
-        f"{tmp}/b_2.fq.gz", "wt"
+    n = 0
+    with gzip.open(f"{TMP}/b_1.fq.gz", "wt") as fl, gzip.open(
+        f"{TMP}/b_2.fq.gz", "wt"
     ) as fr:
         for t in transcripts:
-            for _ in range(2048):
+            for _ in range(1024):
                 s = rng.integers(0, len(t) - 300 + 1)
                 frag = t[s : s + 300]
-                fl.write(f"@r{n_pairs}/1\n{frag[:150]}\n+\n{q}\n")
-                fr.write(f"@r{n_pairs}/2\n{sequtils.revcomp(frag[-150:])}\n+\n{q}\n")
-                n_pairs += 1
+                fl.write(f"@r{n}/1\n{frag[:150]}\n+\n{q}\n")
+                fr.write(f"@r{n}/2\n{sequtils.revcomp(frag[-150:])}\n+\n{q}\n")
+                n += 1
+
+def run(out):
+    shutil.rmtree(out, ignore_errors=True)
     params = pl.PipelineParams(total_mem_bytes=1 << 26, sample_size=500, no_reduce=True)
-    # warm-up pass compiles every stage-2/3 kernel shape (cached
-    # persistently); the timed pass measures steady-state throughput
-    pl.assemble_pe(f"{tmp}/b_1.fq.gz", f"{tmp}/b_2.fq.gz", f"{tmp}/warm", params)
-    t0 = time.time()
-    report = pl.assemble_pe(f"{tmp}/b_1.fq.gz", f"{tmp}/b_2.fq.gz", f"{tmp}/out", params)
-    dt = time.time() - t0
-    assert report.num_transcripts > 0
-    print(json.dumps({"stage23_pairs_per_s": round(report.num_pairs / dt, 1)}))
-finally:
-    shutil.rmtree(tmp, ignore_errors=True)
+    return pl.assemble_pe(f"{TMP}/b_1.fq.gz", f"{TMP}/b_2.fq.gz", out, params)
+"""
+
+# warm and timed passes run in SEPARATE subprocesses over a persistent
+# dataset: the tunneled backend wedges most often during stage-3's long
+# dispatch streams, and splitting the passes makes each retry short and
+# independent (the persistent XLA cache carries the warm pass's compiles)
+_STAGE23_WARM_CODE = _STAGE23_COMMON + r"""
+shutil.rmtree(TMP, ignore_errors=True)
+make_data()
+t0 = time.time()
+report = run(f"{TMP}/warm")
+print(json.dumps({"warm_s": round(time.time() - t0, 1)}))
+"""
+
+_STAGE23_TIMED_CODE = _STAGE23_COMMON + r"""
+if not os.path.exists(f"{TMP}/b_1.fq.gz"):
+    make_data()
+t0 = time.time()
+report = run(f"{TMP}/out")
+dt = time.time() - t0
+assert report.num_transcripts > 0
+print(json.dumps({"stage23_pairs_per_s": round(report.num_pairs / dt, 1)}))
 """
 
 
@@ -291,7 +309,14 @@ def main() -> None:
     if "error" in s1:
         extra["stage1_error"] = s1["error"]
 
-    s23 = _run_phase("stage23", _STAGE23_CODE, timeout_s=3000, retries=1)
+    # bounded attempts instead of one long one: a tunnel wedge (client
+    # blocked on TCP recv) costs at most one short attempt, and because
+    # every attempt shares the persistent XLA compile cache, a timed-out
+    # cold attempt's compiles are NOT lost — the retry resumes from them
+    s23w = _run_phase("stage23_warm", _STAGE23_WARM_CODE, timeout_s=1400, retries=2)
+    if "warm_s" in s23w:
+        extra["stage23_warm_s"] = s23w["warm_s"]
+    s23 = _run_phase("stage23_timed", _STAGE23_TIMED_CODE, timeout_s=900, retries=2)
     extra["stage23_pairs_per_s"] = s23.get(
         "stage23_pairs_per_s", s23.get("error", "missing")
     )

@@ -88,6 +88,7 @@ class PipelineParams:
     sketch_overlap_num: int = 0  # -son
     hpc: bool = False  # -hpc: HPC minimizers in clustered OLC
     write_paf: bool = False  # -paf: write the ava overlaps as PAF
+    paf_in: str = ""  # -pafin: external ava PAF replaces the internal overlapper
     # per-filter overrides, 0 = inherit (-sh/-dh/-ch/-ph, -sm/-dm/-cm/-pm)
     sbf_hash: int = 0
     dbgbf_hash: int = 0
@@ -1055,6 +1056,21 @@ def assemble_long(
             pafmod.overlaps_to_paf(ov, mins.lengths, mk),
         )
 
+    ext_ov = None
+    if params.paf_in:
+        # -pafin: an external all-vs-all PAF over the corrected reads
+        # (named lr.<i>, the names this pipeline writes) replaces the
+        # internal minimizer engine for unique extraction — the interop
+        # inverse of -paf (reference overlap source:
+        # olc/OverlapLayoutConsensus.java:78-106)
+        from ..io import paf as pafmod2
+
+        ext_ov = pafmod2.paf_to_overlaps(
+            params.paf_in,
+            {f"lr.{i}": i for i in range(len(corrected))},
+            params.minimizer_size or k,
+            min_identity=params.lr_overlap_prop,
+        )
     res = olc_layout.unique_olc(
         corrected,
         params.minimizer_size or k,  # -m: OLC minimizer size
@@ -1064,6 +1080,7 @@ def assemble_long(
         min_seq_depth=params.lr_min_depth or max(int(lr_min_cov), 1),
         polya_finder=lambda codes: polya.find_polya_tail(codes) is not None,
         seed_indices=seed_indices,
+        external_overlaps=ext_ov,
     )
     assembled = res.transcripts
     tx_counts = res.counts

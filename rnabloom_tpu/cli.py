@@ -59,6 +59,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-batch", "--batch", type=int, default=8192, help="stage-2 pair batch size")
     p.add_argument("-paf", "--paf", action="store_true",
                    help="long reads: also write the all-vs-all overlaps as PAF")
+    p.add_argument("-pafin", "--pafin", default="",
+                   help="long reads: use this external all-vs-all PAF (reads "
+                        "named lr.<i>) instead of the internal overlapper")
     p.add_argument("-cnt", "--counter", choices=("mf8", "u16", "int32"), default="mf8",
                    help="counter cell width: mf8 = 1 B/cell MiniFloat (reference "
                         "memory parity), u16/int32 = exact counters [mf8]")
@@ -173,8 +176,30 @@ def _enable_compilation_cache() -> None:
         pass  # cache is an optimization only
 
 
+def _expand_at(paths):
+    """`@file` list indirection (RNABloom.java:5786-5792): an input given
+    as @list.txt expands to the non-empty lines of list.txt."""
+    if paths is None:
+        return None
+    single = isinstance(paths, str)
+    out = []
+    for p in [paths] if single else paths:
+        if p and p.startswith("@"):
+            with open(p[1:]) as f:
+                out.extend(ln.strip() for ln in f if ln.strip())
+        else:
+            out.append(p)
+    if single:
+        if len(out) != 1:
+            raise SystemExit("@list for a single-file option must contain exactly one path")
+        return out[0]
+    return out
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    for attr in ("left", "right", "sef", "ser", "long_reads"):
+        setattr(args, attr, _expand_at(getattr(args, attr)))
     if args.coordinator:
         from rnabloom_tpu.parallel import multihost
 
@@ -251,6 +276,7 @@ def main(argv=None) -> int:
         hpc=args.hpc,
         counter=args.counter,
         write_paf=args.paf,
+        paf_in=args.pafin,
     )
     if args.mmopt:
         print("note: -mmopt ignored (internal overlapper replaces minimap2)",

@@ -121,3 +121,47 @@ def has_good_overlap(r: PafRecord, min_identity: float) -> bool:
 
 def has_good_alignment(r: PafRecord, max_indel: int, min_identity: float) -> bool:
     return has_good_overlap(r, min_identity) and r.max_indel() <= max_indel
+
+
+def paf_to_overlaps(
+    path: str,
+    names: "Sequence[str] | dict",
+    k: int,
+    min_identity: float = 0.0,
+):
+    """The inverse interop bridge: an external all-vs-all PAF (e.g. from
+    minimap2, the reference's overlap source — olc/OverlapLayoutConsensus
+    .java:78-106) becomes an internal ``olc.overlap.Overlaps`` SoA set
+    feeding ``unique_olc``.
+
+    ``names``: read-name -> index mapping (a dict, or a sequence whose
+    positions define indices).  Records naming unknown reads, self-hits,
+    and records under ``min_identity`` (PafUtils.hasGoodOverlap) are
+    dropped.  ``shared`` is reconstructed as ceil(num_match / k) — the
+    internal engine's shared-minimizer count at equivalent match mass.
+    """
+    import numpy as np
+    from ..olc.overlap import Overlaps
+
+    if not isinstance(names, dict):
+        names = {n: i for i, n in enumerate(names)}
+    q, t, strand, qs, qe, ts, te, sh = [], [], [], [], [], [], [], []
+    for r in read_paf(path):
+        if min_identity > 0.0 and not has_good_overlap(r, min_identity):
+            continue
+        qi, ti = names.get(r.qname), names.get(r.tname)
+        if qi is None or ti is None or qi == ti:
+            continue
+        q.append(qi)
+        t.append(ti)
+        strand.append(1 if r.strand == "+" else -1)
+        qs.append(r.qstart)
+        qe.append(r.qend)
+        ts.append(r.tstart)
+        te.append(r.tend)
+        sh.append(max(1, -(-r.num_match // k)))
+    mk = lambda a: np.asarray(a, np.int64)
+    return Overlaps(
+        q=mk(q), t=mk(t), strand=mk(strand), q_start=mk(qs), q_end=mk(qe),
+        t_start=mk(ts), t_end=mk(te), shared=mk(sh),
+    )

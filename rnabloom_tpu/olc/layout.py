@@ -207,6 +207,7 @@ def unique_olc(
     polish_min_depth: int = 2,
     polya_finder=None,
     seed_indices: Optional[Sequence[int]] = None,
+    external_overlaps=None,
 ) -> UniqueOLCResult:
     """Full internal uniqueOLC: unique reads -> unitigs -> polish ->
     greedy transcript layout.
@@ -214,7 +215,11 @@ def unique_olc(
     ``seed_indices``: run the unique-extraction/unitig steps over this
     subset only (the -lrsub seed reads; RNABloom.java:7424 passes the
     seed FASTA as uniqueOLC's input while ALL corrected reads are still
-    mapped for polish and counts)."""
+    mapped for polish and counts).
+
+    ``external_overlaps``: precomputed ava overlap set (an interop PAF
+    read back through io.paf.paf_to_overlaps) used for unique extraction
+    instead of the internal minimizer engine (ignored when seeding)."""
     params = params or OverlapParams()
     if not reads:
         return UniqueOLCResult([], [])
@@ -231,7 +236,13 @@ def unique_olc(
         kept_sub = extract_unique(overlaps, s_lens, params, min_seq_depth, s_polya)
         kept = [sub[i] for i in kept_sub] or sub
     else:
-        overlaps = find_overlaps(all_mins, params)
+        # external ava overlaps (e.g. minimap2 PAF via io.paf.paf_to_overlaps)
+        # stand in for the internal engine in the unique-extraction step —
+        # the reference's overlap source (olc/OverlapLayoutConsensus.java:78-106)
+        overlaps = (
+            external_overlaps if external_overlaps is not None
+            else find_overlaps(all_mins, params)
+        )
         kept = extract_unique(overlaps, lens, params, min_seq_depth, polya_flags)
         if not kept:
             kept = list(range(len(reads)))

@@ -351,3 +351,47 @@ def test_long_pipeline_writes_paf(tmp_path):
         assert r.qlen > 0 and r.tlen > 0
         assert 0 <= r.qstart < r.qend <= r.qlen
         assert r.strand in "+-"
+
+
+def test_pafin_roundtrip_feeds_olc(tmp_path):
+    """-pafin: an external ava PAF (here: our own -paf artifact, standing
+    in for minimap2) replaces the internal overlapper and still assembles
+    the same transcript set — the read-side interop bridge
+    (olc/OverlapLayoutConsensus.java:78-106)."""
+    from rnabloom_tpu.assembly import pipeline as pl
+    from rnabloom_tpu.io import paf as pafmod
+
+    rng = np.random.default_rng(32)
+    t = "".join(rng.choice(list("ACGT"), size=900))
+    reads = []
+    for _ in range(40):
+        s = rng.integers(0, 300)
+        reads.append(t[s : s + 600])
+    path = tmp_path / "lr.fa"
+    with open(path, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f">r{i}\n{r}\n")
+    params = pl.PipelineParams(
+        total_mem_bytes=1 << 24, min_transcript_length=300, write_paf=True
+    )
+    pl.assemble_long([str(path)], str(tmp_path / "a"), params)
+    paf_path = str(tmp_path / "a" / "rnabloom.ava.paf")
+
+    # SoA round-trip: write -> read back preserves geometry
+    n_corr = sum(1 for _ in open(tmp_path / "a" / "rnabloom.longreads.corrected.long.fa") if _.startswith(">"))
+    ov = pafmod.paf_to_overlaps(paf_path, {f"lr.{i}": i for i in range(n_corr)}, 17)
+    assert len(ov) > 0
+    assert (ov.q_end > ov.q_start).all() and (ov.t_end > ov.t_start).all()
+    assert set(np.unique(ov.strand)) <= {-1, 1}
+
+    params2 = pl.PipelineParams(
+        total_mem_bytes=1 << 24, min_transcript_length=300, paf_in=paf_path
+    )
+    rep2 = pl.assemble_long([str(path)], str(tmp_path / "b"), params2)
+    assert rep2.num_transcripts > 0
+    # same input + equivalent overlap source -> same assembled transcript
+    fa = lambda d: sorted(
+        l.strip().upper() for l in open(tmp_path / d / "rnabloom.transcripts.fa")
+        if not l.startswith(">")
+    )
+    assert fa("a") == fa("b")

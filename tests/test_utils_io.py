@@ -230,3 +230,20 @@ def test_cli_parses_reference_option_surface():
     assert a.sbf_hash == 3 and a.dbgbf_mem == 0.5
     assert a.mincov == 2 and a.errcorritr == 1 and a.maxcovgrad == 0.4
     assert a.stratum == "e2" and a.polya == 12 and a.stage == 2
+
+
+def test_cli_at_file_indirection(tmp_path):
+    """`@list` inputs expand to the file's lines (RNABloom.java:5786-5792)."""
+    from rnabloom_tpu import cli
+
+    lst = tmp_path / "reads.txt"
+    lst.write_text("a.fa\nb.fa\n\n")
+    assert cli._expand_at([f"@{lst}", "c.fa"]) == ["a.fa", "b.fa", "c.fa"]
+    assert cli._expand_at("x.fq") == "x.fq"
+    one = tmp_path / "one.txt"
+    one.write_text("only.fq\n")
+    assert cli._expand_at(f"@{one}") == "only.fq"
+    import pytest
+
+    with pytest.raises(SystemExit):
+        cli._expand_at(f"@{lst}")  # two paths for a single-file option
