@@ -228,6 +228,7 @@ def correct_batch(
     changed = np.zeros(B, dtype=bool)
 
     for _ in range(params.rounds):
+        engine._tick("query")
         counts, valid, thr, found = _ec_stats(
             graph, cfg, codes, params.max_cov_gradient, params.cov_fpr
         )
@@ -334,6 +335,7 @@ def correct_batch(
         Mp = 1 << max(6, (M - 1).bit_length())
         wins_np = np.full((Mp, win_len), 4, np.uint8)
         wins_np[:M] = np.stack(wins)
+        engine._tick("query")
         mn, med = jax.device_get(_window_scores(graph, cfg, jnp.asarray(wins_np)))
         mn = mn[:M]
         med = med[:M]

@@ -120,35 +120,11 @@ def _pair_support(graph, cfg: GraphConfig, codes) -> np.ndarray:
     return engine.pair_support_both(graph, cfg, codes, 0, cfg.read_pair_distance)[1]
 
 
-from functools import partial as _partial
-
-
-@_partial(jax.jit, static_argnames=("cfg",))
-def _validate_jit(graph: GraphState, cfg: GraphConfig, codes: jax.Array):
-    """Counts + read-pair support for candidate fragments in ONE program
-    (the old path dispatched pair_support and count_step separately and
-    paid two tunnel round trips per batch)."""
-    fh, rh, base, valid = dbg.seq_hashes(cfg, codes)
-    counts = dbg.get_counts(graph, cfg, base)
-    counts = jnp.where(valid, counts, 0.0)
-    B, P = valid.shape
-    d = cfg.read_pair_distance
-    sup = jnp.zeros((B, P), bool)
-    if d > 0:
-        pair_base, np_ = dbg.pair_base_hashes(cfg, fh, rh, d)
-        s = dbg.lookup_read_pair(graph, cfg, pair_base)
-        pv = jnp.logical_and(valid[..., :np_], valid[..., d:])
-        sup = sup.at[:, :np_].set(jnp.logical_and(s, pv))
-    return counts, valid, sup
-
-
 def _validate(graph, cfg: GraphConfig, codes):
-    """(counts, valid, read-pair support) as numpy, minimal round trips."""
-    if not engine.is_sharded(graph):
-        return jax.device_get(_validate_jit(graph, cfg, jnp.asarray(codes)))
-    sup = _pair_support(graph, cfg, codes)
-    counts, valid = jax.device_get(engine.count_step(graph, cfg, codes))
-    return counts, valid, sup
+    """(counts, valid, read-pair support) as numpy — one fused dispatch on
+    the single-device and replicated-mesh engines (engine.
+    counts_and_read_support)."""
+    return engine.counts_and_read_support(graph, cfg, codes)
 
 
 def supported_ranges_np(

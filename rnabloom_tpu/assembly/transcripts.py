@@ -111,6 +111,7 @@ def screen_template_switch(
 
     B, L = codes.shape
     out = np.zeros(B, bool)
+    engine._tick("query")
     seen_d, valid_d = _screen_lookup(screen, scfg, cfg, jnp.asarray(codes))
     seen_np, valid_np = np.asarray(seen_d), np.asarray(valid_d)
     tips: List[Tuple[int, np.ndarray]] = []
@@ -131,6 +132,7 @@ def screen_template_switch(
     batch = np.full((rows_p, TL), 4, np.uint8)  # pow2: stable kernel shapes
     for i, (_, t) in enumerate(tips):
         batch[i, : len(t)] = t
+    engine._tick("query")
     tseen_d, tvalid_d = _screen_lookup(screen, scfg, cfg, jnp.asarray(batch))
     tseen, tvalid = np.asarray(tseen_d), np.asarray(tvalid_d)
     for i, (b, _) in enumerate(tips):
@@ -239,6 +241,7 @@ def _gap_rewalk(
     buf, pos, _ = traverse.harvest(st)
 
     # one batched screen lookup over every walked path
+    engine._tick("query")
     wseen, wvalid = jax.device_get(
         _screen_lookup(screen, scfg, cfg, jnp.asarray(buf[: len(jobs)]))
     )
@@ -313,6 +316,7 @@ def screen_represented(
     from . import artifacts
     from .correct import _batch_runs
 
+    engine._tick("query")
     seen, valid = jax.device_get(_screen_lookup(screen, scfg, cfg, jnp.asarray(codes)))
     seen = np.array(seen)  # writable: repaired gaps are marked seen below
     k = cfg.k
@@ -384,6 +388,7 @@ def screen_represented(
         batch = np.full((rows_p, seg_p), 4, np.uint8)
         for i, w in enumerate(wins):
             batch[i, : len(w)] = w
+        engine._tick("query")
         vseen, vvalid = jax.device_get(
             _screen_lookup(screen, scfg, cfg, jnp.asarray(batch))
         )
@@ -526,6 +531,7 @@ def reduce_redundancy(
         rep2, _ = sequential_dedup(cfg, codes, seq_lens, params)
         rep = rep | rep2
         commit = np.where(~rep[:, None], codes, np.uint8(4))
+        engine._tick("build")
         screen = screen_add(screen, scfg, cfg, jnp.asarray(commit))
         keep.extend(i for j, i in enumerate(idx) if not rep[j])
     return sorted(keep)
@@ -570,6 +576,7 @@ def extend_fragments_pair(
     rpos_d = st.pos  # survives: revcomp_reseed does not donate
     stl = traverse.revcomp_reseed(cfg, wcfg_l, st.buf, st.pos)
     stl = engine.extend_walks(stl, graph, cfg, wcfg_l, 1.0, params.bound, mode=mode)
+    engine._tick("query")
     lbuf, meta = jax.device_get(
         (stl.buf, jnp.stack([stl.pos, rpos_d.astype(jnp.int32)]))
     )
@@ -714,6 +721,7 @@ def assemble_transcripts_batch(
         and cfg.read_pair_distance > 0
         and not params.keep_artifacts
     ):
+        engine._tick("query")
         seen_d, _ = _screen_lookup(screen, scfg, cfg, jnp.asarray(frags))
         counts_d, valid_d = engine.count_step(graph, cfg, frags)
         seen_np = np.asarray(seen_d)
@@ -796,5 +804,6 @@ def assemble_transcripts_batch(
             shorts.append(t)
     if emitted.any():
         commit = np.where(emitted[:, None], final, np.uint8(4))
+        engine._tick("build")
         screen = screen_add(screen, scfg, cfg, jnp.asarray(commit))
     return transcripts, shorts, screen

@@ -55,6 +55,27 @@ class MeshGraph:
         return self.state.rpkbf is not None, self.state.fpkbf is not None
 
 
+# -- dispatch accounting ----------------------------------------------------
+# every engine entry point counts one device dispatch (on the tunneled axon
+# backend each dispatch costs a ~200 ms round trip, so dispatches/batch is
+# the stage-2/3 latency budget; bench.py reports these per pipeline stage)
+
+DISPATCHES = {"build": 0, "query": 0, "walk": 0}
+
+
+def _tick(kind: str) -> None:
+    DISPATCHES[kind] += 1
+
+
+def dispatch_counts() -> dict:
+    return dict(DISPATCHES)
+
+
+def reset_dispatch_counts() -> None:
+    for k in DISPATCHES:
+        DISPATCHES[k] = 0
+
+
 def make_mesh_if_multi(min_devices: int = 2):
     """A 1-D mesh over all devices when >1 are visible (power of two)."""
     from ..parallel import sharded
@@ -100,6 +121,7 @@ def _pad_rows(codes, n: int):
 
 
 def build_step(graph, cfg: GraphConfig, codes, add_read_pairs: bool = False, salt=0):
+    _tick("build")
     if not is_sharded(graph):
         return dbg.build_step(
             graph, cfg, jnp.asarray(codes), add_read_pairs=add_read_pairs, salt=salt
@@ -116,6 +138,7 @@ def build_step(graph, cfg: GraphConfig, codes, add_read_pairs: bool = False, sal
 
 
 def rebuild_step(graph, cfg: GraphConfig, codes, add_frag_pairs: bool = True, salt=0):
+    _tick("build")
     if not is_sharded(graph):
         return dbg.rebuild_step(
             graph, cfg, jnp.asarray(codes), add_frag_pairs=add_frag_pairs, salt=salt
@@ -247,6 +270,7 @@ def _dp_codes(graph, codes):
 
 def count_step(graph, cfg: GraphConfig, codes) -> Tuple[jax.Array, jax.Array]:
     """(counts (B, P) float32, valid) for every k-mer of a code batch."""
+    _tick("query")
     if not is_sharded(graph):
         return dbg.count_step(graph, cfg, jnp.asarray(codes))
     from ..parallel import sharded
@@ -266,6 +290,7 @@ def count_step(graph, cfg: GraphConfig, codes) -> Tuple[jax.Array, jax.Array]:
 
 def pair_support_both(graph, cfg: GraphConfig, codes, d_frag: int, d_read: int) -> np.ndarray:
     """(2, B, P) bool: fragment- then read-pair support planes."""
+    _tick("query")
     if not is_sharded(graph):
         return np.asarray(
             _pair_support_both_jit(graph, cfg, jnp.asarray(codes), d_frag, d_read)
@@ -292,8 +317,51 @@ def pair_support_both(graph, cfg: GraphConfig, codes, d_frag: int, d_read: int) 
     return np.asarray(q(graph.state, padded))[:, :B]
 
 
+@_partial(jax.jit, static_argnames=("cfg", "with_read_pairs"))
+def _counts_read_support_jit(
+    graph: GraphState, cfg: GraphConfig, codes: jax.Array, with_read_pairs: bool
+):
+    """Counts + read-pair support for a code batch in ONE program (each
+    host readback costs ~200 ms of tunnel latency on the axon backend)."""
+    fh, rh, base, valid = dbg.seq_hashes(cfg, codes)
+    counts = jnp.where(valid, dbg.get_counts(graph, cfg, base), 0.0)
+    B, P = valid.shape
+    d = cfg.read_pair_distance
+    sup = jnp.zeros((B, P), bool)
+    if with_read_pairs and d > 0:
+        pair_base, np_ = dbg.pair_base_hashes(cfg, fh, rh, d)
+        s = dbg.lookup_read_pair(graph, cfg, pair_base)
+        pv = jnp.logical_and(valid[..., :np_], valid[..., d:])
+        sup = sup.at[:, :np_].set(jnp.logical_and(s, pv))
+    return counts, valid, sup
+
+
+def counts_and_read_support(graph, cfg: GraphConfig, codes):
+    """(counts, valid, read-pair support) as numpy — fused into one
+    dispatch on the single-device AND replicated-mesh engines; only the
+    routed mesh fallback still pays two dispatches (its query programs are
+    per-filter)."""
+    _tick("query")
+    if not is_sharded(graph):
+        st = graph
+        return jax.device_get(
+            _counts_read_support_jit(st, cfg, jnp.asarray(codes), st.rpkbf is not None)
+        )
+    if _use_replicated():
+        padded, B = _dp_codes(graph, codes)
+        rep = _replicated_graph(graph, cfg)
+        c, v, s = jax.device_get(
+            _counts_read_support_jit(rep, cfg, padded, rep.rpkbf is not None)
+        )
+        return c[:B], v[:B], s[:B]
+    sup = pair_support_both(graph, cfg, codes, 0, cfg.read_pair_distance)[1]
+    counts, valid = jax.device_get(count_step(graph, cfg, codes))
+    return counts, valid, sup
+
+
 def variant_exists(graph, cfg: GraphConfig, codes) -> Tuple[np.ndarray, np.ndarray]:
     """Per k-mer: does any left/right SNV variant exist in the graph?"""
+    _tick("query")
     if not is_sharded(graph):
         hit, valid = _variant_exists_jit(graph, cfg, jnp.asarray(codes))
         return np.asarray(hit), np.asarray(valid)
@@ -352,6 +420,7 @@ def extend_walks(
     ~1000x slower on the 8-device CPU proxy — so it is kept only for
     graphs too large to replicate (``RNB_MESH_WALK=routed``).
     """
+    _tick("walk")
     if not is_sharded(graph):
         return traverse.extend_walks(wstate, graph, cfg, wcfg, min_cov, bound, mode=mode)
     from ..parallel import sharded

@@ -53,6 +53,9 @@ def _load() -> Optional[ctypes.CDLL]:
                 np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
                 np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
             ]
+            dll.fx_set_range.restype = ctypes.c_int
+            dll.fx_set_range.argtypes = [ctypes.c_void_p, ctypes.c_long, ctypes.c_long]
+            dll.fx_set_stride.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
             _lib = dll
         except Exception:
             _build_failed = True
@@ -69,11 +72,18 @@ def read_code_batches(
     max_len: int,
     min_qual: int,
     min_len: int,
+    byte_range: Optional[Tuple[int, int]] = None,
+    stride: Optional[Tuple[int, int]] = None,
 ) -> Iterator[Tuple[np.ndarray, np.ndarray, int]]:
     """Yield (codes (B, L) uint8, lengths (B,), reads_parsed_so_far).
 
     Native parse + Phred/ACGT segmentation + 2-bit encode; long segments
     arrive pre-chunked with (min_len - 1)-base overlaps.
+
+    Multi-process partitioning (parallel/multihost.py): ``byte_range``
+    (start, end) restricts a PLAIN file to one record-aligned byte slice
+    (raises ValueError on compressed streams — fall back to ``stride``);
+    ``stride`` (process_id, num_processes) keeps every n-th record.
     """
     lib = _load()
     if lib is None:
@@ -81,6 +91,12 @@ def read_code_batches(
     h = lib.fx_open(path.encode())
     if not h:
         raise FileNotFoundError(path)
+    if byte_range is not None:
+        if lib.fx_set_range(h, byte_range[0], byte_range[1]) != 0:
+            lib.fx_close(h)
+            raise ValueError(f"{path}: cannot byte-partition a compressed stream")
+    if stride is not None:
+        lib.fx_set_stride(h, stride[0], stride[1])
     try:
         while True:
             codes = np.empty((batch_size, max_len), np.uint8)

@@ -128,6 +128,7 @@ def paf_to_overlaps(
     names: "Sequence[str] | dict",
     k: int,
     min_identity: float = 0.0,
+    params=None,
 ):
     """The inverse interop bridge: an external all-vs-all PAF (e.g. from
     minimap2, the reference's overlap source — olc/OverlapLayoutConsensus
@@ -139,29 +140,51 @@ def paf_to_overlaps(
     and records under ``min_identity`` (PafUtils.hasGoodOverlap) are
     dropped.  ``shared`` is reconstructed as ceil(num_match / k) — the
     internal engine's shared-minimizer count at equivalent match mass.
+
+    ``params`` (an ``olc.overlap.OverlapParams``) applies the same screens
+    the internal engine applies to its own candidates (overlap.py:329-334):
+    span >= min_overlap on either read and reconstructed shared >=
+    min_shared — minimap2 ava output routinely contains records both the
+    internal engine and the reference's PAF filtering would reject, and
+    they must not flow into unique extraction unscreened.  Symmetric
+    duplicates (A->B and B->A describe one overlap; the internal engine
+    emits each pair once) are deduplicated on the unordered pair key,
+    keeping the record with the most matched bases, so interior depth in
+    ``extract_unique`` is not double-counted.
     """
     import numpy as np
     from ..olc.overlap import Overlaps
 
     if not isinstance(names, dict):
         names = {n: i for i, n in enumerate(names)}
-    q, t, strand, qs, qe, ts, te, sh = [], [], [], [], [], [], [], []
+    best = {}  # unordered (i, j) -> (num_match, record fields)
     for r in read_paf(path):
         if min_identity > 0.0 and not has_good_overlap(r, min_identity):
             continue
         qi, ti = names.get(r.qname), names.get(r.tname)
         if qi is None or ti is None or qi == ti:
             continue
-        q.append(qi)
-        t.append(ti)
-        strand.append(1 if r.strand == "+" else -1)
-        qs.append(r.qstart)
-        qe.append(r.qend)
-        ts.append(r.tstart)
-        te.append(r.tend)
-        sh.append(max(1, -(-r.num_match // k)))
+        shared = max(1, -(-r.num_match // k))
+        if params is not None:
+            q_span = r.qend - r.qstart
+            t_span = r.tend - r.tstart
+            if max(q_span, t_span) < params.min_overlap:
+                continue
+            if shared < params.min_shared:
+                continue
+        key = (qi, ti) if qi < ti else (ti, qi)
+        row = (
+            qi, ti, 1 if r.strand == "+" else -1,
+            r.qstart, r.qend, r.tstart, r.tend, shared,
+        )
+        prev = best.get(key)
+        if prev is None or r.num_match > prev[0]:
+            best[key] = (r.num_match, row)
+    rows = [v[1] for v in best.values()]
+    cols = list(zip(*rows)) if rows else [[] for _ in range(8)]
     mk = lambda a: np.asarray(a, np.int64)
     return Overlaps(
-        q=mk(q), t=mk(t), strand=mk(strand), q_start=mk(qs), q_end=mk(qe),
-        t_start=mk(ts), t_end=mk(te), shared=mk(sh),
+        q=mk(cols[0]), t=mk(cols[1]), strand=mk(cols[2]),
+        q_start=mk(cols[3]), q_end=mk(cols[4]),
+        t_start=mk(cols[5]), t_end=mk(cols[6]), shared=mk(cols[7]),
     )

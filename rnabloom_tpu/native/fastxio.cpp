@@ -37,7 +37,33 @@ struct Reader {
   std::vector<std::vector<uint8_t>> carry;
   size_t carry_idx = 0;
   long reads_parsed = 0;
+  // multi-process input partitioning (parallel/multihost.py):
+  // byte-range limit for plain seekable files (records starting at or
+  // past `limit` belong to the next partition; -1 = no limit), and
+  // record-modulo stride (process stride_p keeps records p, p+n, ...)
+  long limit = -1;
+  int stride_n = 1;
+  int stride_p = 0;
+  long rec_index = 0;
+  long line_start = 0;   // stream offset of the last line read
+  long pending_pos = 0;  // stream offset of the pushed-back line
 };
+
+// Byte offset where the NEXT unconsumed line starts.
+long next_line_pos(Reader* r) {
+  return r->pending.empty() ? gztell(r->f) : r->pending_pos;
+}
+
+// True when the record about to be parsed is past this reader's byte range.
+bool range_exhausted(Reader* r) {
+  return r->limit >= 0 && next_line_pos(r) >= r->limit;
+}
+
+// Record-modulo stride: call exactly once per parsed record.
+bool record_is_mine(Reader* r) {
+  long idx = r->rec_index++;
+  return r->stride_n <= 1 || (idx % r->stride_n) == r->stride_p;
+}
 
 // ASCII -> 2-bit code (A=0 C=1 G=2 T/U=3, else 4)
 uint8_t kCode[256];
@@ -56,9 +82,11 @@ bool read_line(Reader* r, std::string* out) {
   if (!r->pending.empty()) {
     *out = std::move(r->pending);
     r->pending.clear();
+    r->line_start = r->pending_pos;
     return true;
   }
   out->clear();
+  r->line_start = gztell(r->f);
   while (true) {
     if (gzgets(r->f, r->buf, BUF_SIZE) == nullptr) {
       return !out->empty();
@@ -127,6 +155,29 @@ void* fx_open(const char* path) {
   return r;
 }
 
+// Multi-process partitioning (parallel/multihost.py).  fx_set_range seeks
+// a PLAIN (seekable) file to `start` and stops before the first record at
+// or past `end` — callers compute record-aligned cuts (byte_ranges).
+// Returns 0 on success, -1 when the stream cannot seek (gzip).
+// fx_set_stride keeps records p, p+n, 2n+p, ... (works on any stream).
+int fx_set_range(void* handle, long start, long end) {
+  Reader* r = static_cast<Reader*>(handle);
+  if (!r) return -1;
+  if (gzdirect(r->f) == 0) return -1;  // compressed: cannot byte-partition
+  if (gzseek(r->f, start, SEEK_SET) < 0) return -1;
+  r->pending.clear();
+  r->limit = end;
+  return 0;
+}
+
+void fx_set_stride(void* handle, int process_id, int num_processes) {
+  Reader* r = static_cast<Reader*>(handle);
+  if (!r) return;
+  r->stride_p = process_id;
+  r->stride_n = num_processes;
+  r->rec_index = 0;
+}
+
 void fx_close(void* handle) {
   Reader* r = static_cast<Reader*>(handle);
   if (!r) return;
@@ -162,6 +213,7 @@ long fx_next_batch(void* handle, int max_segments, int max_len, int min_qual,
   emit_carry();
 
   while (filled < max_segments) {
+    if (range_exhausted(r)) break;
     if (!read_line(r, &line)) break;
     if (line.empty()) continue;
     if (!r->inited) {
@@ -182,12 +234,14 @@ long fx_next_batch(void* handle, int max_segments, int max_len, int min_qual,
       while (read_line(r, &line)) {
         if (!line.empty() && line[0] == '>') {
           r->pending = std::move(line);
+          r->pending_pos = r->line_start;
           break;
         }
         seq.append(line);
         line.clear();
       }
     }
+    if (!record_is_mine(r)) continue;
     ++r->reads_parsed;
     r->carry.clear();
     r->carry_idx = 0;
@@ -220,6 +274,7 @@ long fx_next_masked_batch(void* handle, int max_reads, int max_len,
   std::string line, seq, qual;
 
   while (filled < max_reads) {
+    if (range_exhausted(r)) break;
     if (!read_line(r, &line)) break;
     if (line.empty()) continue;
     if (!r->inited) {
@@ -239,12 +294,14 @@ long fx_next_masked_batch(void* handle, int max_reads, int max_len,
       while (read_line(r, &line)) {
         if (!line.empty() && line[0] == '>') {
           r->pending = std::move(line);
+          r->pending_pos = r->line_start;
           break;
         }
         seq.append(line);
         line.clear();
       }
     }
+    if (!record_is_mine(r)) continue;
     ++r->reads_parsed;
     const size_t n = seq.size();
     const bool has_qual = !qual.empty() && qual.size() == n;

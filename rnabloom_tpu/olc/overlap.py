@@ -200,7 +200,12 @@ def extract_minimizers_reads(
     padding (and 8x that in uint64 hash planes).  Chunks pad to the chunk's
     own pow2 length, so host memory is bounded by the chunk size and the
     flat minimizer arrays (~2/(w+1) entries per base)."""
-    lengths = np.fromiter((len(r) for r in reads), np.int32, count=len(reads))
+    # disk-backed stores (io.seqstore.SeqStore) expose lengths without
+    # decoding every sequence
+    if hasattr(reads, "lengths"):
+        lengths = np.asarray(reads.lengths, np.int32)
+    else:
+        lengths = np.fromiter((len(r) for r in reads), np.int32, count=len(reads))
     parts: List[Minimizers] = []
     for s in range(0, len(reads), chunk):
         sub = reads[s : s + chunk]

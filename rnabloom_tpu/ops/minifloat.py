@@ -1,11 +1,14 @@
 """MiniFloat 8-bit log-scale counter codec (3-bit mantissa, 5-bit exponent).
 
 The reference stores k-mer counts as stochastic 8-bit MiniFloat counters
-(util/MiniFloat.java:31-45, after ABySS plc.h).  The TPU build keeps exact
-int32 conservative-update counters on device (deterministic, no RNG in the
-hot loop) — this codec exists for compact export/import of counter arrays in
-a reference-compatible byte format and for tests that bound the quantization
-error the reference itself tolerates.
+(util/MiniFloat.java:31-45, after ABySS plc.h).  The TPU build's RUNTIME
+DEFAULT is the same 1-byte cell width (CountingConfig(dtype="mf8") via
+stage1.default_graph_config) so ``-mem`` buys the reference's cell count;
+the stochastic rounding is a salted deterministic PRNG keyed by
+(cell index, batch salt) instead of Math.random(), so runs are
+reproducible.  ``dtype="u16"``/"int32" trade cells for exact counts.  The
+codec here is also used for compact export/import of counter arrays in a
+reference-compatible byte format.
 
 Encoding: b <= 7 -> value b; else value = ((b & 7) | 8) * 2**((b >> 3) - 1).
 """

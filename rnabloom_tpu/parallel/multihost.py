@@ -159,7 +159,7 @@ def build_graph_multihost(
     import jax
 
     from ..assembly import stage1 as s1
-    from ..io import fastx
+    from ..io import fastx, native
     from ..utils import seq as sequtils
     from . import sharded
 
@@ -175,9 +175,33 @@ def build_graph_multihost(
 
     state = sharded.make_sharded_graph(cfg, mesh, with_rpkbf=add_read_pairs)
     step = sharded.sharded_build_step(mesh, cfg, add_read_pairs=add_read_pairs)
+    use_native = native.available()
 
     def local_segments():
         for path, rc in zip(paths, revcomp_flags):
+            if use_native:
+                # native parse + segment + 2-bit encode; the input is
+                # partitioned by record-aligned BYTE RANGES for plain
+                # seekable files (each process touches 1/n of the bytes)
+                # and by record-modulo stride for gzip streams
+                rng = None
+                if n > 1:
+                    ranges = byte_ranges(path, n)
+                    rng = ranges[pid] if ranges else None
+                stride = (pid, n) if (n > 1 and rng is None) else None
+                last_parsed = 0
+                for codes, lens, parsed in native.read_code_batches(
+                    path, 1024, L, params.min_qual, k,
+                    byte_range=rng, stride=stride,
+                ):
+                    stats.num_reads += parsed - last_parsed
+                    last_parsed = parsed
+                    stats.num_segments += codes.shape[0]
+                    stats.num_bases += int(lens.sum())
+                    for i in range(codes.shape[0]):
+                        seg = codes[i, : lens[i]]
+                        yield sequtils.revcomp_codes(seg) if rc else seg
+                continue
             reader = partition_records(fastx.read_seqs(path), pid, n)
             for _, seq, qual in reader:
                 stats.num_reads += 1

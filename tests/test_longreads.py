@@ -395,3 +395,38 @@ def test_pafin_roundtrip_feeds_olc(tmp_path):
         if not l.startswith(">")
     )
     assert fa("a") == fa("b")
+
+
+def test_paf_to_overlaps_screens_and_dedup(tmp_path):
+    """External PAF records get the internal engine's span/support screens
+    (overlap.py:329-334) and symmetric A->B / B->A duplicates collapse to
+    one record, so interior depth is not double-counted in extract_unique."""
+    from rnabloom_tpu.io import paf as pafmod
+    from rnabloom_tpu.olc.overlap import OverlapParams
+
+    k = 17
+    lines = [
+        # good overlap, both directions (symmetric duplicate, B->A weaker)
+        "r0\t600\t0\t400\t+\tr1\t600\t200\t600\t380\t400\t255",
+        "r1\t600\t200\t600\t+\tr0\t600\t0\t400\t360\t400\t255",
+        # span below min_overlap: screened out
+        "r0\t600\t0\t80\t+\tr2\t600\t500\t580\t70\t80\t255",
+        # trivial support (num_match < min_shared * k): screened out
+        "r1\t600\t0\t300\t+\tr2\t600\t300\t600\t20\t300\t255",
+        # self-hit: dropped
+        "r2\t600\t0\t600\t+\tr2\t600\t0\t600\t600\t600\t255",
+    ]
+    path = tmp_path / "ext.paf"
+    path.write_text("\n".join(lines) + "\n")
+    names = {f"r{i}": i for i in range(3)}
+
+    params = OverlapParams(min_overlap=150, min_shared=4)
+    ov = pafmod.paf_to_overlaps(str(path), names, k, params=params)
+    assert len(ov) == 1
+    # the kept record is the higher-num_match direction (r0 -> r1)
+    assert int(ov.q[0]) == 0 and int(ov.t[0]) == 1
+    assert int(ov.q_start[0]) == 0 and int(ov.q_end[0]) == 400
+
+    # without params, screens are off but dedup still applies
+    ov2 = pafmod.paf_to_overlaps(str(path), names, k)
+    assert len(ov2) == 3
