@@ -348,6 +348,82 @@ print(json.dumps({
 """
 
 
+_MULTIHOST_CODE = r"""
+import json, os, socket, subprocess, sys, tempfile
+import numpy as np
+
+# 2-process CPU-proxy scaling efficiency for the multi-host stage-1 build
+# (BASELINE.md target: >=80% at 2 hosts).  The same lockstep worker runs
+# with 1 process then 2 gloo processes over one plain FASTQ (byte-range
+# partitioned); efficiency = T1 / (2 * T2) of the second (compile-warm)
+# run of each.  No multi-host hardware exists here, so CPU gloo is the
+# proxy; the mesh programs are identical on TPU pods.
+
+HERE = os.getcwd()  # phase subprocesses run with cwd = repo root
+TMP = tempfile.mkdtemp(prefix="rb_mh_")
+fq = os.path.join(TMP, "mh.fq")
+rng = np.random.default_rng(5)
+base = ["".join(rng.choice(list("ACGT"), size=150)) for _ in range(4000)]
+with open(fq, "w") as f:
+    for i in range(60000):  # big enough that per-run fixed costs amortize
+        f.write(f"@r{i}\n{base[i % 4000]}\n+\n{'I' * 150}\n")
+
+
+def free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def run_group(n, mode="sharded"):
+    out = os.path.join(TMP, f"out{n}{mode}.npz")
+    port = free_port()
+    env = dict(os.environ)
+    env.update(
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=1",
+        RNB_MH_LOG2="20", RNB_MH_BATCH="2048", RNB_MH_MODE=mode,
+    )
+    # pin each process to its own core so every simulated "host" has
+    # constant resources — single-process XLA-CPU already uses all cores,
+    # which would otherwise hide the parallelism being measured
+    ncores = os.cpu_count() or 1
+    procs = [
+        subprocess.Popen(
+            ["taskset", "-c", str(pid % ncores),
+             sys.executable, "-m", "rnabloom_tpu.parallel.multihost",
+             str(pid), str(n), f"127.0.0.1:{port}", out, fq],
+            cwd=HERE, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(n)
+    ]
+    logs = [p.communicate(timeout=500)[0] for p in procs]
+    for p, log in zip(procs, logs):
+        if p.returncode != 0:
+            raise RuntimeError(f"worker rc={p.returncode}: {log[-500:]}")
+    d = np.load(out)
+    return float(d["elapsed_s"])
+
+
+# two layouts (parallel/multihost.py): "local" = per-process DP builds +
+# one merge collective (graphs that fit one device; the shipping default
+# for this proxy scale), "sharded" = lockstep hash-range mesh programs
+# (graphs larger than one device; pays collectives every round)
+out = {}
+for mode in ("local", "sharded"):
+    run_group(1, mode)  # compile-warm the persistent cache
+    t1 = run_group(1, mode)
+    run_group(2, mode)
+    t2 = run_group(2, mode)
+    out[f"multihost_{mode}_t1_s"] = round(t1, 2)
+    out[f"multihost_{mode}_t2_s"] = round(t2, 2)
+    out[f"multihost_{mode}_efficiency_2proc"] = round(t1 / (2 * t2), 3)
+out["multihost_efficiency_2proc"] = out["multihost_local_efficiency_2proc"]
+print(json.dumps(out))
+"""
+
+
 def _cpu_seconds(pid: int):
     """utime+stime of one process in seconds, or None if unreadable."""
     try:
@@ -475,6 +551,10 @@ def main() -> None:
 
     sh = _run_phase("sharded_cpu", _SHARDED_CODE, deadline, attempts=2)
     extra.update(sh if "error" not in sh else {"sharded_error": sh["error"]})
+    _emit(result, final=False)
+
+    mh = _run_phase("multihost_cpu", _MULTIHOST_CODE, deadline, attempts=2)
+    extra.update(mh if "error" not in mh else {"multihost_error": mh["error"]})
     _emit(result, final=False)
 
     s23w = _run_phase("stage23_warm", _STAGE23_WARM_CODE, deadline, attempts=4)

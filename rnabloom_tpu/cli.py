@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -82,6 +83,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="multi-host: coordinator address HOST:PORT (jax.distributed)")
     p.add_argument("-nprocs", "--nprocs", type=int, default=1,
                    help="multi-host: total number of processes")
+    p.add_argument("-mhlayout", "--mh-layout", dest="mh_layout",
+                   choices=("auto", "local", "sharded"), default="auto",
+                   help="multi-host graph layout: local = per-process DP "
+                        "builds + one merge collective (graph fits one "
+                        "device; near-ideal scaling); sharded = lockstep "
+                        "hash-range mesh programs (bigger graphs)")
     p.add_argument("-procid", "--procid", type=int, default=0,
                    help="multi-host: this process's id [0]")
     p.add_argument("-u", "--uracil", action="store_true",
@@ -201,6 +208,14 @@ def main(argv=None) -> int:
     for attr in ("left", "right", "sef", "ser", "long_reads"):
         setattr(args, attr, _expand_at(getattr(args, attr)))
     if args.coordinator:
+        # honor an explicit JAX_PLATFORMS request before joining the group:
+        # plugin platforms (e.g. the tunneled axon TPU) register themselves
+        # regardless of the env var, and a 2-process group fighting over one
+        # tunneled chip deadlocks in the first collective
+        if os.environ.get("JAX_PLATFORMS"):
+            import jax
+
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
         from rnabloom_tpu.parallel import multihost
 
         multihost.initialize(args.coordinator, args.nprocs, args.procid)
@@ -346,18 +361,31 @@ def main(argv=None) -> int:
         )
         mesh = sharded.make_mesh(len(jax.devices()))
         flags = [args.revcomp_left, args.revcomp_right][: len(paths)]
-        state, stats = multihost.build_graph_multihost(
-            paths, cfg, s1p, mesh, revcomp_flags=flags, add_read_pairs=True
-        )
+        # layout policy (-mhlayout): "local" = per-process DP builds + one
+        # merge collective, ~ideal scaling, graph must fit one device
+        # (measured 99% 2-process efficiency on the CPU proxy); "sharded"
+        # = lockstep hash-range mesh programs for graphs larger than one
+        # device (collectives every round).  auto = local, since -mem
+        # graphs are sized to fit.
+        if args.mh_layout in ("auto", "local"):
+            state, stats = multihost.build_graph_local_merge(
+                paths, cfg, s1p, mesh, revcomp_flags=flags, add_read_pairs=True
+            )
+            host = jax.tree.map(
+                lambda x: None if x is None else jax.device_get(x), state,
+                is_leaf=lambda x: x is None,
+            )
+        else:
+            state, stats = multihost.build_graph_multihost(
+                paths, cfg, s1p, mesh, revcomp_flags=flags, add_read_pairs=True
+            )
+            from rnabloom_tpu.graph import engine as eng
+
+            host = eng.to_host_state(eng.MeshGraph(mesh=mesh, state=state), cfg)
         if jax.process_index() == 0:
             import os as _os
 
             _os.makedirs(args.outdir, exist_ok=True)
-            from rnabloom_tpu.graph import engine as eng
-
-            host = eng.to_host_state(
-                eng.MeshGraph(mesh=mesh, state=state), cfg
-            )
             ckpt.save_graph(_os.path.join(args.outdir, f"{args.name}.graph"), host, cfg)
             ckpt.touch_stamp(args.outdir, ckpt.STAMP_DBG_DONE)
             print(json.dumps({"stage": 1, "reads_local": stats.num_reads,

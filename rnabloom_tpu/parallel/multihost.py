@@ -245,6 +245,171 @@ def build_graph_multihost(
     return state, stats
 
 
+def build_graph_local_merge(
+    paths: Sequence[str],
+    cfg,
+    params,
+    mesh,
+    revcomp_flags: Optional[Sequence[bool]] = None,
+    add_read_pairs: bool = False,
+):
+    """Embarrassingly-parallel multi-host stage 1: every process builds a
+    full LOCAL single-device filter set over its input slice (no
+    collectives in the loop — the native reader feeds byte-range or
+    record-modulo slices), then ONE merge collective combines them:
+    count-min counters sum exactly (insertion is commutative addition),
+    bit lanes OR.  This is the DP layout for graphs that fit one device's
+    memory — the direct TPU-native analog of the reference's N racy
+    writer threads over one shared filter (RNABloom.java:1203-1246) with
+    the races replaced by a deterministic reduction; the lockstep
+    hash-range-sharded loop (build_graph_multihost) remains the layout
+    for graphs bigger than one device.
+
+    With exact counters (int32/u16) the merged filters are bit-identical
+    to a single-process build.  mf8 cells decode-sum-encode: within one
+    quantization step of the single-process result, same as the
+    reference's own stochastic counters.
+
+    ``mesh``: 1-D mesh over all processes' devices (1 device per process
+    is typical on CPU; on TPU each process contributes its local chips —
+    the merge then also leaves every device holding the full filters,
+    ready for the replicated walk engine).
+    Returns (merged GraphState replicated on every process, Stage1Stats).
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..assembly import stage1 as s1
+    from ..graph import dbg
+    from ..io import native
+    from ..utils import seq as sequtils
+
+    t0 = time.time()
+    stats = s1.Stage1Stats()
+    k = params.k
+    pid, n = jax.process_index(), jax.process_count()
+    L = params.max_seq_len
+    if revcomp_flags is None:
+        revcomp_flags = [False] * len(paths)
+
+    state = dbg.make_graph(cfg, with_rpkbf=add_read_pairs)
+    use_native = native.available()
+    pending: List[np.ndarray] = []
+    salt = 0
+
+    def flush():
+        nonlocal state, salt
+        if not pending:
+            return
+        batch, _ = sequtils.pack_batch(pending, params.batch_size, L)
+        pending.clear()
+        state = dbg.build_step(
+            state, cfg, jnp.asarray(batch), add_read_pairs=add_read_pairs,
+            salt=np.uint32(salt * n + pid),
+        )
+        stats.num_batches += 1
+        salt += 1
+
+    for path, rc in zip(paths, revcomp_flags):
+        if use_native:
+            rng = None
+            if n > 1:
+                ranges = byte_ranges(path, n)
+                rng = ranges[pid] if ranges else None
+            stride = (pid, n) if (n > 1 and rng is None) else None
+            last_parsed = 0
+            for codes, lens, parsed in native.read_code_batches(
+                path, params.batch_size, L, params.min_qual, k,
+                byte_range=rng, stride=stride,
+            ):
+                stats.num_reads += parsed - last_parsed
+                last_parsed = parsed
+                stats.num_segments += codes.shape[0]
+                stats.num_bases += int(lens.sum())
+                for i in range(codes.shape[0]):
+                    seg = codes[i, : lens[i]]
+                    pending.append(sequtils.revcomp_codes(seg) if rc else seg)
+                    if len(pending) >= params.batch_size:
+                        flush()
+        else:
+            from ..io import fastx
+
+            for _, seq, qual in partition_records(fastx.read_seqs(path), pid, n):
+                stats.num_reads += 1
+                codes = sequtils.encode(seq)
+                quals = (
+                    np.frombuffer(qual.encode("ascii"), dtype=np.uint8)
+                    if qual is not None
+                    else None
+                )
+                for seg in sequtils.segment_read(codes, quals, params.min_qual, k):
+                    if rc:
+                        seg = sequtils.revcomp_codes(seg)
+                    stats.num_segments += 1
+                    stats.num_bases += len(seg)
+                    for chunk in sequtils.chunk_segments([seg], L, k - 1):
+                        pending.append(chunk)
+                        if len(pending) >= params.batch_size:
+                            flush()
+    flush()
+    jax.block_until_ready(state.cbf)
+
+    # ---- one merge collective over the process group ----------------------
+    row_sh = NamedSharding(mesh, P(mesh.axis_names[0]))
+    rep_sh = NamedSharding(mesh, P())
+    n_dev = mesh.devices.size
+    per_proc = n_dev // max(n, 1)
+
+    def merged(arr, kind: str):
+        if arr is None:
+            return None
+        host = np.asarray(arr)
+        # every local device contributes a row; extra rows are neutral so
+        # the reduction ignores them (device counts per process may exceed 1)
+        local_rows = np.zeros((per_proc,) + host.shape, host.dtype)
+        local_rows[0] = host
+        if jax.process_count() == 1:
+            garr = jax.device_put(local_rows, row_sh)
+        else:
+            garr = jax.make_array_from_process_local_data(row_sh, local_rows)
+        if kind == "or":
+            f = jax.jit(lambda x: jnp.max(x, axis=0), out_shardings=rep_sh)
+        elif kind == "sum":
+            f = jax.jit(
+                lambda x: jnp.sum(x, axis=0).astype(host.dtype),
+                out_shardings=rep_sh,
+            )
+        elif kind == "sum_u16":
+            f = jax.jit(
+                lambda x: jnp.minimum(
+                    jnp.sum(x.astype(jnp.int32), axis=0), 65535
+                ).astype(jnp.uint16),
+                out_shardings=rep_sh,
+            )
+        else:  # mf8: decode-sum-encode (within one quantization step)
+            from ..ops import minifloat
+
+            f = jax.jit(
+                lambda x: minifloat.encode(jnp.sum(minifloat.decode(x), axis=0)),
+                out_shardings=rep_sh,
+            )
+        return f(garr)
+
+    cnt_kind = {"int32": "sum", "u16": "sum_u16", "mf8": "sum_mf8"}[cfg.cbf.dtype]
+    state = dbg.GraphState(
+        dbgbf=merged(state.dbgbf, "or"),
+        cbf=merged(state.cbf, cnt_kind),
+        rpkbf=merged(state.rpkbf, "or"),
+        fpkbf=merged(state.fpkbf, "or"),
+    )
+    stats.elapsed_s = time.time() - t0
+    stats.fprs = dbg.fprs(state, cfg)
+    return state, stats
+
+
 def _worker_main(argv: Sequence[str]) -> None:
     """Subprocess entry for the multi-host CI test:
 
@@ -257,6 +422,12 @@ def _worker_main(argv: Sequence[str]) -> None:
     pid, n, coord, out = int(argv[0]), int(argv[1]), argv[2], argv[3]
     paths = list(argv[4:])
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    try:  # persistent compile cache: repeat scaling runs measure execution
+        from ..cli import _enable_compilation_cache
+
+        _enable_compilation_cache()
+    except Exception:
+        pass
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -268,16 +439,33 @@ def _worker_main(argv: Sequence[str]) -> None:
     from ..bloom.filters import BloomConfig, CountingConfig
     from ..graph import dbg
 
+    # filter/batch geometry is env-overridable so the bench can run this
+    # same worker at measurement scale (RNB_MH_LOG2 / RNB_MH_BATCH)
+    log2 = int(os.environ.get("RNB_MH_LOG2", "14"))
+    batch = int(os.environ.get("RNB_MH_BATCH", "64"))
     cfg = dbg.GraphConfig(
         k=25,
         stranded=False,
-        dbgbf=BloomConfig(size_log2=14, num_hash=2),
-        cbf=CountingConfig(size_log2=14, num_hash=2, scratch_log2=16),
-        pkbf=BloomConfig(size_log2=14, num_hash=2),
+        dbgbf=BloomConfig(size_log2=log2, num_hash=2),
+        cbf=CountingConfig(size_log2=log2, num_hash=2, scratch_log2=max(log2, 16)),
+        pkbf=BloomConfig(size_log2=log2, num_hash=2),
         read_pair_distance=20,
     )
-    params = s1.Stage1Params(k=25, batch_size=64, max_seq_len=128)
+    params = s1.Stage1Params(k=25, batch_size=batch, max_seq_len=192)
     mesh = Mesh(np.array(jax.devices()), ("d",))
+    if os.environ.get("RNB_MH_MODE", "sharded") == "local":
+        # local DP builds + one merge collective (graphs that fit one device)
+        state, stats = build_graph_local_merge(
+            paths, cfg, params, mesh, add_read_pairs=True
+        )
+        cbf = np.asarray(jax.device_get(state.cbf))
+        rpk = np.asarray(jax.device_get(state.rpkbf))
+        if pid == 0:
+            np.savez(
+                out, cbf=cbf[:-1], rpkbf=rpk[:-1],
+                reads=stats.num_reads, elapsed_s=stats.elapsed_s,
+            )
+        return
     state, stats = build_graph_multihost(
         paths, cfg, params, mesh, add_read_pairs=True
     )
@@ -296,6 +484,7 @@ def _worker_main(argv: Sequence[str]) -> None:
             cbf=np.concatenate([cbf[i, :-1] for i in range(nsh)]),
             rpkbf=np.concatenate([rpk[i, :-1] for i in range(nsh)]),
             reads=stats.num_reads,
+            elapsed_s=stats.elapsed_s,  # build-loop wall time (scaling runs)
         )
 
 

@@ -137,3 +137,64 @@ def test_two_process_build_matches_single(tmp_path):
     assert int(got["reads"]) == len(reads) // 2
     np.testing.assert_array_equal(got["cbf"], np.asarray(state.cbf[:-1]))
     np.testing.assert_array_equal(got["rpkbf"], np.asarray(state.rpkbf[:-1]))
+
+
+@pytest.mark.slow
+def test_two_process_local_merge_matches_single(tmp_path):
+    """Local-merge layout (per-process DP builds + one merge collective):
+    2 processes must equal a single process bit-for-bit with exact int32
+    counters — count-min insertion is commutative addition, so summing
+    per-process counters IS the single-process result."""
+    left = str(tmp_path / "mh.fq.gz")
+    reads = _make_fastq(left, 60, seed=7)
+    outs = {}
+    for n in (1, 2):
+        out = str(tmp_path / f"merged{n}.npz")
+        port = _free_port()
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+        env["RNB_MH_MODE"] = "local"
+        env.pop("PYTHONWARNINGS", None)
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-m", "rnabloom_tpu.parallel.multihost",
+                 str(pid), str(n), f"127.0.0.1:{port}", out, left],
+                cwd=REPO, env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            )
+            for pid in range(n)
+        ]
+        logs = [p.communicate(timeout=600)[0] for p in procs]
+        for p, log in zip(procs, logs):
+            assert p.returncode == 0, f"worker failed:\n{log[-3000:]}"
+        outs[n] = np.load(out)
+
+    np.testing.assert_array_equal(outs[2]["cbf"], outs[1]["cbf"])
+    np.testing.assert_array_equal(outs[2]["rpkbf"], outs[1]["rpkbf"])
+    # and against a direct single-device build (same cfg as the worker)
+    cfg = dbg.GraphConfig(
+        k=25,
+        stranded=False,
+        dbgbf=BloomConfig(size_log2=14, num_hash=2),
+        cbf=CountingConfig(size_log2=14, num_hash=2, scratch_log2=16),
+        pkbf=BloomConfig(size_log2=14, num_hash=2),
+        read_pair_distance=20,
+    )
+    state = dbg.make_graph(cfg, with_rpkbf=True)
+    from rnabloom_tpu.utils import seq as sequtils
+
+    arr = np.full((64, 192), 4, np.uint8)
+    n = 0
+    for r in reads:
+        codes = sequtils.encode(r)
+        arr[n, : len(codes)] = codes
+        n += 1
+        if n == 64:
+            state = dbg.build_step(state, cfg, jnp.asarray(arr), add_read_pairs=True)
+            arr = np.full((64, 192), 4, np.uint8)
+            n = 0
+    if n:
+        state = dbg.build_step(state, cfg, jnp.asarray(arr), add_read_pairs=True)
+    np.testing.assert_array_equal(outs[2]["cbf"], np.asarray(state.cbf[:-1]))
+    np.testing.assert_array_equal(outs[2]["rpkbf"], np.asarray(state.rpkbf[:-1]))
