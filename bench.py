@@ -312,6 +312,21 @@ ws1 = traverse.extend_walks(traverse.make_walks(cfg, wcfg, seeds), s1, cfg, wcfg
 jax.block_until_ready(ws1.pos)
 wdt1 = time.time() - t0
 
+# group-replicated engine (filters sharded R ways, replicated N/R ways):
+# the middle point for graphs too large to replicate — per-device cells
+# = size/R, walk collectives span only the R-device group
+gout = {}
+for r_grp in (2, 4):
+    gmesh = sharded.make_group_mesh(r_grp, 8)
+    gst = sharded.group_state(gmesh, st, cfg)
+    grun = sharded.grouped_extend_walks(gmesh, cfg, wcfg, "greedy", True, False)
+    og = grun(traverse.make_walks(cfg, wcfg, seeds), gst, 1.0, 200)
+    jax.block_until_ready(og.pos)
+    t0 = time.time()
+    og = grun(traverse.make_walks(cfg, wcfg, seeds), gst, 1.0, 200)
+    jax.block_until_ready(og.pos)
+    gout[f"grouped{r_grp}_cpu_walk_lanes_per_s"] = round(512 / (time.time() - t0), 1)
+
 # replicated walk engine (engine.extend_walks default on a mesh): one
 # all-gather of the filters, then collective-free DP supersteps
 from rnabloom_tpu.graph import engine as geng
@@ -342,6 +357,7 @@ print(json.dumps({
     "sharded8_cpu_walk_lanes_per_s": round(512 / wdt8, 1),
     "replicated8_cpu_walk_lanes_per_s": round(512 / wdtr, 1),
     "single_cpu_walk_lanes_per_s": round(512 / wdt1, 1),
+    **gout,
     "build_step_comm": comm_build,
     "walk_superstep_comm": comm_walk,
 }))

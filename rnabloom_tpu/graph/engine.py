@@ -425,7 +425,35 @@ def extend_walks(
         return traverse.extend_walks(wstate, graph, cfg, wcfg, min_cov, bound, mode=mode)
     from ..parallel import sharded
 
-    if os.environ.get("RNB_MESH_WALK", "replicated") == "replicated":
+    walk_env = os.environ.get("RNB_MESH_WALK", "replicated")
+    if walk_env == "grouped":
+        # middle point: filters shard R ways (RNB_MESH_GROUP, default 2)
+        # and replicate N/R ways — per-device HBM holds size/R cells,
+        # walk collectives span only the R-device group
+        r = int(os.environ.get("RNB_MESH_GROUP", "2"))
+        n = graph.mesh.devices.size
+        gmesh = graph._prog(("gmesh", r), lambda: sharded.make_group_mesh(r, n))
+        cached = graph._programs.get(("gstate", r))
+        if cached is None or cached[0] is not graph.state:
+            gst = sharded.group_state(gmesh, graph.state, cfg)
+            graph._programs[("gstate", r)] = (graph.state, gst)
+        else:
+            gst = cached[1]
+        rpk, fpk = gst.rpkbf is not None, gst.fpkbf is not None
+        run = graph._prog(
+            ("gwalk", cfg, wcfg, mode, r),
+            lambda: sharded.grouped_extend_walks(gmesh, cfg, wcfg, mode, rpk, fpk),
+        )
+        W = int(wstate.pos.shape[0])
+        pad = (-W) % n
+        if pad:
+            wstate = _pad_lanes(wstate, pad)
+        min_cov = jnp.broadcast_to(jnp.asarray(min_cov, jnp.float32), (W + pad,))
+        bound = jnp.broadcast_to(jnp.asarray(bound, jnp.int32), (W + pad,))
+        out = run(wstate, gst, min_cov, bound)
+        return jax.tree.map(lambda x: x[:W], out) if pad else out
+
+    if walk_env == "replicated":
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         rep = _replicated_graph(graph, cfg)

@@ -828,6 +828,88 @@ def sharded_extend_walks(mesh: Mesh, cfg: GraphConfig, wcfg, mode: str,
     return run
 
 
+def make_group_mesh(r: int, n_devices: Optional[int] = None) -> Mesh:
+    """2-D (rep, shard) mesh: filters shard R ways and replicate N/R ways.
+
+    The middle point between full replication (R=1: fastest walks, graph
+    must fit one device's HBM) and full hash-range sharding (R=N: graph
+    N x bigger, ~13 latency-bound collectives per walk superstep).  With
+    R-way groups, per-device HBM holds size/R cells and walk-superstep
+    collectives span only the R-device group (riding nearest-neighbor
+    ICI), while the N/R groups run their walk-lane slices independently.
+    """
+    devs = jax.devices()[: n_devices or len(jax.devices())]
+    n = len(devs)
+    assert n % r == 0, f"group size {r} must divide device count {n}"
+    return Mesh(np.array(devs).reshape(n // r, r), ("rep", "shard"))
+
+
+def group_state(mesh2: Mesh, state: ShardedGraphState, cfg: GraphConfig):
+    """Relayout an N-way-sharded state into R-way shards, each replicated
+    across the ``rep`` axis (one all-gather within each group — the
+    grouped analog of ``replicate_graph``, paid once per graph version)."""
+    r = mesh2.shape["shard"]
+    sh = NamedSharding(mesh2, P("shard", None))
+    cbf_trash = 128 if cfg.cbf.blocked else 1
+
+    def regroup(lanes, trash):
+        if lanes is None:
+            return None
+
+        def f(x):
+            flat = x[:, : x.shape[1] - trash].reshape(r, -1)
+            return jnp.concatenate(
+                [flat, jnp.zeros((r, trash), x.dtype)], axis=1
+            )
+
+        return jax.jit(f, out_shardings=sh)(lanes)
+
+    return ShardedGraphState(
+        dbgbf=regroup(state.dbgbf, 1),
+        cbf=regroup(state.cbf, cbf_trash),
+        rpkbf=regroup(state.rpkbf, 1),
+        fpkbf=regroup(state.fpkbf, 1),
+    )
+
+
+def grouped_extend_walks(mesh2: Mesh, cfg: GraphConfig, wcfg, mode: str,
+                         rpkbf: bool, fpkbf: bool,
+                         superstep_hops: int = 64, max_supersteps: int = 64):
+    """Walk extension over a (rep, shard) group mesh: lanes are DP over
+    ALL devices, filter gathers ride all-to-alls within each R-device
+    shard group only, and loop predicates psum within the group — groups
+    never synchronize with each other."""
+    from ..graph import traverse
+
+    r = mesh2.shape["shard"]
+    axis = "shard"
+    gspecs = _state_specs(cfg, axis, rpkbf=rpkbf, fpkbf=fpkbf)
+    backend = ShardedBackend(axis, r)
+    lanes = P(("rep", "shard"))
+
+    def local(wstate, gstate, min_cov, bound):
+        dummy = jnp.zeros((1,), jnp.uint8)
+        return traverse._extend_walks_fused(
+            wstate, gstate, cfg, wcfg, min_cov, bound, dummy,
+            mode, superstep_hops, max_supersteps, False, backend=backend,
+        )
+
+    smapped = shard_map(
+        local, mesh=mesh2,
+        in_specs=(lanes, gspecs, lanes, lanes),
+        out_specs=lanes,
+        check_vma=False,
+    )
+
+    def run(wstate, gstate, min_cov, bound):
+        W = wstate.pos.shape[0]
+        min_cov = jnp.broadcast_to(jnp.asarray(min_cov, jnp.float32), (W,))
+        bound = jnp.broadcast_to(jnp.asarray(bound, jnp.int32), (W,))
+        return smapped(wstate, gstate, min_cov, bound)
+
+    return run
+
+
 def replicate_graph(mesh: Mesh, state: ShardedGraphState, cfg: GraphConfig):
     """One all-gather: shard-major filter lanes -> the single-device layout,
     replicated into every device's HBM.

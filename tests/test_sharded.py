@@ -291,3 +291,43 @@ def test_comm_accounting_walk_superstep():
     # the per-superstep collective schedule
     assert comm["all_to_all"] >= 2
     assert comm["psum"] >= 1
+
+
+@pytest.mark.parametrize("r", [2, 4])
+def test_grouped_walks_match_single(monkeypatch, r):
+    """Group-replicated walk engine (filters sharded R ways, replicated
+    N/R ways; collectives span only the R-device group): byte-identical
+    walks to the single-device engine — the middle point for graphs too
+    large to replicate into one device's HBM (per-device cells = size/R)."""
+    import os
+
+    from rnabloom_tpu.graph import engine as geng, traverse
+    from rnabloom_tpu.parallel import sharded
+
+    cfg = dbg.GraphConfig(
+        k=25, stranded=False, dbgbf=BloomConfig(18, 2),
+        cbf=CountingConfig(18, 2, scratch_log2=16, blocked=True),
+        pkbf=BloomConfig(18, 2), read_pair_distance=60,
+    )
+    rng = np.random.default_rng(7)
+    codes = jnp.asarray(rng.integers(0, 4, size=(512, 120), dtype=np.uint8))
+    mesh = sharded.make_mesh(8)
+    st = sharded.make_sharded_graph(cfg, mesh, with_rpkbf=True)
+    st = sharded.sharded_build_step(mesh, cfg, add_read_pairs=True)(st, codes)
+    s1 = dbg.make_graph(cfg, with_rpkbf=True)
+    s1 = dbg.build_step(s1, cfg, codes, add_read_pairs=True)
+
+    wcfg = traverse.WalkConfig(max_len=128, lookahead=3)
+    seeds = np.asarray(rng.integers(0, 4, size=(96, 25), dtype=np.uint8))
+    ref = traverse.extend_walks(
+        traverse.make_walks(cfg, wcfg, seeds), s1, cfg, wcfg, 1.0, 80
+    )
+
+    monkeypatch.setenv("RNB_MESH_WALK", "grouped")
+    monkeypatch.setenv("RNB_MESH_GROUP", str(r))
+    mg = geng.MeshGraph(mesh=mesh, state=st)
+    out = geng.extend_walks(
+        traverse.make_walks(cfg, wcfg, seeds), mg, cfg, wcfg, 1.0, 80
+    )
+    np.testing.assert_array_equal(np.asarray(out.pos), np.asarray(ref.pos))
+    np.testing.assert_array_equal(np.asarray(out.buf), np.asarray(ref.buf))
