@@ -172,3 +172,38 @@ class FragmentStore:
             path = os.path.join(self.dir, f"fragments.{key}.nbits")
             for codes in nbits.read_nbits_codes(path):
                 yield len(codes)
+
+
+def merge_stores(dest_outdir: str, src_outdirs: List[str]) -> Optional[FragmentStore]:
+    """Concatenate per-process fragment stores into one (multi-host stage 2:
+    every process writes its slice's fragments to its own store; stage 3
+    runs over the merged store).  ``.nbits`` records are self-delimiting,
+    so per-stratum files concatenate byte-wise; per-fragment min-coverages
+    concatenate in the same order.  Returns None if no source has data."""
+    import shutil
+
+    srcs = [s for s in (FragmentStore.open(d) for d in src_outdirs) if s is not None]
+    if not srcs:
+        return None
+    dest = FragmentStore(
+        dest_outdir,
+        long_threshold=srcs[0].long_threshold,
+        polya_priority=srcs[0].polya_priority,
+    )
+    shutil.rmtree(dest.dir, ignore_errors=True)  # appends must start clean
+    os.makedirs(dest.dir, exist_ok=True)
+    for src in srcs:
+        for key, covs in src._covs.items():
+            src_path = os.path.join(src.dir, f"fragments.{key}.nbits")
+            dst_path = os.path.join(dest.dir, f"fragments.{key}.nbits")
+            with open(src_path, "rb") as fi, open(dst_path, "ab") as fo:
+                while True:
+                    chunk = fi.read(1 << 20)
+                    if not chunk:
+                        break
+                    fo.write(chunk)
+            dest._covs.setdefault(key, []).extend(covs)
+        dest.count += src.count
+        dest.max_len = max(dest.max_len, src.max_len)
+    dest.close()
+    return FragmentStore.open(dest_outdir)

@@ -255,6 +255,7 @@ def _iter_pair_batches_native(
     revcomp_left: bool,
     revcomp_right: bool,
     L: int,
+    stride=None,
 ):
     """Native-reader stage-2 feeder: the C++ parser masks low-quality
     bases to 4 and the segment selection is vectorized — no per-read
@@ -263,8 +264,8 @@ def _iter_pair_batches_native(
     from ..io import native
 
     B = params.batch_size
-    gl = native.read_masked_batches(left_path, B, L, params.min_qual)
-    gr = native.read_masked_batches(right_path, B, L, params.min_qual)
+    gl = native.read_masked_batches(left_path, B, L, params.min_qual, stride=stride)
+    gr = native.read_masked_batches(right_path, B, L, params.min_qual, stride=stride)
     for (lb0, ll0, lq), (rb0, rl0, rq) in zip(gl, gr):
         n = min(lb0.shape[0], rb0.shape[0])
         lb0, ll0, rb0, rl0 = lb0[:n], ll0[:n].copy(), rb0[:n], rl0[:n].copy()
@@ -329,6 +330,7 @@ def _iter_pair_batches(
     revcomp_left: bool,
     revcomp_right: bool,
     L: int,
+    stride=None,
 ):
     """Yield (left_codes, left_len, right_codes, right_len, multi) batches.
 
@@ -345,7 +347,8 @@ def _iter_pair_batches(
     if native.available():
         yield from _prefetch(
             _iter_pair_batches_native(
-                left_path, right_path, params, k, revcomp_left, revcomp_right, L
+                left_path, right_path, params, k, revcomp_left, revcomp_right, L,
+                stride=stride,
             )
         )
         return
@@ -356,7 +359,11 @@ def _iter_pair_batches(
     rlen = np.zeros(B, np.int32)
     multi: dict = {}
     n = 0
-    for (ln, ls, lq), (rn, rs, rq) in fastx.read_paired(left_path, right_path):
+    for rec_i, ((ln, ls, lq), (rn, rs, rq)) in enumerate(
+        fastx.read_paired(left_path, right_path)
+    ):
+        if stride is not None and rec_i % stride[1] != stride[0]:
+            continue
         if params.min_avg_qual > 0 and not (
             _avg_qual_ok(lq, params.min_avg_qual) and _avg_qual_ok(rq, params.min_avg_qual)
         ):
@@ -709,6 +716,140 @@ def assemble_se(
 
     _run_stage3(state, cfg, store, outdir, params, report)
     report.elapsed_s = time.time() - t0
+    return report
+
+
+
+def assemble_pe_multihost(
+    left_path: str,
+    right_path: str,
+    outdir: str,
+    params: PipelineParams,
+    revcomp_left: bool = False,
+    revcomp_right: bool = True,
+) -> "PipelineReport":
+    """Multi-host PE assembly (requires an initialized jax.distributed
+    group, CLI: -coordinator/-nprocs/-procid with PE inputs).
+
+    Layout: stage 1 builds with the local-merge layout (every process ends
+    holding the FULL merged filters — parallel/multihost.py), stage 2 is
+    embarrassingly parallel — each process runs the fragment loop over its
+    record-modulo pair slice against its local filters, writing its own
+    stratified store — and stage 3 runs single-host on process 0 over the
+    merged stores.  This generalizes the reference's reader-sharing thread
+    pool (RNABloom.java:1203-1246, :4465-4663) to processes: the graph
+    replaces the shared heap, record-modulo replaces the synchronized
+    reader, and the store merge replaces the writer queue.
+
+    The fragment-length sample (walk bound, pair distance) learns per
+    process from its own slice — the same order-dependence the reference's
+    thread scheduling has; the stage-3 pair distance is derived from the
+    POOLED lengths, matching the reference's global learning point.
+    """
+    import jax
+    from jax.sharding import Mesh
+
+    from ..parallel import multihost
+    from ..utils import checkpoint as ckpt
+
+    t0 = time.time()
+    report = PipelineReport()
+    k = params.k
+    pid, n = jax.process_index(), jax.process_count()
+    os.makedirs(outdir, exist_ok=True)
+
+    lengths = stage1.sample_read_lengths([left_path, right_path], params.sample_size)
+    d_read, max_tip = stage1.read_length_params(lengths, k, params.min_num_kmer_pairs)
+    if params.max_tip_length >= 0:
+        max_tip = params.max_tip_length
+    read_L = int(max(lengths.max(initial=150), k + d_read + 1))
+    cfg = stage1.default_graph_config(
+        k, params.stranded, params.total_mem_bytes, params.num_hash, d_read,
+        expected_num_kmers=params.expected_num_kmers,
+        **params.graph_config_overrides(),
+    )
+    s1p = stage1.Stage1Params(
+        k=k, stranded=params.stranded, min_qual=params.min_qual,
+        max_seq_len=max(read_L, 2 * k),
+    )
+    mesh = Mesh(np.array(jax.devices()), ("d",))
+    gstate, s1_stats = multihost.build_graph_local_merge(
+        [left_path, right_path], cfg, s1p, mesh,
+        revcomp_flags=[revcomp_left, revcomp_right], add_read_pairs=True,
+    )
+    report.stage1 = s1_stats
+    # materialize the replicated filters as plain LOCAL single-device
+    # arrays: stage 2 is process-local (multi-controller jax would other-
+    # wise require every process to dispatch identical programs)
+    local_state = dbg.GraphState(
+        *(
+            None if a is None else jnp.asarray(np.asarray(jax.device_get(a)))
+            for a in (gstate.dbgbf, gstate.cbf, gstate.rpkbf, gstate.fpkbf)
+        )
+    )
+    if pid == 0:
+        ckpt.touch_stamp(outdir, ckpt.STAMP_DBG_DONE)
+    if params.stop_stage <= 1:
+        report.elapsed_s = time.time() - t0
+        return report
+
+    # ---- stage 2: process-local fragment assembly over the pair slice
+    fparams = fragmod.FragmentParams(
+        min_overlap=params.min_overlap, bound=params.bound,
+        lookahead=params.lookahead, extend_fragments=params.extend_fragments,
+        ec_params=params.correct_params(),
+    )
+    pdir = os.path.join(outdir, f"mh_p{pid}")
+    store = _new_fragment_store(pdir, params)
+    frag_lengths: List[int] = []
+    _stage2_pair_loop(
+        local_state, cfg, left_path, right_path, params, revcomp_left,
+        revcomp_right, read_L, fparams, store, report, frag_lengths,
+        stride=(pid, n),
+    )
+    store.close()
+    # barrier: every store must be closed before process 0 merges
+    multihost._global_any(mesh, True)
+    if pid != 0:
+        report.elapsed_s = time.time() - t0
+        return report
+
+    merged = fragstore.merge_stores(
+        outdir, [os.path.join(outdir, f"mh_p{i}") for i in range(n)]
+    )
+    if merged is None or merged.count == 0:
+        report.elapsed_s = time.time() - t0
+        return report
+    report.num_fragments = merged.count
+    ckpt.touch_stamp(outdir, ckpt.STAMP_FRAGMENTS_DONE)
+    if params.stop_stage <= 2:
+        report.elapsed_s = time.time() - t0
+        return report
+
+    # stage-3 pair distance from the POOLED fragment lengths
+    all_lengths = np.fromiter(merged.iter_lengths(), np.int64)
+    q1, _, q3 = sequtils.quartiles(all_lengths)
+    d_frag = max(1, int(q1) - k - params.min_num_kmer_pairs)
+    report.fragment_pair_distance = d_frag
+    cfg = dbg.GraphConfig(
+        k=cfg.k, stranded=cfg.stranded, dbgbf=cfg.dbgbf, cbf=cfg.cbf,
+        pkbf=cfg.pkbf, read_pair_distance=cfg.read_pair_distance,
+        fragment_pair_distance=d_frag, exact_counts=cfg.exact_counts,
+    )
+    _finish_pe_stage3(local_state, cfg, merged, outdir, params, report)
+    report.elapsed_s = time.time() - t0
+    with open(os.path.join(outdir, f"{params.name}.report.json"), "w") as f:
+        json.dump(
+            {
+                "num_pairs": report.num_pairs,
+                "num_fragments": report.num_fragments,
+                "num_transcripts": report.num_transcripts,
+                "num_short": report.num_short,
+                "fragment_pair_distance": report.fragment_pair_distance,
+                "elapsed_s": report.elapsed_s,
+            },
+            f,
+        )
     return report
 
 
@@ -1207,6 +1348,62 @@ def _store_fragment(
     store.add(f.codes, f.min_cov, f.connected, polya=pa)
 
 
+
+def _stage2_pair_loop(
+    state,
+    cfg: dbg.GraphConfig,
+    left_path: str,
+    right_path: str,
+    params: PipelineParams,
+    revcomp_left: bool,
+    revcomp_right: bool,
+    read_L: int,
+    fparams: "fragmod.FragmentParams",
+    store: "fragstore.FragmentStore",
+    report: "PipelineReport",
+    frag_lengths: List[int],
+    stride=None,
+) -> int:
+    """The stage-2 fragment loop over (a slice of) the pair stream.
+
+    Returns the learned fragment pair distance (-1 when the sample never
+    filled — the caller derives it from all lengths).  ``stride``
+    (process_id, num_processes) restricts to a record-modulo slice for
+    multi-host stage 2 (mate-alignment safe on paired files); the
+    fragment-length sample then learns per process, mirroring the
+    reference's thread-order-dependent sampling
+    (RNABloom.java:4534-4568)."""
+    k = cfg.k
+    learned = False
+    d_frag = -1
+    _d0 = engine.dispatch_counts()
+    for lb, ll, rb, rl, multi in _iter_pair_batches(
+        left_path, right_path, params, k, revcomp_left, revcomp_right, read_L,
+        stride=stride,
+    ):
+        report.num_pairs += int((ll > 0).sum())
+        _connect_multi_segments(state, cfg, lb, ll, rb, rl, multi, fparams)
+        outs = fragmod.assemble_fragments_batch(state, cfg, lb, ll, rb, rl, fparams)
+        for f in outs:
+            if f is not None and f.min_cov >= params.min_fragment_cov:
+                _store_fragment(store, f, params)
+                frag_lengths.append(f.length)
+        report.stage2_batches += 1
+        if not learned and len(frag_lengths) >= params.sample_size:
+            # the reference learns BOTH the fragment pair distance (sample
+            # Q1 - k - minNumKmerPairs) and the walk bound from the first
+            # sampleSize fragments' quartiles, then continues with the new
+            # bound — sampled fragments are kept as assembled
+            # (RNABloom.java:4534-4568)
+            learned = True
+            q1, _, q3 = sequtils.quartiles(np.asarray(frag_lengths))
+            fparams.bound = int(q3 + (q3 - q1) * 3 // 2)
+            d_frag = max(1, int(q1) - k - params.min_num_kmer_pairs)
+    _d1 = engine.dispatch_counts()
+    report.stage2_dispatches = {k2: _d1[k2] - _d0[k2] for k2 in _d1}
+    return d_frag
+
+
 def assemble_pe(
     left_path: str,
     right_path: str,
@@ -1357,33 +1554,10 @@ def assemble_pe(
     )
     store = _new_fragment_store(outdir, params)
     frag_lengths: List[int] = []
-    learned = False
-    d_frag = -1
-    _d0 = engine.dispatch_counts()
-    for lb, ll, rb, rl, multi in _iter_pair_batches(
-        left_path, right_path, params, k, revcomp_left, revcomp_right, read_L
-    ):
-        report.num_pairs += int((ll > 0).sum())
-        _connect_multi_segments(state, cfg, lb, ll, rb, rl, multi, fparams)
-        outs = fragmod.assemble_fragments_batch(state, cfg, lb, ll, rb, rl, fparams)
-        for f in outs:
-            if f is not None and f.min_cov >= params.min_fragment_cov:
-                _store_fragment(store, f, params)
-                frag_lengths.append(f.length)
-        report.stage2_batches += 1
-        if not learned and len(frag_lengths) >= params.sample_size:
-            # the reference learns BOTH the fragment pair distance (sample
-            # Q1 - k - minNumKmerPairs) and the walk bound from the first
-            # sampleSize fragments' quartiles, then continues with the new
-            # bound — sampled fragments are kept as assembled
-            # (RNABloom.java:4534-4568)
-            learned = True
-            q1, _, q3 = sequtils.quartiles(np.asarray(frag_lengths))
-            fparams.bound = int(q3 + (q3 - q1) * 3 // 2)
-            d_frag = max(1, int(q1) - k - params.min_num_kmer_pairs)
-
-    _d1 = engine.dispatch_counts()
-    report.stage2_dispatches = {k: _d1[k] - _d0[k] for k in _d1}
+    d_frag = _stage2_pair_loop(
+        state, cfg, left_path, right_path, params, revcomp_left,
+        revcomp_right, read_L, fparams, store, report, frag_lengths,
+    )
     report.num_fragments = store.count
     if store.count == 0:
         store.close()

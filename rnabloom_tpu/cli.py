@@ -207,15 +207,16 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     for attr in ("left", "right", "sef", "ser", "long_reads"):
         setattr(args, attr, _expand_at(getattr(args, attr)))
-    if args.coordinator:
-        # honor an explicit JAX_PLATFORMS request before joining the group:
-        # plugin platforms (e.g. the tunneled axon TPU) register themselves
-        # regardless of the env var, and a 2-process group fighting over one
-        # tunneled chip deadlocks in the first collective
-        if os.environ.get("JAX_PLATFORMS"):
-            import jax
+    # honor an explicit JAX_PLATFORMS request: plugin platforms (e.g. the
+    # tunneled axon TPU) register themselves regardless of the env var —
+    # without this a user asking for cpu still lands on the plugin, and a
+    # multi-process group fighting over one tunneled chip deadlocks in the
+    # first collective
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
 
-            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    if args.coordinator:
         from rnabloom_tpu.parallel import multihost
 
         multihost.initialize(args.coordinator, args.nprocs, args.procid)
@@ -338,10 +339,34 @@ def main(argv=None) -> int:
         from rnabloom_tpu.parallel import multihost, sharded
         from rnabloom_tpu.utils import checkpoint as ckpt
 
+        # PE inputs with the local layout run ALL stages: stage 2 is
+        # process-local over record-modulo pair slices against each
+        # process's full merged filters; stage 3 runs on process 0 over
+        # the merged fragment stores (pipeline.assemble_pe_multihost)
+        if (
+            args.left and args.right and not args.long_reads
+            and args.stage >= 2 and args.mh_layout in ("auto", "local")
+        ):
+            report = pipeline.assemble_pe_multihost(
+                args.left, args.right, args.outdir, params,
+                revcomp_left=args.revcomp_left,
+                revcomp_right=args.revcomp_right,
+            )
+            import jax as _jax
+
+            if _jax.process_index() == 0:
+                print(json.dumps({
+                    "pairs": report.num_pairs,
+                    "fragments": report.num_fragments,
+                    "transcripts": report.num_transcripts,
+                    "elapsed_s": round(report.elapsed_s, 2),
+                }))
+            return 0
         if args.stage != 1:
             print(
-                "note: multi-host runs stage 1 across the group; run stages "
-                "2-3 single-host from the saved graph (-savebf implied)",
+                "note: multi-host with this input/layout runs stage 1 "
+                "across the group; run stages 2-3 single-host from the "
+                "saved graph (-savebf implied)",
                 file=sys.stderr,
             )
         paths = (

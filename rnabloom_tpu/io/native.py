@@ -120,16 +120,23 @@ def read_masked_batches(
     batch_size: int,
     max_len: int,
     min_qual: int,
+    stride: Optional[Tuple[int, int]] = None,
 ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
     """Yield (codes (B, L) uint8, lengths (B,), avg_qual (B,) float32) —
     ONE row per read, low-quality/ambiguous bases masked to 4 (quality
-    segments are the runs of codes < 4).  The paired stage-2 feeder."""
+    segments are the runs of codes < 4).  The paired stage-2 feeder.
+
+    ``stride`` (process_id, num_processes) keeps every n-th record —
+    record-modulo is mate-alignment safe when the same stride is applied
+    to both files of a pair (multi-host stage 2)."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native fastxio unavailable")
     h = lib.fx_open(path.encode())
     if not h:
         raise FileNotFoundError(path)
+    if stride is not None:
+        lib.fx_set_stride(h, stride[0], stride[1])
     try:
         while True:
             codes = np.empty((batch_size, max_len), np.uint8)

@@ -198,3 +198,69 @@ def test_two_process_local_merge_matches_single(tmp_path):
         state = dbg.build_step(state, cfg, jnp.asarray(arr), add_read_pairs=True)
     np.testing.assert_array_equal(outs[2]["cbf"], np.asarray(state.cbf[:-1]))
     np.testing.assert_array_equal(outs[2]["rpkbf"], np.asarray(state.rpkbf[:-1]))
+
+
+@pytest.mark.slow
+def test_two_process_pe_all_stages_matches_single(tmp_path):
+    """Multi-host PE through ALL stages: stage 1 local-merge build, stage 2
+    process-local over record-modulo pair slices, stage 3 on process 0
+    over the merged stores — transcripts byte-identical to a single-host
+    run (pipeline.assemble_pe_multihost via the CLI)."""
+    import gzip
+
+    rng = np.random.default_rng(77)
+    from rnabloom_tpu.utils import seq as sequtils
+
+    pts = ["".join(rng.choice(list("ACGT"), size=400)) for _ in range(3)]
+    left = str(tmp_path / "p_1.fq.gz")
+    right = str(tmp_path / "p_2.fq.gz")
+    q = "I" * 100
+    with gzip.open(left, "wt") as fl, gzip.open(right, "wt") as fr:
+        n = 0
+        for t in pts:
+            for _ in range(80):
+                s = rng.integers(0, len(t) - 220 + 1)
+                frag = t[s : s + 220]
+                fl.write(f"@r{n}/1\n{frag[:100]}\n+\n{q}\n")
+                fr.write(f"@r{n}/2\n{sequtils.revcomp(frag[-100:])}\n+\n{q}\n")
+                n += 1
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env.pop("PYTHONWARNINGS", None)
+    port = _free_port()
+    base = [sys.executable, "-m", "rnabloom_tpu.cli",
+            "-left", left, "-right", right, "-revcomp-right",
+            "-mem", "0.02", "-norr"]
+    procs = [
+        subprocess.Popen(
+            base + ["-o", str(tmp_path / "out_mh"),
+                    "-coordinator", f"127.0.0.1:{port}",
+                    "-nprocs", "2", "-procid", str(pid)],
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(2)
+    ]
+    logs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-3000:]}"
+
+    single = subprocess.run(
+        base + ["-o", str(tmp_path / "out_1"), "-sharded", "off"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert single.returncode == 0, single.stderr[-3000:]
+
+    def canon_set(path):
+        from rnabloom_tpu.io import fastx
+
+        return sorted(
+            min(s.upper(), sequtils.revcomp(s.upper()))
+            for _, s in fastx.read_fasta(str(path))
+        )
+
+    mh = canon_set(tmp_path / "out_mh" / "rnabloom.transcripts.fa")
+    sh = canon_set(tmp_path / "out_1" / "rnabloom.transcripts.fa")
+    assert mh and mh == sh
