@@ -186,8 +186,13 @@ _enable_compilation_cache()
 from rnabloom_tpu.assembly import pipeline as pl
 from rnabloom_tpu.utils import seq as sequtils
 
-TMP = "/tmp/rb_bench_s23"
-DATA_PARAMS = {"transcripts": 8, "tlen": 800, "per": 1024, "rlen": 150, "v": 2}
+# graduated sizing: the tunneled backend's wedge probability grows with
+# the dispatch count, so when the full 8192-pair set cannot complete the
+# driver retries a smaller set (RNB_S23_PAIRS) — pairs/s is size-valid
+# and a labeled smaller number beats a blank
+PAIRS = int(os.environ.get("RNB_S23_PAIRS", "8192"))
+TMP = f"/tmp/rb_bench_s23_{PAIRS}"
+DATA_PARAMS = {"transcripts": 8, "tlen": 800, "per": PAIRS // 8, "rlen": 150, "v": 2}
 MARKER = f"{TMP}/DATA_OK.json"
 
 def data_ok():
@@ -573,18 +578,27 @@ def main() -> None:
     extra.update(mh if "error" not in mh else {"multihost_error": mh["error"]})
     _emit(result, final=False)
 
-    s23w = _run_phase("stage23_warm", _STAGE23_WARM_CODE, deadline, attempts=4)
+    s23w = _run_phase("stage23_warm", _STAGE23_WARM_CODE, deadline, attempts=2)
     if "warm_s" in s23w:
         extra["stage23_warm_s"] = s23w["warm_s"]
     elif "error" in s23w:
         extra["stage23_warm_error"] = s23w["error"]
     _emit(result, final=False)
 
-    s23 = _run_phase("stage23_timed", _STAGE23_TIMED_CODE, deadline, attempts=3)
-    if "error" in s23:
+    # graduated sizes: wedge probability compounds with dispatch count, so
+    # when the full set cannot complete, a smaller labeled set still lands
+    # a pairs/s number
+    for pairs, attempts in ((8192, 2), (2048, 2)):
+        os.environ["RNB_S23_PAIRS"] = str(pairs)
+        s23 = _run_phase(
+            f"stage23_timed_{pairs}", _STAGE23_TIMED_CODE, deadline, attempts=attempts
+        )
+        if "error" not in s23:
+            extra.update(s23)
+            extra["stage23_pairs"] = pairs
+            break
         extra["stage23_pairs_per_s"] = s23["error"]
-    else:
-        extra.update(s23)
+    os.environ.pop("RNB_S23_PAIRS", None)
     _emit(result, final=True)
 
 
