@@ -215,17 +215,35 @@ def is_blunt_end_artifact(
     d: int,
     max_depth: int,
 ) -> bool:
-    """Blunt-end artifact signature (isBluntEndArtifact :8535-8585).
+    """Blunt-end artifact signature (isBluntEndArtifact :8535-8585),
+    coverage/stub conditions only — callers confirm with the graph depth
+    probes via ``blunt_end_candidate`` + the walk engine (the reference's
+    hasDepth checks); this boolean form stands alone where no graph is
+    available and is conservative without the probes."""
+    return blunt_end_candidate(seen, valid, counts, d, max_depth) is not None
 
-    A mostly previously-assembled sequence with a short (< read-pair
-    distance) unassembled, lower-coverage stub at one end.  The reference
-    additionally verifies the stub is a graph dead end while an assembled
-    alternate continuation exists (hasDepth probes) — omitted here, with the
-    short-stub requirement making the check conservative.
+
+def blunt_end_candidate(
+    seen: np.ndarray,
+    valid: np.ndarray,
+    counts: np.ndarray,
+    d: int,
+    max_depth: int,
+):
+    """Candidate blunt-end artifact needing graph-depth confirmation, or
+    None (isBluntEndArtifact :8535-8585 coverage/stub conditions).
+
+    Returns (side, end_kmer, alt_kmer, stub_len) in VALID-k-mer index
+    space: ``side`` is 'r' when the unassembled stub is at the right end
+    (the reference's first branch) else 'l'; ``end_kmer`` indexes the
+    sequence's terminal k-mer (the stub end that must be a graph DEAD END
+    within max_depth); ``alt_kmer`` the last/first assembled k-mer (from
+    which an ASSEMBLED-restricted continuation of >= stub_len must exist);
+    ``stub_len`` the unassembled stub's k-mer count.
     """
     idx = np.flatnonzero(valid)
     if len(idx) < 3 or max_depth <= 0:
-        return False
+        return None
     s = seen[idx]
     c = counts[idx]
     n = len(s)
@@ -239,16 +257,20 @@ def is_blunt_end_artifact(
     if s[0] and (not s[-1] or left_cov > right_cov):
         i = int(np.flatnonzero(~s)[0]) if not s.all() else n
         if i == n or i < n - d:
-            return False
-        return med(c[:i]) > med(c[i:])
+            return None
+        if med(c[:i]) > med(c[i:]):
+            return ("r", int(idx[n - 1]), int(idx[i - 1]), n - i)
+        return None
     if s[-1] and (not s[0] or left_cov < right_cov):
         if s.all():
-            return False
+            return None
         j = int(np.flatnonzero(~s)[-1])
         if j > d:
-            return False
-        return med(c[j + 1 :]) > med(c[: j + 1])
-    return False
+            return None
+        if med(c[j + 1 :]) > med(c[: j + 1]):
+            return ("l", int(idx[0]), int(idx[j + 1]), j + 1)
+        return None
+    return None
 
 
 # Low-complexity detectors: the reference's 1/2/3-mer frequency tests

@@ -678,6 +678,43 @@ def break_check(
 # ---------------------------------------------------------------------------
 
 
+
+def _depth_probe(graph, cfg: GraphConfig, seeds, bound: int, lookahead: int = 3):
+    """Greedy depth reached from each seed k-mer, up to ``bound`` hops —
+    the batched stand-in for the reference's exhaustive hasDepth DFS
+    (graph/Kmer.java:407-486; greedy-beam approximation documented in
+    traverse.py:27-37).  seeds: list of (k,) uint8 code arrays."""
+    from ..graph import traverse
+
+    B = len(seeds)
+    Bp = 1 << max(4, (B - 1).bit_length())
+    arr = np.full((Bp, cfg.k), 0, np.uint8)
+    for i, s in enumerate(seeds):
+        arr[i] = s
+    max_len = 1 << max(6, (cfg.k + bound).bit_length())
+    wcfg = traverse.WalkConfig(max_len=max_len, lookahead=lookahead)
+    st = traverse.make_walks(cfg, wcfg, arr)
+    st = engine.extend_walks(st, graph, cfg, wcfg, 1.0, bound, mode="greedy")
+    _, pos, _ = traverse.harvest(st)
+    return np.asarray(pos)[:B] - cfg.k
+
+
+def _screen_as_graph(screen, scfg, cfg: GraphConfig):
+    """The screening filter viewed as a graph whose k-mer counts are
+    membership (1/0): walking it IS the assembled-k-mer-restricted
+    traversal of the reference's hasDepth(assembledKmers) overload.
+    Bit lanes are 0/1 uint8, so an mf8-decoded count-min over them is
+    exactly the AND-of-lanes Bloom lookup."""
+    from ..bloom.filters import CountingConfig as _CC
+
+    pcfg = dbg.GraphConfig(
+        k=cfg.k, stranded=cfg.stranded, dbgbf=cfg.dbgbf,
+        cbf=_CC(scfg.size_log2, scfg.num_hash, dtype="mf8", merge=scfg.merge),
+        pkbf=None, read_pair_distance=-1, exact_counts=False,
+    )
+    return dbg.GraphState(dbgbf=None, cbf=screen, rpkbf=None, fpkbf=None), pcfg
+
+
 def branch_free_batch(
     graph: GraphState, cfg: GraphConfig, codes: np.ndarray, lens: np.ndarray
 ) -> np.ndarray:
@@ -727,12 +764,43 @@ def assemble_transcripts_batch(
         seen_np = np.asarray(seen_d)
         counts_np = np.asarray(counts_d)
         valid_np = np.asarray(valid_d)
+        cands = []
         for b in range(B):
             nk = max(int(lens[b]) - cfg.k + 1, 0)
             if nk:
-                blunt[b] = artifacts.is_blunt_end_artifact(
+                cand = artifacts.blunt_end_candidate(
                     seen_np[b, :nk], valid_np[b, :nk], counts_np[b, :nk],
                     cfg.read_pair_distance, params.max_edge_clip,
+                )
+                if cand is not None:
+                    cands.append((b, cand))
+        if cands:
+            # the reference's depth confirmation (isBluntEndArtifact
+            # :8558-8560, :8577-8580): the stub end must be a graph DEAD
+            # END within maxDepth while an ASSEMBLED-restricted
+            # continuation of >= the stub length exists from the last
+            # assembled k-mer — both probed in two batched walks
+            k = cfg.k
+            seeds_end, seeds_alt, stubs = [], [], []
+            for b, (side, endi, alti, stub) in cands:
+                row = frags[b]
+                if side == "r":
+                    seeds_end.append(np.asarray(row[endi : endi + k]))
+                    seeds_alt.append(np.asarray(row[alti : alti + k]))
+                else:
+                    seeds_end.append(sequtils.revcomp_codes(np.asarray(row[endi : endi + k])))
+                    seeds_alt.append(sequtils.revcomp_codes(np.asarray(row[alti : alti + k])))
+                stubs.append(stub)
+            dep_end = _depth_probe(
+                graph, cfg, seeds_end, params.max_edge_clip, params.lookahead
+            )
+            sgraph, pcfg = _screen_as_graph(screen, scfg, cfg)
+            dep_alt = _depth_probe(
+                sgraph, pcfg, seeds_alt, max(stubs), params.lookahead
+            )
+            for i, (b, (_side, _e, _a, stub)) in enumerate(cands):
+                blunt[b] = bool(
+                    dep_end[i] < params.max_edge_clip and dep_alt[i] >= stub
                 )
     tswitch = np.zeros(B, bool)
     if params.template_switch_filter and not params.keep_artifacts:

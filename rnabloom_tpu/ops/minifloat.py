@@ -20,12 +20,33 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _exp2i(e: jax.Array) -> jax.Array:
+    """Exact 2**e as float32 from an int32 exponent via bitcast — no
+    transcendental (the codec runs over every table cell per merge sweep,
+    and exp2/log2 on 2**28 cells per batch is the mf8 path's whole
+    overhead vs int32 counters)."""
+    return jax.lax.bitcast_convert_type(
+        (jnp.clip(e, -126, 127) + 127).astype(jnp.int32) << 23, jnp.float32
+    )
+
+
+def _floor_log2(c: jax.Array) -> jax.Array:
+    """floor(log2(c)) for positive float32 c: the float's exponent bits.
+
+    Exact by construction — the old float ``log2`` formulation returned
+    12.99999x at exact powers of two, making encode_floor(8192) emit code
+    87 (=7680) instead of the exactly-representable 88 (=8192)."""
+    return (
+        jax.lax.bitcast_convert_type(c.astype(jnp.float32), jnp.int32) >> 23
+    ) - 127
+
+
 def decode(b: jax.Array) -> jax.Array:
     """MiniFloat byte -> float32 count (MiniFloat.toFloat)."""
     b = b.astype(jnp.int32)
     mant = (b & 7) | 8
     exp = (b >> 3) - 1
-    big = (mant.astype(jnp.float32)) * jnp.exp2(exp.astype(jnp.float32))
+    big = mant.astype(jnp.float32) * _exp2i(exp)
     return jnp.where(b <= 7, b.astype(jnp.float32), big)
 
 
@@ -39,13 +60,14 @@ def encode(count: jax.Array) -> jax.Array:
     c = jnp.maximum(count.astype(jnp.float32), 0.0)
     small = jnp.clip(jnp.round(c), 0, 7).astype(jnp.int32)
     # exponent e >= 1 such that mantissa = c / 2**(e-1) lies in [8, 16)
-    e = jnp.maximum(jnp.floor(jnp.log2(jnp.maximum(c, 8.0))) - 2.0, 1.0)
-    mant = jnp.clip(jnp.round(c / jnp.exp2(e - 1.0)), 8, 15)
-    # mantissa rounding up to 16 bumps the exponent
+    e = jnp.maximum(_floor_log2(jnp.maximum(c, 8.0)) - 2, 1)
+    mant = jnp.round(c * _exp2i(1 - e)).astype(jnp.int32)
+    # mantissa rounding up to 16 bumps the exponent (16 * 2**(e-1) ==
+    # 8 * 2**e, exactly representable one exponent up)
     bump = mant >= 16
-    e = jnp.where(bump, e + 1.0, e)
-    mant = jnp.where(bump, 8.0, mant)
-    big = ((e.astype(jnp.int32)) << 3) | (mant.astype(jnp.int32) & 7)
+    e = jnp.where(bump, e + 1, e)
+    mant = jnp.clip(jnp.where(bump, 8, mant), 8, 15)
+    big = (e << 3) | (mant & 7)
     out = jnp.where(c <= 7.5, small, jnp.minimum(big, 127))
     return out.astype(jnp.uint8)
 
@@ -54,9 +76,9 @@ def encode_floor(count: jax.Array) -> jax.Array:
     """float/int count -> largest representable MiniFloat byte <= count."""
     c = jnp.maximum(count.astype(jnp.float32), 0.0)
     small = jnp.clip(jnp.floor(c), 0, 7).astype(jnp.int32)
-    e = jnp.maximum(jnp.floor(jnp.log2(jnp.maximum(c, 8.0))) - 2.0, 1.0)
-    mant = jnp.clip(jnp.floor(c / jnp.exp2(e - 1.0)), 8, 15)
-    big = ((e.astype(jnp.int32)) << 3) | (mant.astype(jnp.int32) & 7)
+    e = jnp.maximum(_floor_log2(jnp.maximum(c, 8.0)) - 2, 1)
+    mant = jnp.clip(jnp.floor(c * _exp2i(1 - e)).astype(jnp.int32), 8, 15)
+    big = (e << 3) | (mant & 7)
     out = jnp.where(c < 8, small, jnp.minimum(big, 127))
     return out.astype(jnp.uint8)
 

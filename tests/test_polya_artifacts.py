@@ -299,3 +299,75 @@ class TestHairpinTrim:
         clean = self._rand(500, 6)
         out = artifacts.trim_rc_artifact(clean, k=25)
         assert np.array_equal(out, clean)
+
+
+def test_blunt_end_depth_confirmation():
+    """assemble_transcripts_batch's blunt screen requires the reference's
+    depth confirmation (isBluntEndArtifact :8558-8580): the stub must be a
+    graph DEAD END while an assembled continuation exists.  A stub that
+    keeps extending in the graph is NOT an artifact even when the
+    coverage/stub signature matches."""
+    import jax.numpy as jnp
+
+    from rnabloom_tpu.bloom.filters import BloomConfig, CountingConfig, make_bloom
+    from rnabloom_tpu.graph import dbg
+    from rnabloom_tpu.assembly import transcripts as txmod
+
+    rng = np.random.default_rng(55)
+    k = 25
+    cfg = dbg.GraphConfig(
+        k=k, stranded=False,
+        dbgbf=BloomConfig(16, 2),
+        cbf=CountingConfig(16, 2, scratch_log2=16),
+        pkbf=BloomConfig(16, 2), read_pair_distance=40,
+    )
+    scfg = BloomConfig(16, 2)
+
+    base = rng.integers(0, 4, size=260, dtype=np.uint8)   # assembled transcript
+    deep = rng.integers(0, 4, size=140, dtype=np.uint8)   # a real continuation
+    cont = np.concatenate([base[:140], deep])             # branch at pos 140
+
+    def batchify(rows, L):
+        arr = np.full((len(rows), L), 4, np.uint8)
+        lens = np.zeros(len(rows), np.int64)
+        for i, r in enumerate(rows):
+            arr[i, : len(r)] = r
+            lens[i] = len(r)
+        return arr, lens
+
+    # graph: transcript at depth 8, continuation at depth 2 (hash every row)
+    state = dbg.make_graph(cfg, with_rpkbf=True)
+    rows = [base] * 8 + [cont] * 2
+    arr, _ = batchify(rows, 416)
+    state = dbg.build_step(state, cfg, jnp.asarray(arr), add_read_pairs=True)
+
+    # screen holds ONLY the assembled transcript's k-mers
+    screen = make_bloom(scfg)
+    sarr, slens = batchify([base], 288)
+    screen = txmod.screen_add(screen, scfg, cfg, jnp.asarray(sarr))
+
+    params = txmod.TranscriptParams(
+        min_transcript_length=50, max_edge_clip=20, frag_consistency=False,
+    )
+
+    # candidate A: assembled prefix + REAL deep continuation stub -> the
+    # stub has graph depth, so the depth probe must NOT flag it
+    candA = cont[: 140 + k + 25]  # 25 unassembled stub k-mers, deep in graph
+    # candidate B: assembled prefix + junk stub that dead-ends
+    junk = rng.integers(0, 4, size=25, dtype=np.uint8)
+    candB = np.concatenate([base[: 140 + k - 1], junk])
+
+    frags, lens = batchify([candA, candB], 288)
+    txs, shorts, screen = txmod.assemble_transcripts_batch(
+        state, cfg, screen, scfg, frags, lens, params
+    )
+    emitted = {sequtils.decode(t.codes) for t in txs} | {
+        sequtils.decode(t.codes) for t in shorts
+    }
+    strA = sequtils.decode(candA)
+    # A survives (its stub is a genuine graph path, depth >= max_edge_clip)
+    assert any(strA in e or e in strA for e in emitted), "real continuation was screened"
+    # B (dead-end stub over an assembled body) is flagged blunt: nothing
+    # emitted may contain B's junk stub
+    strJ = sequtils.decode(junk)
+    assert not any(strJ in e for e in emitted), "dead-end stub survived the blunt screen"
