@@ -853,6 +853,157 @@ def assemble_pe_multihost(
     return report
 
 
+
+def assemble_long_multihost(
+    long_paths: Sequence[str],
+    outdir: str,
+    params: PipelineParams,
+    lr_min_cov: float = 2.0,
+    subsample_spec: str = "",
+) -> "PipelineReport":
+    """Multi-host long-read assembly (requires an initialized
+    jax.distributed group; CLI -coordinator/-nprocs/-procid with -long).
+
+    Stage 1 builds with the local-merge layout (every process holds the
+    full merged filters); stage 2's windowed correction is process-local
+    over record-modulo read slices, each process writing part FASTAs; the
+    OLC stage then runs on process 0 through ``assemble_long``'s resume
+    path over the merged corrected FASTA (LONGREADS.CORRECTED stamp) —
+    the multi-process generalization of the reference's correction
+    worker pool + writer (RNABloom.java:3948-4046).
+    """
+    import jax
+    from jax.sharding import Mesh
+
+    from ..parallel import multihost
+    from ..utils import checkpoint as ckpt
+    from . import longreads as lrmod
+
+    t0 = time.time()
+    report = PipelineReport()
+    k = params.k
+    pid, n = jax.process_index(), jax.process_count()
+    os.makedirs(outdir, exist_ok=True)
+
+    cfg = stage1.default_graph_config(
+        k, params.stranded, params.total_mem_bytes, params.num_hash, -1,
+        with_pkbf=True, expected_num_kmers=params.expected_num_kmers,
+        **params.graph_config_overrides(),
+    )
+    s1p = stage1.Stage1Params(
+        k=k, stranded=params.stranded, min_qual=params.min_qual, max_seq_len=512
+    )
+    mesh = Mesh(np.array(jax.devices()), ("d",))
+    gstate, s1_stats = multihost.build_graph_local_merge(
+        long_paths, cfg, s1p, mesh
+    )
+    report.stage1 = s1_stats
+    local_state = dbg.GraphState(
+        *(
+            None if a is None else jnp.asarray(np.asarray(jax.device_get(a)))
+            for a in (gstate.dbgbf, gstate.cbf, gstate.rpkbf, gstate.fpkbf)
+        )
+    )
+    if params.stop_stage <= 1:
+        if pid == 0:
+            ckpt.touch_stamp(outdir, ckpt.STAMP_DBG_DONE)
+        report.elapsed_s = time.time() - t0
+        return report
+
+    # ---- stage 2: windowed correction over this process's read slice
+    lrp = lrmod.LongReadParams(
+        min_kmer_cov=lr_min_cov,
+        min_seq_len=min(200, params.min_transcript_length),
+    )
+    part = os.path.join(outdir, f".mh_lr_p{pid}")
+    chunk: List[np.ndarray] = []
+    n_long = 0
+    with fastx.FastaWriter(part + ".long.fa") as w, fastx.FastaWriter(
+        part + ".short.fa"
+    ) as wsh, fastx.FastaWriter(part + ".repeats.fa") as wrep:
+
+        def flush_chunk():
+            nonlocal n_long
+            res = lrmod.correct_long_reads(local_state, cfg, chunk, lrp)
+            # local numbering + polya in the comment; process 0 renumbers
+            for c, fl in zip(res.long, res.polya):
+                tag = " polya" if fl else ""
+                w.write(f"p{pid}.{n_long}", sequtils.decode(c), f"l={len(c)}{tag}")
+                n_long += 1
+            for c, fl in zip(res.short, res.short_polya):
+                tag = " polya" if fl else ""
+                wsh.write(f"p{pid}.s", sequtils.decode(c), f"l={len(c)}{tag}")
+            for c in res.repeats:
+                wrep.write(f"p{pid}.r", sequtils.decode(c), f"l={len(c)}")
+            chunk.clear()
+
+        for path in long_paths:
+            for _, s, _ in multihost.partition_records(
+                fastx.read_seqs(path), pid, n
+            ):
+                codes = sequtils.encode(s)
+                if params.revcomp_long:
+                    codes = sequtils.revcomp_codes(codes)
+                if len(codes) >= k:
+                    chunk.append(codes)
+                    report.num_pairs += 1
+                if len(chunk) >= 4096:
+                    flush_chunk()
+        if chunk:
+            flush_chunk()
+
+    multihost._global_any(mesh, True)  # barrier: all parts written
+    if pid != 0:
+        report.elapsed_s = time.time() - t0
+        return report
+
+    # ---- merge parts with global numbering into the canonical layout
+    # assemble_long's resume path expects (crash-after-correction files)
+    prefix = os.path.join(outdir, f"{params.name}.longreads.corrected")
+    lengths: List[int] = []
+    with fastx.FastaWriter(prefix + ".long.fa") as w, fastx.FastaWriter(
+        prefix + ".short.fa"
+    ) as wsh, fastx.FastaWriter(prefix + ".repeats.fa") as wrep, open(
+        prefix + ".polya.txt", "w"
+    ) as wpa:
+        n_long = n_short = n_rep = 0
+        for p_i in range(n):
+            pfx = os.path.join(outdir, f".mh_lr_p{p_i}")
+            for header, seq in fastx.read_fasta(pfx + ".long.fa", full_header=True):
+                tag = " polya" if "polya" in header else ""
+                name = f"lr.{n_long}"
+                w.write(name, seq, f"l={len(seq)}{tag}")
+                if tag:
+                    wpa.write(name + "\n")
+                lengths.append(len(seq))
+                n_long += 1
+            for header, seq in fastx.read_fasta(pfx + ".short.fa", full_header=True):
+                name = f"lr.s{n_short}"
+                wsh.write(name, seq, f"l={len(seq)}")
+                if "polya" in header:
+                    wpa.write(name + "\n")
+                n_short += 1
+            for _, seq in fastx.read_fasta(pfx + ".repeats.fa"):
+                wrep.write(f"lr.r{n_rep}", seq, f"l={len(seq)}")
+                n_rep += 1
+            for suffix in (".long.fa", ".short.fa", ".repeats.fa"):
+                os.remove(pfx + suffix)
+    with open(prefix + ".long.lengths.txt", "w") as f:
+        f.write("\n".join(str(x) for x in lengths))
+    ckpt.touch_stamp(outdir, ckpt.STAMP_DBG_DONE)
+    ckpt.touch_stamp(outdir, ckpt.STAMP_LONGREADS_CORRECTED)
+
+    # ---- stage 3 on process 0 via the resume path
+    rep = assemble_long(
+        long_paths, outdir, params, lr_min_cov=lr_min_cov,
+        subsample_spec=subsample_spec,
+    )
+    rep.stage1 = s1_stats
+    rep.num_pairs = report.num_pairs
+    rep.elapsed_s = time.time() - t0
+    return rep
+
+
 def merge_pool(outdir: str, sample_names: Sequence[str], params: PipelineParams) -> int:
     """-mergepool: concatenate per-sample nr assemblies and reduce redundancy
     into one merged FASTA (mergePooledAssemblies, RNABloom.java:5473)."""

@@ -344,6 +344,23 @@ def main(argv=None) -> int:
         # process's full merged filters; stage 3 runs on process 0 over
         # the merged fragment stores (pipeline.assemble_pe_multihost)
         if (
+            args.long_reads and args.stage >= 2
+            and args.mh_layout in ("auto", "local")
+        ):
+            report = pipeline.assemble_long_multihost(
+                args.long_reads, args.outdir, params, subsample_spec=args.lrsub
+            )
+            import jax as _jax
+
+            if _jax.process_index() == 0:
+                print(json.dumps({
+                    "reads_local": report.num_pairs,
+                    "corrected": report.num_fragments,
+                    "transcripts": report.num_transcripts,
+                    "elapsed_s": round(report.elapsed_s, 2),
+                }))
+            return 0
+        if (
             args.left and args.right and not args.long_reads
             and args.stage >= 2 and args.mh_layout in ("auto", "local")
         ):

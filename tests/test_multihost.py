@@ -264,3 +264,64 @@ def test_two_process_pe_all_stages_matches_single(tmp_path):
     mh = canon_set(tmp_path / "out_mh" / "rnabloom.transcripts.fa")
     sh = canon_set(tmp_path / "out_1" / "rnabloom.transcripts.fa")
     assert mh and mh == sh
+
+
+@pytest.mark.slow
+def test_two_process_long_reads_all_stages(tmp_path):
+    """Multi-host long-read path: local-merge build, process-local windowed
+    correction over record-modulo slices, OLC on process 0 over the merged
+    corrected FASTA — every emitted transcript must be a substring of a
+    truth transcript (or its revcomp) and all truths recovered."""
+    from rnabloom_tpu.utils import seq as sequtils
+
+    rng = np.random.default_rng(31)
+    truths = ["".join(rng.choice(list("ACGT"), size=m)) for m in (1300, 1000)]
+    path = str(tmp_path / "lr.fa")
+    with open(path, "w") as f:
+        i = 0
+        for t in truths:
+            for _ in range(50):
+                s = rng.integers(0, len(t) - 550 + 1)
+                read = list(t[s : s + 550])
+                for j in range(len(read)):
+                    if rng.random() < 0.005:
+                        read[j] = "ACGT"[rng.integers(0, 4)]
+                r = "".join(read)
+                if rng.random() < 0.5:
+                    r = sequtils.revcomp(r)
+                f.write(f">lr{i}\n{r}\n")
+                i += 1
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env.pop("PYTHONWARNINGS", None)
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "rnabloom_tpu.cli", "-long", path,
+             "-o", str(tmp_path / "out"), "-mem", "0.02",
+             "-coordinator", f"127.0.0.1:{port}",
+             "-nprocs", "2", "-procid", str(pid)],
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(2)
+    ]
+    logs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-3000:]}"
+
+    from rnabloom_tpu.io import fastx
+
+    out = [s.upper() for _, s in fastx.read_fasta(str(tmp_path / "out" / "rnabloom.transcripts.fa"))]
+    assert out, "no transcripts emitted"
+    hits = set()
+    for s in out:
+        hit = next(
+            (i for i, t in enumerate(truths) if s in t or s in sequtils.revcomp(t)),
+            None,
+        )
+        assert hit is not None, f"transcript ({len(s)} nt) matches no truth"
+        hits.add(hit)
+    assert hits == {0, 1}, f"not all truths recovered: {hits}"
