@@ -15,12 +15,14 @@ proxy on a virtual 8-device CPU mesh.
 Resilience model (the tunneled TPU backend intermittently wedges: the
 client blocks forever in tcp_recvmsg with frozen CPU time):
   * every phase runs in its own subprocess with a hard per-attempt timeout
-    (<= 400 s) and bounded retries;
+    and bounded retries;
   * a watchdog polls the child's CPU seconds; a child whose CPU time is
-    frozen for >= FROZEN_S while the wall clock runs is wedged and gets
-    killed immediately instead of waiting out the timeout (legitimate
-    long device waits through a degraded tunnel can block the client for
-    ~2 min, so FROZEN_S stays above that);
+    frozen past a threshold is killed instead of waiting out the timeout.
+    CRITICAL calibration: a SERVER-SIDE XLA compile through the tunnel
+    also freezes client CPU — for minutes on a degraded tunnel — and the
+    compile only enters the persistent cache if allowed to finish, so the
+    stage-2/3 phases (big kernel zoo) use a long threshold
+    (FROZEN_COMPILE_S) while cache-warm phases use the short one;
   * a global deadline bounds the whole run well under the driver's cap;
   * phases run cheapest-first (stage-1, sharded-CPU, then stage-2/3) so an
     expensive phase can only truncate the report, never blank it;
@@ -58,7 +60,15 @@ BASELINE_LABEL = "estimated-320k-reads-per-s (10x est. 4-thread Java; no JRE her
 HERE = os.path.dirname(os.path.abspath(__file__))
 DEADLINE_S = float(os.environ.get("RNB_BENCH_DEADLINE_S", 2100))  # 35 min
 ATTEMPT_TIMEOUT_S = 400.0
-FROZEN_S = 150.0  # frozen-CPU wedge detector (legit tunnel waits ~130 s max)
+# Frozen-CPU stall detector.  Two distinct stalls look identical from the
+# client (blocked in tcp_recvmsg, CPU frozen): a genuine tunnel wedge
+# (never returns) and a SERVER-SIDE XLA compile (returns after minutes —
+# observed up to ~7 min on a degraded tunnel; the compile only enters the
+# persistent cache if allowed to finish, so killing early livelocks).
+# Phases whose compiles are known-cached use the short threshold; the
+# stage-2/3 phases (big kernel zoo) use the long one.
+FROZEN_S = 150.0
+FROZEN_COMPILE_S = 450.0
 POLL_S = 10.0
 
 
@@ -470,8 +480,9 @@ def _run_attempt(code: str, timeout_s: float, frozen_s: float) -> dict:
             reason = f"timeout after {timeout_s:.0f}s"
         elif now - last_cpu_change > frozen_s:
             reason = (
-                f"wedged: CPU frozen at {max(last_cpu, 0):.0f}s for "
-                f"{now - last_cpu_change:.0f}s (tunnel tcp_recvmsg hang)"
+                f"stalled: CPU frozen at {max(last_cpu, 0):.0f}s for "
+                f"{now - last_cpu_change:.0f}s (tunnel wedge, or a "
+                f"server-side compile longer than the threshold)"
             )
         if reason:
             try:
@@ -572,10 +583,11 @@ def main() -> None:
     # the full run needs; the full 8192-pair number then overrides it when
     # the tunnel lets it finish.  Wedge probability compounds with the
     # dispatch count, so a labeled smaller number beats a blank.
-    for pairs, attempts in ((2048, 3), (8192, 2)):
+    for pairs, attempts in ((2048, 2), (8192, 2)):
         os.environ["RNB_S23_PAIRS"] = str(pairs)
         s23 = _run_phase(
-            f"stage23_timed_{pairs}", _STAGE23_TIMED_CODE, deadline, attempts=attempts
+            f"stage23_timed_{pairs}", _STAGE23_TIMED_CODE, deadline,
+            attempts=attempts, attempt_s=600.0, frozen_s=FROZEN_COMPILE_S,
         )
         if "error" not in s23:
             extra.update(s23)
