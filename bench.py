@@ -248,7 +248,14 @@ t0 = time.time()
 report = run(f"{TMP}/out")
 dt = time.time() - t0
 assert report.num_transcripts > 0
-extra = {"stage23_pairs_per_s": round(report.num_pairs / dt, 1)}
+# the metric times stages 2+3 (stage 1 has its own headline number);
+# e2e wall clock rides along for context
+s23 = (report.stage2_s + report.stage3_s) or dt
+extra = {
+    "stage23_pairs_per_s": round(report.num_pairs / s23, 1),
+    "stage23_s": round(s23, 1),
+    "e2e_s": round(dt, 1),
+}
 for k in ("stage2_dispatches", "stage3_dispatches", "stage2_batches"):
     v = getattr(report, k, None)
     if v:

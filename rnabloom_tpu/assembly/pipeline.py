@@ -170,6 +170,8 @@ class PipelineReport:
     stage2_dispatches: dict = field(default_factory=dict)
     stage3_dispatches: dict = field(default_factory=dict)
     stage2_batches: int = 0
+    stage2_s: float = 0.0  # wall clock of the fragment loop
+    stage3_s: float = 0.0  # wall clock of rebuild + transcript assembly
 
 
 def _avg_qual_ok(qual: Optional[str], min_avg: int) -> bool:
@@ -1698,6 +1700,7 @@ def assemble_pe(
 
     # ---- stage 2: fragments
     timer.start("stage 2: fragment assembly")
+    _t_s2 = time.time()
     fparams = fragmod.FragmentParams(
         min_overlap=params.min_overlap, bound=params.bound,
         lookahead=params.lookahead, extend_fragments=params.extend_fragments,
@@ -1734,6 +1737,7 @@ def assemble_pe(
         report.num_fragments = store.count
 
     store.close()
+    report.stage2_s = time.time() - _t_s2
     timer.done("fragments assembled", f"{store.count}/{report.num_pairs} pairs connected")
     if save_graph:
         ckpt.save_graph(graph_prefix, engine.to_host_state(state, cfg), cfg)
@@ -1744,7 +1748,9 @@ def assemble_pe(
         return report
 
     timer.start("stage 3: transcript assembly")
+    _t_s3 = time.time()
     _finish_pe_stage3(state, cfg, store, outdir, params, report, ref_paths=ref_paths)
+    report.stage3_s = time.time() - _t_s3
     timer.done("transcripts assembled", f"{report.num_transcripts} transcripts, {report.num_nr} nr")
     report.elapsed_s = time.time() - t0
     with open(os.path.join(outdir, f"{params.name}.report.json"), "w") as f:
