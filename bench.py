@@ -184,6 +184,29 @@ popcount = nonzero_cells(state.cbf)
 dt = time.time() - t0
 assert popcount > 1e6, "graph build produced an implausibly empty filter"
 out["reads_per_s"] = batch * iters / dt
+
+# secondary: the exact-int32 configuration (-cnt int32), same geometry —
+# the clean A/B of the 1-byte shipping counters vs 4-byte exact cells
+del state
+cfg_i = dbg.GraphConfig(
+    k=k, stranded=False, dbgbf=cfg.dbgbf,
+    cbf=CountingConfig(
+        size_log2=28, num_hash=2, scratch_log2=22,
+        blocked=not merge, merge=merge, dtype="int32",
+    ),
+    pkbf=cfg.pkbf, read_pair_distance=90,
+)
+state = dbg.make_graph(cfg_i, with_rpkbf=True)
+state = dbg.build_step(state, cfg_i, batches[0], add_read_pairs=True, salt=0)
+nonzero_cells(state.cbf)
+t0 = time.time()
+iters_i = 32
+for i in range(iters_i):
+    state = dbg.build_step(
+        state, cfg_i, batches[i % len(batches)], add_read_pairs=True, salt=i
+    )
+nonzero_cells(state.cbf)
+out["int32_reads_per_s"] = round(batch * iters_i / (time.time() - t0), 1)
 print(json.dumps(out))
 """
 
@@ -565,7 +588,7 @@ def main() -> None:
         reads_per_s = float(s1.get("reads_per_s", 0.0))
         result["value"] = round(reads_per_s, 1)
         result["vs_baseline"] = round(reads_per_s / BASELINE_READS_PER_S, 3)
-        for k in ("merge_exactness_gate", "counter_dtype"):
+        for k in ("merge_exactness_gate", "counter_dtype", "int32_reads_per_s"):
             if k in s1:
                 extra[k] = s1[k]
         if "error" in s1:
