@@ -106,17 +106,19 @@ def test_sharded_query_matches_single(cfg):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("mesh_walk", ["replicated", "routed"])
+@pytest.mark.parametrize("mesh_walk", ["replicated", "routed", "grouped"])
 def test_pe_pipeline_sharded_matches_single(tmp_path, monkeypatch, mesh_walk):
     """Full PE assembly on the 8-device mesh produces byte-identical
     transcripts to the single-device run (the sharded engine is wired into
-    the real pipeline, not a demo kernel) — under BOTH mesh walk engines:
-    the replicated default and the routed fallback kept for graphs too
-    large to replicate into one device's HBM."""
+    the real pipeline, not a demo kernel) — under ALL THREE mesh walk
+    engines: the replicated default, the group-replicated middle point
+    (R=2), and the routed fallback for graphs too large to replicate into
+    one device's HBM."""
     import gzip
     import os
 
     monkeypatch.setenv("RNB_MESH_WALK", mesh_walk)
+    monkeypatch.setenv("RNB_MESH_GROUP", "2")
 
     from rnabloom_tpu.assembly import pipeline as pl
     from rnabloom_tpu.io import fastx
