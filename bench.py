@@ -462,9 +462,10 @@ def run_group(n, mode="sharded"):
 out = {}
 for mode in ("local", "sharded"):
     run_group(1, mode)  # compile-warm the persistent cache
-    t1 = run_group(1, mode)
+    # best-of-2 timed runs: the 2-core proxy is noisy under background load
+    t1 = min(run_group(1, mode), run_group(1, mode))
     run_group(2, mode)
-    t2 = run_group(2, mode)
+    t2 = min(run_group(2, mode), run_group(2, mode))
     out[f"multihost_{mode}_t1_s"] = round(t1, 2)
     out[f"multihost_{mode}_t2_s"] = round(t2, 2)
     out[f"multihost_{mode}_efficiency_2proc"] = round(t1 / (2 * t2), 3)
