@@ -810,8 +810,8 @@ def assemble_pe_multihost(
         stride=(pid, n),
     )
     store.close()
-    # barrier: every store must be closed before process 0 merges
-    multihost._global_any(mesh, True)
+    # every store must be closed before process 0 merges
+    multihost.barrier(mesh)
     if pid != 0:
         report.elapsed_s = time.time() - t0
         return report
@@ -954,7 +954,7 @@ def assemble_long_multihost(
         if chunk:
             flush_chunk()
 
-    multihost._global_any(mesh, True)  # barrier: all parts written
+    multihost.barrier(mesh)  # all parts written
     if pid != 0:
         report.elapsed_s = time.time() - t0
         return report

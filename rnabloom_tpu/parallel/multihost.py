@@ -139,6 +139,13 @@ def _global_any(mesh, flag: bool):
     return bool(np.asarray(jax.device_get(out)))
 
 
+def barrier(mesh) -> None:
+    """Block until every process reaches this point (one tiny collective —
+    used between process-local pipeline phases, e.g. before process 0
+    merges the per-process stage-2 stores)."""
+    _global_any(mesh, True)
+
+
 def build_graph_multihost(
     paths: Sequence[str],
     cfg,
