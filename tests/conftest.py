@@ -18,3 +18,21 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Evict compiled executables after every test module.
+
+    A full-suite run in one process accumulates hundreds of large compiled
+    programs; past ~60% of the suite XLA-CPU intermittently SEGFAULTS
+    inside the next big compile (observed repeatedly at the then-current
+    suite position, never in isolation — resource accumulation, e.g. JIT
+    code mappings).  Clearing per module bounds the accumulation at the
+    cost of recompiling shared kernels, which per-module shape diversity
+    mostly forces anyway."""
+    yield
+    jax.clear_caches()
