@@ -76,6 +76,13 @@ class FragmentStore:
         self.count += 1
         self.max_len = max(self.max_len, len(codes))
 
+    def flush(self) -> None:
+        """Flush writer buffers so iter_batches sees every stored fragment
+        while the store stays open for appends (used by -rescue, which
+        streams the fragments mid-stage-2 to build its rescue graph)."""
+        for w in self._writers.values():
+            w._f.flush()
+
     def close(self) -> None:
         for w in self._writers.values():
             w.close()

@@ -103,6 +103,10 @@ class PipelineParams:
     # 1 B/cell MiniFloat (util/MiniFloat.java) so -mem buys the same cell
     # count as the Java build; u16/int32 trade cells for exact counts
     counter: str = "mf8"
+    # -rescue: retry unconnected read pairs against the stage-2b fragment
+    # graph (rescueUnconnectedMultiThreaded, RNABloom.java:2392-2668 — the
+    # reference keeps the worker available but unwired; here it is opt-in)
+    rescue_unconnected: bool = False
     verbose: bool = False
 
     def graph_config_overrides(self) -> dict:
@@ -159,6 +163,7 @@ class PipelineReport:
     stage1: Optional[stage1.Stage1Stats] = None
     num_pairs: int = 0
     num_fragments: int = 0
+    num_rescued: int = 0  # -rescue: pairs connected on the second attempt
     num_transcripts: int = 0
     num_short: int = 0
     num_nr: int = 0
@@ -1516,6 +1521,7 @@ def _stage2_pair_loop(
     report: "PipelineReport",
     frag_lengths: List[int],
     stride=None,
+    rescue_spill: Optional[list] = None,
 ) -> int:
     """The stage-2 fragment loop over (a slice of) the pair stream.
 
@@ -1537,10 +1543,20 @@ def _stage2_pair_loop(
         report.num_pairs += int((ll > 0).sum())
         _connect_multi_segments(state, cfg, lb, ll, rb, rl, multi, fparams)
         outs = fragmod.assemble_fragments_batch(state, cfg, lb, ll, rb, rl, fparams)
-        for f in outs:
+        for i, f in enumerate(outs):
             if f is not None and f.min_cov >= params.min_fragment_cov:
                 _store_fragment(store, f, params)
                 frag_lengths.append(f.length)
+            elif (
+                rescue_spill is not None
+                and f is None
+                and ll[i] >= k
+                and rl[i] >= k
+                and len(rescue_spill) < _RESCUE_SPILL_CAP
+            ):
+                rescue_spill.append(
+                    (lb[i, : ll[i]].copy(), rb[i, : rl[i]].copy())
+                )
         report.stage2_batches += 1
         if not learned and len(frag_lengths) >= params.sample_size:
             # the reference learns BOTH the fragment pair distance (sample
@@ -1555,6 +1571,84 @@ def _stage2_pair_loop(
     _d1 = engine.dispatch_counts()
     report.stage2_dispatches = {k2: _d1[k2] - _d0[k2] for k2 in _d1}
     return d_frag
+
+
+# -rescue holds unconnected pairs in host RAM for the second attempt; the
+# cap bounds RSS (~2 * read_L bytes/pair).  Beyond it, pairs stay dropped —
+# the reference's file-spill variant isn't needed at assembly scale here.
+_RESCUE_SPILL_CAP = 200_000
+
+
+def _rescue_unconnected_pass(
+    state,
+    cfg: dbg.GraphConfig,
+    spill: list,
+    read_L: int,
+    params: PipelineParams,
+    fparams: "fragmod.FragmentParams",
+    store: "fragstore.FragmentStore",
+    frag_lengths: List[int],
+    report: "PipelineReport",
+) -> None:
+    """Second connection attempt for unconnected read pairs (-rescue).
+
+    Mirrors rescueUnconnectedMultiThreaded (RNABloom.java:2392-2668): build
+    the stage-2b fragment graph (fragment counters + fpkbf over the stored
+    fragments, read-pair keys kept), re-correct the spilled pairs against
+    the *read* graph, then retry overlap / bridge / pair-validation against
+    the fragment graph whose k-mers may span gaps raw reads could not.
+    Rescued fragments join the store before the final stage-2b rebuild, so
+    they also contribute paired k-mers to stage 3."""
+    k = cfg.k
+    if not spill or store.count == 0:
+        return
+    store.flush()
+    frag_L = int(min(max(store.max_len, 2 * k), params.max_walk_len))
+    rescue_graph = engine.fresh_rebuild_state(state, cfg, copy_rpkbf=True)
+    add_pairs = frag_L - k + 1 > cfg.fragment_pair_distance
+    for nb, (codes, _l, _c, _conn) in enumerate(
+        store.iter_batches(1024, width=frag_L)
+    ):
+        rescue_graph = engine.rebuild_step(
+            rescue_graph, cfg, codes, add_frag_pairs=add_pairs, salt=nb
+        )
+
+    B = max(64, min(params.batch_size, 1 << (len(spill) - 1).bit_length()))
+    for s0 in range(0, len(spill), B):
+        chunk = spill[s0 : s0 + B]
+        lb = np.full((B, read_L), 4, np.uint8)
+        rb = np.full((B, read_L), 4, np.uint8)
+        ll = np.zeros(B, np.int32)
+        rl = np.zeros(B, np.int32)
+        for i, (lc, rc_) in enumerate(chunk):
+            ll[i] = min(len(lc), read_L)
+            rl[i] = min(len(rc_), read_L)
+            lb[i, : ll[i]] = lc[: ll[i]]
+            rb[i, : rl[i]] = rc_[: rl[i]]
+        # pairs were not corrected on the failed first attempt (EC output is
+        # discarded with the pair): correct once against the read graph, as
+        # the reference's rescue worker reads already-corrected pairs
+        both = np.concatenate([lb, rb], axis=0)
+        both_len = np.concatenate([ll, rl])
+        pair_ids = np.concatenate([np.arange(B), np.arange(B)])
+        both, both_len, _ = correct.correct_batch(
+            state, cfg, both, both_len, fparams.ec_params, pair_ids
+        )
+        lb, rb = both[:B], both[B:]
+        ll, rl = both_len[:B], both_len[B:]
+        outs = fragmod.rescue_unconnected(
+            rescue_graph, cfg, lb, ll, rb, rl, fparams
+        )
+        for i, f in enumerate(outs):
+            if (
+                i < len(chunk)
+                and f is not None
+                and f.min_cov >= params.min_fragment_cov
+            ):
+                _store_fragment(store, f, params)
+                frag_lengths.append(f.length)
+                report.num_rescued += 1
+    del rescue_graph
 
 
 def assemble_pe(
@@ -1708,9 +1802,11 @@ def assemble_pe(
     )
     store = _new_fragment_store(outdir, params)
     frag_lengths: List[int] = []
+    rescue_spill: Optional[list] = [] if params.rescue_unconnected else None
     d_frag = _stage2_pair_loop(
         state, cfg, left_path, right_path, params, revcomp_left,
         revcomp_right, read_L, fparams, store, report, frag_lengths,
+        rescue_spill=rescue_spill,
     )
     report.num_fragments = store.count
     if store.count == 0:
@@ -1733,6 +1829,13 @@ def assemble_pe(
         _ingest_se_fragments(
             state, cfg, sef_paths, ser_paths, read_L, params,
             store, frag_lengths, report,
+        )
+        report.num_fragments = store.count
+
+    if rescue_spill:
+        _rescue_unconnected_pass(
+            state, cfg, rescue_spill, read_L, params, fparams, store,
+            frag_lengths, report,
         )
         report.num_fragments = store.count
 

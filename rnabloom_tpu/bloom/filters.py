@@ -352,7 +352,9 @@ def counting_increment(
     # Within-batch multiplicity via scratch sketch (keyed by the same hashes,
     # reduced into a smaller range).
     sidx = bloom_indices(hashes, cfg.scratch_log2, valid)
-    scratch = jnp.zeros_like(counts, shape=((1 << cfg.scratch_log2) + 1,))
+    # int32 regardless of the cell dtype: a uint8 scratch would wrap at 255
+    # within a batch and int32->uint8 scatter is a FutureWarning (error soon).
+    scratch = jnp.zeros(((1 << cfg.scratch_log2) + 1,), jnp.int32)
     scratch = scratch.at[sidx.reshape(-1)].add(np.int32(1), mode="drop")
     mult = jnp.min(jnp.take(scratch, sidx, axis=0), axis=-1)
 

@@ -133,6 +133,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="max number of bases in a tip [auto]")
     p.add_argument("-extend", "--extend", action="store_true",
                    help="extend fragments outward during fragment reconstruction")
+    p.add_argument("-rescue", "--rescue", action="store_true",
+                   help="retry unconnected read pairs against the fragment graph")
     p.add_argument("-nofc", "--nofc", action="store_true",
                    help="turn off assembly consistency with fragment paired k-mers")
     p.add_argument("-artifact", "--artifact", action="store_true",
@@ -269,6 +271,7 @@ def main(argv=None) -> int:
         lookahead=args.lookahead,
         max_tip_length=args.tiplength,
         extend_fragments=args.extend,
+        rescue_unconnected=args.rescue,
         frag_consistency=not args.nofc,
         keep_artifacts=args.artifact,
         keep_chimeras=args.chimera,

@@ -269,6 +269,48 @@ def test_option_knobs_pe(tmp_path):
 
 
 @pytest.mark.slow
+def test_rescue_unconnected_pairs(tmp_path):
+    """-rescue wiring (rescueUnconnectedMultiThreaded, RNABloom.java:
+    2392-2668): gap pairs that fail to bridge under the tiny initial walk
+    bound are retried against the fragment graph with the learned bound and
+    connect on the second attempt."""
+    import gzip as _gzip
+
+    t = rand_seq(600)
+    left = str(tmp_path / "g_1.fq.gz")
+    right = str(tmp_path / "g_2.fq.gz")
+    read_len = 100
+    with _gzip.open(left, "wt") as fl, _gzip.open(right, "wt") as fr:
+        rid = 0
+        # gap pairs first (fragment 300, inner gap 100): with bound=20 the
+        # bridge walk cannot span the gap, so batch 1 leaves them unconnected
+        for _ in range(6):
+            s = RNG.integers(0, len(t) - 300 + 1)
+            l = t[s : s + read_len]
+            r = sequtils.revcomp(t[s + 200 : s + 300])
+            fl.write(f"@g{rid}/1\n{l}\n+\n{'I' * read_len}\n")
+            fr.write(f"@g{rid}/2\n{r}\n+\n{'I' * read_len}\n")
+            rid += 1
+        # overlap pairs (fragment 150): connect by direct overlap regardless
+        # of the bound, fill the length sample, and cover t densely
+        for _ in range(300):
+            s = RNG.integers(0, len(t) - 150 + 1)
+            frag = t[s : s + 150]
+            l, r = frag[:read_len], sequtils.revcomp(frag[-read_len:])
+            fl.write(f"@o{rid}/1\n{l}\n+\n{'I' * read_len}\n")
+            fr.write(f"@o{rid}/2\n{r}\n+\n{'I' * read_len}\n")
+            rid += 1
+
+    params = pipeline.PipelineParams(
+        total_mem_bytes=1 << 24, batch_size=64, sample_size=100,
+        bound=20, rescue_unconnected=True, no_reduce=True,
+    )
+    report = pipeline.assemble_pe(left, right, str(tmp_path / "out"), params)
+    assert report.num_rescued >= 1, f"no pairs rescued ({report.num_fragments} fragments)"
+    assert report.num_transcripts > 0
+
+
+@pytest.mark.slow
 def test_quality_split_reads_still_connect(tmp_path):
     """A mid-read Q0 base splits the mate into segments; stage 2 re-joins
     them through the graph (connect(segments)) and the pair still yields a
