@@ -474,6 +474,16 @@ print(json.dumps(out))
 """
 
 
+_PARITY_CODE = r"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"  # tiny fixtures: tunnel RTTs would dominate
+import json
+from rnabloom_tpu.oracle import divergence
+out = divergence.measure_all(seed=0, k=17, with_mf8=True)
+print(json.dumps({"parity_divergence": out}))
+"""
+
+
 def _cpu_seconds(pid: int):
     """utime+stime of one process in seconds, or None if unreadable."""
     try:
@@ -606,6 +616,28 @@ def main() -> None:
 
     mh = _run_phase("multihost_cpu", _MULTIHOST_CODE, deadline, attempts=2)
     extra.update(mh if "error" not in mh else {"multihost_error": mh["error"]})
+    _emit(result, final=False)
+
+    # reference-semantics oracle: measured per-decision divergence rates
+    # (rnabloom_tpu/oracle/divergence.py) — CPU-only, immune to wedges
+    pd = _run_phase("parity_divergence", _PARITY_CODE, deadline, attempts=2)
+    extra.update(
+        pd if "error" not in pd else {"parity_divergence": {"error": pd["error"]}}
+    )
+    # transcript-set parity vs the reference JAR needs fixtures no machine
+    # here can generate (no JRE); keep the gap visible per run
+    fix_dir = os.path.join(HERE, "tests", "golden", "reference_fixtures")
+    has_fixtures = any(
+        f.endswith((".fa", ".fa.gz", ".fasta")) for f in (
+            os.listdir(fix_dir) if os.path.isdir(fix_dir) else []
+        )
+    )
+    extra["reference_parity"] = (
+        "fixtures present (tests/test_reference_parity.py live)"
+        if has_fixtures
+        else "no fixtures: no JRE in this environment; "
+        "tools/make_reference_fixture.sh generates them on any Java machine"
+    )
     _emit(result, final=False)
 
     # graduated sizes, SMALLEST FIRST: the pipeline's kernel shapes are
