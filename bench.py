@@ -207,6 +207,48 @@ for i in range(iters_i):
     )
 nonzero_cells(state.cbf)
 out["int32_reads_per_s"] = round(batch * iters_i / (time.time() - t0), 1)
+
+# ---- roofline: stage-1's merge-sweep work decomposes into (a) u32 sorts of
+# the per-filter cell-index streams and (b) one linear read+write pass over
+# each table.  Both primitive rates are measured on THIS chip, so the bound
+# is the chip's own speed of light for this algorithm, not a datasheet
+# number; pct_of_roofline anchors "fast" (SURVEY.md section 3.2).
+del state
+n_occ = batch * (read_len - k + 1)
+n_pairs = batch * max(read_len - k + 1 - 90, 0)
+stream_elems = [2 * n_occ, 2 * n_occ, 2 * n_pairs]  # dbgbf, cbf, rpkbf
+
+probe = jnp.asarray(rng.integers(0, 1 << 30, size=(max(stream_elems),), dtype=np.uint32))
+sortf = jax.jit(jnp.sort)
+sortf(probe).block_until_ready()
+t0 = time.time()
+reps = 8
+for _ in range(reps):
+    sortf(probe).block_until_ready()
+sort_ns = (time.time() - t0) / reps / probe.shape[0] * 1e9
+sort_s = sum(stream_elems) * sort_ns * 1e-9
+
+copy_buf = jnp.zeros(1 << 28, jnp.uint8)
+copyf = jax.jit(lambda x: x + np.uint8(1))
+copy_buf = copyf(copy_buf)
+copy_buf.block_until_ready()
+t0 = time.time()
+for _ in range(reps):
+    copy_buf = copyf(copy_buf)
+copy_buf.block_until_ready()
+bw = reps * 2 * copy_buf.shape[0] / (time.time() - t0)  # read+write bytes/s
+tbl_bytes = cfg.dbgbf.size + cfg.cbf.size * cfg.cbf.cell_bytes + cfg.pkbf.size
+sweep_s = 2 * tbl_bytes / bw
+bound_reads = batch / (sort_s + sweep_s)
+out["stage1_roofline"] = {
+    "sort_ns_per_elem": round(sort_ns, 3),
+    "stream_sort_s": round(sort_s, 5),
+    "copy_bw_gb_s": round(bw / 1e9, 1),
+    "table_sweep_bytes": 2 * tbl_bytes,
+    "table_sweep_s": round(sweep_s, 5),
+    "bound_reads_per_s": round(bound_reads, 1),
+    "pct_of_roofline": round(100.0 * out["reads_per_s"] / bound_reads, 1),
+}
 print(json.dumps(out))
 """
 

@@ -274,9 +274,7 @@ def apply_cell_increments(
         + jnp.asarray(base_index, jnp.uint32),
         salt,
     )
-    new = minifloat.encode_stochastic(
-        minifloat.decode(cells) + inc.astype(jnp.float32), u01
-    )
+    new = minifloat.increment_codes(cells, inc, u01)
     return jnp.where(inc > 0, new, cells)
 
 

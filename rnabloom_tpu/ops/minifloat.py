@@ -103,6 +103,39 @@ def encode_stochastic(count: jax.Array, u01: jax.Array) -> jax.Array:
     return jnp.where(u01 < frac, c1, c0).astype(jnp.uint8)
 
 
+def increment_codes(codes: jax.Array, delta: jax.Array, u01: jax.Array) -> jax.Array:
+    """Fused ``encode_stochastic(decode(codes) + delta, u01)`` for integer
+    deltas >= 0, in integer arithmetic only (one float compare for the
+    stochastic bump).  This is the mf8 merge-sweep hot path: the sweep runs
+    it over EVERY table cell per batch, and the float codec chain
+    (decode + encode_floor + two more decodes) was ~3x the VPU work.
+    Exhaustively tested equal to the float path (tests/test_histmerge.py).
+    """
+    # clamp invalid codes (> 127 never occurs in a table; the float path
+    # saturates them, and an unclamped exponent here would overflow a shift)
+    c = jnp.minimum(codes.astype(jnp.int32), 127)
+    d = jnp.maximum(delta.astype(jnp.int32), 0)
+    e_old = jnp.maximum((c >> 3) - 1, 0)
+    v = jnp.where(c <= 7, c, ((c & 7) | 8) << e_old)
+    n = v + d
+    # large path: exponent from the float32 representation (exact for the
+    # exponent field; n < 2^22 in any realistic batch)
+    b = _floor_log2(jnp.maximum(n, 8).astype(jnp.float32))
+    e = b - 2  # mantissa m = n >> (e-1) lies in [8, 15]
+    m = n >> (e - 1)
+    v0 = m << (e - 1)
+    raw = (e << 3) | (m & 7)
+    sat = raw >= 127
+    # rounding quantum v1 - v0 == 2^(e-1) for every non-saturated code
+    # (mantissa 15 -> next exponent's mantissa 8 is the same step)
+    q = (1 << jnp.maximum(e - 1, 0)).astype(jnp.float32)
+    bump = jnp.logical_and(
+        jnp.logical_not(sat), u01 * q < (n - v0).astype(jnp.float32)
+    )
+    big = jnp.minimum(raw + bump.astype(jnp.int32), 127)
+    return jnp.where(n <= 7, n, big).astype(jnp.uint8)
+
+
 def mix_u01(idx: jax.Array, salt) -> jax.Array:
     """Deterministic per-(index, salt) uniform [0,1) (xxhash-style mix)."""
     x = idx.astype(jnp.uint32) * np.uint32(0x9E3779B1)

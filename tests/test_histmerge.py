@@ -171,3 +171,25 @@ def test_graph_build_step_merge_matches_scatter():
     np.testing.assert_array_equal(
         np.asarray(s0.rpkbf)[: c0.pkbf.size], np.asarray(s1.rpkbf)[: c1.pkbf.size]
     )
+
+
+def test_increment_codes_matches_float_codec_exhaustively():
+    """The fused integer mf8 increment (ops/minifloat.increment_codes) must
+    be bit-identical to encode_stochastic(decode(c) + d, u01) — it replaced
+    that chain in the merge sweep, the scatter fallback, and the uniform-row
+    peel, so any drift would desynchronize sweep vs scatter tables."""
+    from rnabloom_tpu.ops import minifloat as mf
+
+    codes = np.arange(256, dtype=np.uint8)  # incl. invalid >127 codes
+    deltas = np.array(
+        [0, 1, 2, 3, 5, 7, 8, 15, 16, 100, 127, 128, 1000, 4096, 100000],
+        np.int32,
+    )
+    C, D = np.meshgrid(codes, deltas, indexing="ij")
+    for u in (0.0, 0.01, 0.25, 0.4999, 0.5, 0.75, 0.9999):
+        uu = jnp.full(C.shape, u, jnp.float32)
+        old = mf.encode_stochastic(
+            mf.decode(jnp.asarray(C)) + jnp.asarray(D).astype(jnp.float32), uu
+        )
+        new = mf.increment_codes(jnp.asarray(C), jnp.asarray(D), uu)
+        np.testing.assert_array_equal(np.asarray(old), np.asarray(new))
