@@ -218,25 +218,34 @@ n_occ = batch * (read_len - k + 1)
 n_pairs = batch * max(read_len - k + 1 - 90, 0)
 stream_elems = [2 * n_occ, 2 * n_occ, 2 * n_pairs]  # dbgbf, cbf, rpkbf
 
+
+def sync(x):
+    # block_until_ready does NOT synchronize on the tunneled backend; a
+    # device reduction + host readback is the only reliable fence
+    return float(jnp.sum(x[::65537].astype(jnp.float32)))
+
+
+def chained(fn, x0, reps):
+    t0 = time.time()
+    z = x0
+    for _ in range(reps):
+        z = fn(z)
+    sync(z)
+    return time.time() - t0
+
+
+reps = 16
 probe = jnp.asarray(rng.integers(0, 1 << 30, size=(max(stream_elems),), dtype=np.uint32))
 sortf = jax.jit(jnp.sort)
-sortf(probe).block_until_ready()
-t0 = time.time()
-reps = 8
-for _ in range(reps):
-    sortf(probe).block_until_ready()
-sort_ns = (time.time() - t0) / reps / probe.shape[0] * 1e9
+sync(sortf(probe))
+sort_ns = (chained(sortf, probe, reps) - chained(sortf, probe, 0)) / reps / probe.shape[0] * 1e9
 sort_s = sum(stream_elems) * sort_ns * 1e-9
 
-copy_buf = jnp.zeros(1 << 28, jnp.uint8)
+copy_buf = jnp.zeros(1 << 30, jnp.uint8)
 copyf = jax.jit(lambda x: x + np.uint8(1))
-copy_buf = copyf(copy_buf)
-copy_buf.block_until_ready()
-t0 = time.time()
-for _ in range(reps):
-    copy_buf = copyf(copy_buf)
-copy_buf.block_until_ready()
-bw = reps * 2 * copy_buf.shape[0] / (time.time() - t0)  # read+write bytes/s
+sync(copyf(copy_buf))
+dt_copy = (chained(copyf, copy_buf, reps) - chained(copyf, copy_buf, 0)) / reps
+bw = 2 * copy_buf.shape[0] / dt_copy  # read+write bytes/s
 tbl_bytes = cfg.dbgbf.size + cfg.cbf.size * cfg.cbf.cell_bytes + cfg.pkbf.size
 sweep_s = 2 * tbl_bytes / bw
 bound_reads = batch / (sort_s + sweep_s)
