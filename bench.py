@@ -379,22 +379,35 @@ jax.block_until_ready(s1.cbf)
 dt1 = time.time() - t0
 
 # walk engine: 512 greedy walks, bound 200, over the sharded vs single graph
-# (VERDICT r2 item 9: is the sharded walk engine viable for stage 3?)
+# (VERDICT r2 item 9: is the sharded walk engine viable for stage 3?).
+# Walks traverse a graph built from READS OF ONE TRANSCRIPT with seeds cut
+# from the same transcript, so every lane really walks ~200 hops — random
+# seeds (r1-r4) died on lookup and measured only fixed program overhead.
+tseq = rng.integers(0, 4, size=2000, dtype=np.uint8)
+wreads = jnp.asarray(
+    np.stack([tseq[s : s + 150] for s in rng.integers(0, 1850, size=4096)])
+)
+stw = sharded.make_sharded_graph(cfg, mesh, with_rpkbf=True)
+stw = step(stw, wreads)
+jax.block_until_ready(stw.cbf)
+s1w = dbg.make_graph(cfg, with_rpkbf=True)
+s1w = dbg.build_step(s1w, cfg, wreads, add_read_pairs=True)
 wcfg = traverse.WalkConfig(max_len=256, lookahead=3)
-seeds = np.asarray(rng.integers(0, 4, size=(512, 25), dtype=np.uint8))
+seeds = np.stack([tseq[s : s + 25] for s in rng.integers(0, 1975, size=512)])
 ws = traverse.make_walks(cfg, wcfg, seeds)
 run8 = sharded.sharded_extend_walks(mesh, cfg, wcfg, "greedy", True, False)
-out = run8(ws, st, 1.0, 200); jax.block_until_ready(out.pos)
+out = run8(ws, stw, 1.0, 200); jax.block_until_ready(out.pos)
 t0 = time.time()
-out = run8(traverse.make_walks(cfg, wcfg, seeds), st, 1.0, 200)
+out = run8(traverse.make_walks(cfg, wcfg, seeds), stw, 1.0, 200)
 jax.block_until_ready(out.pos)
 wdt8 = time.time() - t0
-ws1 = traverse.extend_walks(traverse.make_walks(cfg, wcfg, seeds), s1, cfg, wcfg, 1.0, 200)
+ws1 = traverse.extend_walks(traverse.make_walks(cfg, wcfg, seeds), s1w, cfg, wcfg, 1.0, 200)
 jax.block_until_ready(ws1.pos)
 t0 = time.time()
-ws1 = traverse.extend_walks(traverse.make_walks(cfg, wcfg, seeds), s1, cfg, wcfg, 1.0, 200)
+ws1 = traverse.extend_walks(traverse.make_walks(cfg, wcfg, seeds), s1w, cfg, wcfg, 1.0, 200)
 jax.block_until_ready(ws1.pos)
 wdt1 = time.time() - t0
+assert float(jnp.mean(ws1.pos)) > 100, "bench walks died early; seeds invalid"
 
 # group-replicated engine (filters sharded R ways, replicated N/R ways):
 # the middle point for graphs too large to replicate — per-device cells
@@ -402,7 +415,7 @@ wdt1 = time.time() - t0
 gout = {}
 for r_grp in (2, 4):
     gmesh = sharded.make_group_mesh(r_grp, 8)
-    gst = sharded.group_state(gmesh, st, cfg)
+    gst = sharded.group_state(gmesh, stw, cfg)
     grun = sharded.grouped_extend_walks(gmesh, cfg, wcfg, "greedy", True, False)
     og = grun(traverse.make_walks(cfg, wcfg, seeds), gst, 1.0, 200)
     jax.block_until_ready(og.pos)
@@ -414,7 +427,7 @@ for r_grp in (2, 4):
 # replicated walk engine (engine.extend_walks default on a mesh): one
 # all-gather of the filters, then collective-free DP supersteps
 from rnabloom_tpu.graph import engine as geng
-mg = geng.MeshGraph(mesh=mesh, state=st)
+mg = geng.MeshGraph(mesh=mesh, state=stw)
 wsr = geng.extend_walks(traverse.make_walks(cfg, wcfg, seeds), mg, cfg, wcfg, 1.0, 200)
 jax.block_until_ready(wsr.pos)
 t0 = time.time()

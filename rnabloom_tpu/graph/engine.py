@@ -426,11 +426,14 @@ def extend_walks(
     from ..parallel import sharded
 
     walk_env = os.environ.get("RNB_MESH_WALK", "replicated")
-    if walk_env == "grouped":
-        # middle point: filters shard R ways (RNB_MESH_GROUP, default 2)
-        # and replicate N/R ways — per-device HBM holds size/R cells,
-        # walk collectives span only the R-device group
-        r = int(os.environ.get("RNB_MESH_GROUP", "2"))
+    if walk_env in ("replicated", "grouped"):
+        # one engine for both layouts: filters shard R ways and replicate
+        # N/R ways (R=1 == full replication).  Replication used to ride a
+        # GSPMD program over lane-sharded arrays; the explicit shard_map
+        # walk is ~9x faster on the 8-device proxy (the partitioner
+        # scheduled per-op resharding the mesh never needed), so the
+        # replicated default is simply the grouped engine at R=1.
+        r = 1 if walk_env == "replicated" else int(os.environ.get("RNB_MESH_GROUP", "2"))
         n = graph.mesh.devices.size
         gmesh = graph._prog(("gmesh", r), lambda: sharded.make_group_mesh(r, n))
         cached = graph._programs.get(("gstate", r))
@@ -451,29 +454,6 @@ def extend_walks(
         min_cov = jnp.broadcast_to(jnp.asarray(min_cov, jnp.float32), (W + pad,))
         bound = jnp.broadcast_to(jnp.asarray(bound, jnp.int32), (W + pad,))
         out = run(wstate, gst, min_cov, bound)
-        return jax.tree.map(lambda x: x[:W], out) if pad else out
-
-    if walk_env == "replicated":
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        rep = _replicated_graph(graph, cfg)
-        n = graph.mesh.devices.size
-        axis = graph.mesh.axis_names[0]
-        W = int(wstate.pos.shape[0])
-        min_cov = jnp.broadcast_to(jnp.asarray(min_cov, jnp.float32), (W,))
-        bound = jnp.broadcast_to(jnp.asarray(bound, jnp.int32), (W,))
-        pad = (-W) % n
-        if pad:
-            wstate, min_cov, bound = (
-                _pad_lanes(wstate, pad), _pad_lanes(min_cov, pad), _pad_lanes(bound, pad)
-            )
-        lane = lambda x: jax.device_put(
-            x, NamedSharding(graph.mesh, P(axis, *([None] * (x.ndim - 1))))
-        )
-        out = traverse.extend_walks(
-            jax.tree.map(lane, wstate), rep, cfg, wcfg,
-            lane(min_cov), lane(bound), mode=mode,
-        )
         return jax.tree.map(lambda x: x[:W], out) if pad else out
 
     rpk, fpk = graph._flags()

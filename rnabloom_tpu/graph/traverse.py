@@ -82,6 +82,17 @@ class WalkConfig:
     # pair-scored branch resolution (extendPE semantics)
     pair_ring: int = 0  # >0 enables the k-mer hash ring for pair lookups
     pair_probe_depth: int = 24  # naive probe length per candidate at branches
+    # speculative hops per superstep round: expand the full depth-D
+    # successor tree (4 + 16 + .. + 4^D k-mers) and fetch ALL its counts in
+    # ONE batched gather, then advance up to D hops locally.  On a sharded
+    # backend every counts() call is a routed all-to-all round of pure ICI
+    # latency, so D-hop speculation divides the walk's collective count by
+    # ~D at the cost of 4^D/4 extra gathered cells — the right trade
+    # whenever the graph is distributed.  1 = classic one-hop rounds (the
+    # single-device default: local gathers are cheap, tree expansion isn't
+    # free).  Must stay < k and is ignored when check_back_branches is on
+    # (variant probes need per-hop rounds anyway).
+    spec_hops: int = 1
 
 
 class WalkState(NamedTuple):
@@ -313,6 +324,108 @@ def _apply_advance(
     )
 
 
+def _superstep_round_spec(
+    st: WalkState,
+    graph: GraphState,
+    cfg: GraphConfig,
+    wcfg: WalkConfig,
+    min_cov: jax.Array,
+    bound: jax.Array,
+    terminators: Optional[jax.Array],
+    backend: DeviceBackend,
+    D: int,
+) -> WalkState:
+    """One speculative round: depth-D successor tree, one batched count
+    gather (plus one batched terminator lookup), then D local hops with
+    the exact per-hop semantics of the classic superstep body."""
+    W = st.pos.shape[0]
+    rows = jnp.arange(W)
+
+    # ---- expand the tree.  The char leaving the window at hop d+1 is
+    # buf[pos - k + d]: within the stored buffer for every d < k, and
+    # identical for all 4^d level-d nodes (they share the walk's window).
+    fh_lv, rh_lv, q_lv = [], [], []
+    fh_cur, rh_cur = st.fh, st.rh
+    width = 1
+    for d in range(D):
+        out = jnp.take_along_axis(
+            st.buf, jnp.maximum(st.pos - cfg.k + d, 0)[:, None], axis=1
+        )[:, 0]
+        outb = out if width == 1 else jnp.broadcast_to(out[:, None], (W, width))
+        f4, r4 = nthash.successor_hashes(fh_cur, outb, cfg.k, rh=rh_cur)
+        width *= 4
+        f4 = u64.reshape(f4, (W, width))
+        r4 = u64.reshape(r4, (W, width))
+        fh_lv.append(f4)
+        rh_lv.append(r4)
+        q_lv.append(_query_hash(cfg, wcfg, f4, r4))
+        fh_cur, rh_cur = f4, r4
+
+    qcat = u64.concatenate(q_lv, axis=1)
+    counts_all = backend.counts(graph, cfg, qcat)  # ONE routed round
+    term_all = None
+    if wcfg.use_terminators and terminators is not None:
+        th = nthash.multi_hash(qcat, cfg.k, wcfg.term_cfg.num_hash)
+        term_all = backend.bloom_lookup(terminators, wcfg.term_cfg, th)
+
+    offs = np.concatenate([[0], np.cumsum([4 ** (d + 1) for d in range(D)])])
+    path = jnp.zeros(W, jnp.int32)  # base-4 index of the walked tree path
+    arange4 = jnp.arange(4, dtype=jnp.int32)[None, :]
+    for d in range(D):
+        active = st.status == ACTIVE
+        sel = path[:, None] * 4 + arange4  # (W, 4) level-local indices
+        c4 = jnp.take_along_axis(counts_all[:, offs[d] : offs[d + 1]], sel, axis=1)
+        fh4 = u64.U64(
+            jnp.take_along_axis(fh_lv[d].lo, sel, axis=1),
+            jnp.take_along_axis(fh_lv[d].hi, sel, axis=1),
+        )
+        rh4 = u64.U64(
+            jnp.take_along_axis(rh_lv[d].lo, sel, axis=1),
+            jnp.take_along_axis(rh_lv[d].hi, sel, axis=1),
+        )
+        q4 = u64.U64(
+            jnp.take_along_axis(q_lv[d].lo, sel, axis=1),
+            jnp.take_along_axis(q_lv[d].hi, sel, axis=1),
+        )
+
+        viable = c4 >= jnp.maximum(min_cov, 1.0)[:, None]
+        nviable = jnp.sum(viable.astype(jnp.int32), axis=1)
+        code = jnp.argmax(viable, axis=1).astype(jnp.uint8)
+        ci = code.astype(jnp.int32)
+        qn = u64.U64(q4.lo[rows, ci], q4.hi[rows, ci])
+        cyc = _in_hist(st.hist, qn)
+        term = jnp.zeros_like(cyc)
+        if term_all is not None:
+            term = jnp.take_along_axis(
+                term_all[:, offs[d] : offs[d + 1]],
+                (path * 4 + ci)[:, None],
+                axis=1,
+            )[:, 0]
+        full = (st.pos >= wcfg.max_len - 1) | (st.hops >= bound)
+
+        advance = active & (nviable == 1) & ~cyc & ~term & ~full
+        new_status = jnp.where(
+            ~active,
+            st.status,
+            jnp.where(
+                nviable == 0,
+                DEAD,
+                jnp.where(
+                    nviable > 1,
+                    BRANCH,
+                    jnp.where(
+                        cyc, CYCLE,
+                        jnp.where(term, TERM, jnp.where(full, FULL, ACTIVE)),
+                    ),
+                ),
+            ),
+        )
+        st = _apply_advance(st, cfg, wcfg, advance, code, fh4, rh4, q4, counts4=c4)
+        st = st._replace(status=new_status.astype(jnp.int32))
+        path = jnp.where(advance, path * 4 + ci, path)
+    return st
+
+
 @partial(
     jax.jit,
     static_argnames=("cfg", "wcfg", "max_hops", "backend"),
@@ -333,8 +446,26 @@ def walk_superstep(
 
     Lanes freeze with BRANCH status when >1 successors pass min_cov; the
     branch is resolved by resolve_branches().  One device dispatch runs up
-    to ``max_hops`` hops for the whole batch.
+    to ``max_hops`` hops for the whole batch.  With wcfg.spec_hops = D > 1
+    (sharded engines), each round advances up to D hops off one batched
+    tree gather — identical outputs, ~D x fewer collectives.
     """
+    D = wcfg.spec_hops
+    if D > 1 and not wcfg.check_back_branches:
+        assert D < cfg.k, "speculative depth must stay within the k-mer window"
+
+        def outer_spec(i, st):
+            return jax.lax.cond(
+                backend.any_global(st.status == ACTIVE),
+                lambda s: _superstep_round_spec(
+                    s, graph, cfg, wcfg, min_cov, bound, terminators,
+                    backend, D,
+                ),
+                lambda s: s,
+                st,
+            )
+
+        return jax.lax.fori_loop(0, -(-max_hops // D), outer_spec, state)
 
     def body(st: WalkState) -> WalkState:
         active = st.status == ACTIVE
@@ -428,9 +559,8 @@ def _expand_scores(
     shorter than ``lookahead`` scores 0; lookahead == 1 scores count(c)).
     """
     W = pos.shape[0]
-    cand_counts = backend.counts(graph, cfg, q4)  # (W, 4)
     if wcfg.lookahead == 1:
-        return cand_counts
+        return backend.counts(graph, cfg, q4)
 
     # out-char for the candidates' successors: second base of current k-mer
     rows = jnp.arange(W)
@@ -438,9 +568,16 @@ def _expand_scores(
     out1 = jnp.broadcast_to(out1[:, None], (W, 4))
     fh_l1, rh_l1 = nthash.successor_hashes(fh4, out1, cfg.k, rh=rh4)  # (W,4,4)
     q_l1 = _query_hash(cfg, wcfg, fh_l1, rh_l1)
-    c_l1 = backend.counts(graph, cfg, q_l1)  # (W,4,4)
 
     if wcfg.lookahead == 2:
+        # one batched gather for both levels: on a sharded backend every
+        # counts() call is a routed all-to-all round (pure ICI latency), so
+        # the whole lookahead tree rides ONE round
+        qcat = u64.concatenate(
+            [q4, u64.reshape(q_l1, (W, 16))], axis=1
+        )
+        ccat = backend.counts(graph, cfg, qcat)
+        cand_counts, c_l1 = ccat[:, :4], ccat[:, 4:20].reshape(W, 4, 4)
         # path = [cand, n1]: min(count(c), count(n1)), max over n1
         path_min = jnp.minimum(cand_counts[:, :, None], c_l1)
         return jnp.max(path_min, axis=-1)
@@ -449,7 +586,13 @@ def _expand_scores(
     out2 = jnp.broadcast_to(out2[:, None, None], (W, 4, 4))
     fh_l2, rh_l2 = nthash.successor_hashes(fh_l1, out2, cfg.k, rh=rh_l1)  # (W,4,4,4)
     q_l2 = _query_hash(cfg, wcfg, fh_l2, rh_l2)
-    c_l2 = backend.counts(graph, cfg, q_l2)  # (W,4,4,4)
+    qcat = u64.concatenate(
+        [q4, u64.reshape(q_l1, (W, 16)), u64.reshape(q_l2, (W, 64))], axis=1
+    )
+    ccat = backend.counts(graph, cfg, qcat)  # ONE routed round for the tree
+    cand_counts = ccat[:, :4]
+    c_l1 = ccat[:, 4:20].reshape(W, 4, 4)
+    c_l2 = ccat[:, 20:84].reshape(W, 4, 4, 4)
 
     # path = [cand, n1, n2]
     path_min = jnp.minimum(

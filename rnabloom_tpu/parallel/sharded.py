@@ -87,8 +87,13 @@ def make_sharded_graph(
 
 
 def _bucket_capacity(m: int, n: int) -> int:
-    """Per-round bucket size: generous slack, exact for tiny batches."""
-    if m <= 4096:
+    """Per-round bucket size: generous slack, exact for tiny batches.
+
+    Below the threshold C = m: a single round is provably enough and
+    _routed_rounds skips the while_loop + completion-psum machinery
+    entirely — walk-sized requests (up to ~tens of KB per shard, incl.
+    the depth-D speculative trees) always take this path."""
+    if m <= 32768:
         return m
     c = int(math.ceil(m / n * 4))
     return min(m, (c + 127) // 128 * 128)
@@ -800,6 +805,7 @@ def sharded_extend_walks(mesh: Mesh, cfg: GraphConfig, wcfg, mode: str,
     runs under globally-agreed predicates (one program, no host syncs)."""
     from ..graph import traverse
 
+    wcfg = _with_spec_default(wcfg)
     n = mesh.devices.size
     axis = mesh.axis_names[0]
     gspecs = _state_specs(cfg, axis, rpkbf=rpkbf, fpkbf=fpkbf)
@@ -818,14 +824,32 @@ def sharded_extend_walks(mesh: Mesh, cfg: GraphConfig, wcfg, mode: str,
         out_specs=P(axis),
         check_vma=False,
     )
+    # jit the shard_map: an eager shard_map re-traces and re-stages the
+    # whole walk program on EVERY call — measured ~5 s of pure dispatch per
+    # batch on the 8-device CPU proxy, dwarfing the collectives themselves
+    jitted = jax.jit(smapped, donate_argnums=(0,))
 
     def run(wstate, gstate, min_cov, bound):
         W = wstate.pos.shape[0]
         min_cov = jnp.broadcast_to(jnp.asarray(min_cov, jnp.float32), (W,))
         bound = jnp.broadcast_to(jnp.asarray(bound, jnp.int32), (W,))
-        return smapped(wstate, gstate, min_cov, bound)
+        return jitted(wstate, gstate, min_cov, bound)
 
     return run
+
+
+def _with_spec_default(wcfg):
+    """Routed walks pay ~2 collectives per counts() round, so the sharded
+    engines default to depth-2 speculative supersteps
+    (traverse.WalkConfig.spec_hops): one batched 20-node tree gather
+    advances up to 2 hops.  Depth 2 is the measured optimum on the
+    8-device proxy (deeper trees trade 4 x VPU expansion per level for
+    halved rounds and lose); callers that set spec_hops keep their value."""
+    import dataclasses
+
+    if wcfg.spec_hops == 1 and not wcfg.check_back_branches:
+        return dataclasses.replace(wcfg, spec_hops=2)
+    return wcfg
 
 
 def make_group_mesh(r: int, n_devices: Optional[int] = None) -> Mesh:
@@ -881,6 +905,7 @@ def grouped_extend_walks(mesh2: Mesh, cfg: GraphConfig, wcfg, mode: str,
     never synchronize with each other."""
     from ..graph import traverse
 
+    wcfg = _with_spec_default(wcfg)
     r = mesh2.shape["shard"]
     axis = "shard"
     gspecs = _state_specs(cfg, axis, rpkbf=rpkbf, fpkbf=fpkbf)
@@ -900,12 +925,13 @@ def grouped_extend_walks(mesh2: Mesh, cfg: GraphConfig, wcfg, mode: str,
         out_specs=lanes,
         check_vma=False,
     )
+    jitted = jax.jit(smapped, donate_argnums=(0,))  # see sharded_extend_walks
 
     def run(wstate, gstate, min_cov, bound):
         W = wstate.pos.shape[0]
         min_cov = jnp.broadcast_to(jnp.asarray(min_cov, jnp.float32), (W,))
         bound = jnp.broadcast_to(jnp.asarray(bound, jnp.int32), (W,))
-        return smapped(wstate, gstate, min_cov, bound)
+        return jitted(wstate, gstate, min_cov, bound)
 
     return run
 
