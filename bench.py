@@ -495,7 +495,10 @@ def run_group(n, mode="sharded"):
     env.update(
         JAX_PLATFORMS="cpu",
         XLA_FLAGS="--xla_force_host_platform_device_count=1",
-        RNB_MH_LOG2="20", RNB_MH_BATCH="2048", RNB_MH_MODE=mode,
+        # batch 8192 = the shipping pipeline default (PipelineParams
+        # .batch_size); collectives amortize per round, so measuring at
+        # quarter-size batches understated 2-process efficiency
+        RNB_MH_LOG2="20", RNB_MH_BATCH="8192", RNB_MH_MODE=mode,
     )
     # pin each process to its own core so every simulated "host" has
     # constant resources — single-process XLA-CPU already uses all cores,
@@ -516,7 +519,10 @@ def run_group(n, mode="sharded"):
         if p.returncode != 0:
             raise RuntimeError(f"worker rc={p.returncode}: {log[-500:]}")
     d = np.load(out)
-    return float(d["elapsed_s"])
+    cpu = sum(
+        float(np.load(f"{out}.cpu{pid}.npy")) for pid in range(n)
+    )
+    return float(d["elapsed_s"]), cpu
 
 
 # two layouts (parallel/multihost.py): "local" = per-process DP builds +
@@ -527,12 +533,17 @@ out = {}
 for mode in ("local", "sharded"):
     run_group(1, mode)  # compile-warm the persistent cache
     # best-of-2 timed runs: the 2-core proxy is noisy under background load
-    t1 = min(run_group(1, mode), run_group(1, mode))
+    t1, c1 = min(run_group(1, mode), run_group(1, mode))
     run_group(2, mode)
-    t2 = min(run_group(2, mode), run_group(2, mode))
+    t2, c2 = min(run_group(2, mode), run_group(2, mode))
     out[f"multihost_{mode}_t1_s"] = round(t1, 2)
     out[f"multihost_{mode}_t2_s"] = round(t2, 2)
+    # wall-clock efficiency: every core is a simulated host, so the OS and
+    # this harness steal only from the n=2 run — a floor, not the truth
     out[f"multihost_{mode}_efficiency_2proc"] = round(t1 / (2 * t2), 3)
+    # CPU-time efficiency: total CPU seconds to do the same work — the
+    # scheduler-independent algorithmic scaling number
+    out[f"multihost_{mode}_cpu_efficiency_2proc"] = round(c1 / c2, 3)
 out["multihost_efficiency_2proc"] = out["multihost_local_efficiency_2proc"]
 print(json.dumps(out))
 """

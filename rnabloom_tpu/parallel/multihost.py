@@ -122,9 +122,17 @@ def global_batch(mesh, local_codes: np.ndarray):
     return jax.make_array_from_process_local_data(sharding, local_codes)
 
 
+_ANY_JIT: dict = {}
+
+
 def _global_any(mesh, flag: bool):
     """Do ANY processes still have input?  One tiny collective per round so
-    every process schedules the same number of mesh programs."""
+    every process schedules the same number of mesh programs.
+
+    The reducer jit is cached per mesh: a fresh ``jax.jit`` wrapper per
+    call is a new Python cache entry that re-traces and re-stages every
+    round (~0.2 s each on the CPU proxy — it was 90% of the sharded
+    multihost build's wall clock)."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -135,8 +143,11 @@ def _global_any(mesh, flag: bool):
         garr = jax.device_put(local, sh)
     else:
         garr = jax.make_array_from_process_local_data(sh, local)
-    out = jax.jit(jnp.max, out_shardings=NamedSharding(mesh, P()))(garr)
-    return bool(np.asarray(jax.device_get(out)))
+    f = _ANY_JIT.get(mesh)
+    if f is None:
+        f = jax.jit(jnp.max, out_shardings=NamedSharding(mesh, P()))
+        _ANY_JIT[mesh] = f
+    return bool(np.asarray(jax.device_get(f(garr))))
 
 
 def barrier(mesh) -> None:
@@ -230,24 +241,57 @@ def build_graph_multihost(
     pending: List[np.ndarray] = []
     done = False
     salt = 0
+    parse_s = step_s = any_s = pack_s = 0.0
+    # the liveness check reads a scalar back to the host, and a host
+    # readback costs a flat ~25 ms in this runtime even for a completed
+    # cpu array — per-round checks were ~90% of the sharded build's wall
+    # clock on the 2-process proxy.  Checking every CHECK_EVERY rounds
+    # keeps the collective schedule identical across processes (everyone
+    # checks at the same round indices) at the cost of up to
+    # CHECK_EVERY - 1 empty-batch rounds after global exhaustion (NOT
+    # free: a padded step costs the same as a full one, so the interval
+    # stays small).
+    CHECK_EVERY = 4
     while True:
+        tp = time.time()
         while not done and len(pending) < rows_local:
             nxt = next(gen, None)
             if nxt is None:
                 done = True
                 break
             pending.append(nxt)
+        parse_s += time.time() - tp
         have = bool(pending)
-        if not _global_any(mesh, have):
-            break
+        if salt % CHECK_EVERY == 0:
+            ta = time.time()
+            go = _global_any(mesh, have)
+            any_s += time.time() - ta
+            if not go:
+                break
+        ta = time.time()
         batch, _ = sequtils.pack_batch(pending, rows_local, L)
+        gb = global_batch(mesh, np.asarray(batch))
+        pack_s += time.time() - ta
         pending.clear()
-        state = step(state, global_batch(mesh, np.asarray(batch)), salt)
+        ts = time.time()
+        state = step(state, gb, salt)
+        if os.environ.get("RNB_MH_PHASES") == "sync":
+            jax.block_until_ready(state.cbf)  # diagnostic: per-round compute
+        step_s += time.time() - ts
         stats.num_batches += 1
         salt += 1
 
+    ts = time.time()
     jax.block_until_ready(state.cbf)
+    step_s += time.time() - ts
     stats.elapsed_s = time.time() - t0
+    if os.environ.get("RNB_MH_PHASES"):
+        print(
+            f"[mh pid={pid}] parse={parse_s:.2f}s any={any_s:.2f}s "
+            f"pack={pack_s:.2f}s step={step_s:.2f}s "
+            f"batches={stats.num_batches} total={stats.elapsed_s:.2f}s",
+            flush=True,
+        )
     stats.fprs = sharded.sharded_fprs(state, cfg)
     return state, stats
 
@@ -460,11 +504,23 @@ def _worker_main(argv: Sequence[str]) -> None:
     )
     params = s1.Stage1Params(k=25, batch_size=batch, max_seq_len=192)
     mesh = Mesh(np.array(jax.devices()), ("d",))
+
+    # build-loop-only CPU seconds (startup/imports excluded): on a proxy
+    # box with one core per simulated host and none spare, wall clock
+    # includes scheduler steal; the CPU delta is the scaling truth
+    import resource
+
+    def _cpu() -> float:
+        ru = resource.getrusage(resource.RUSAGE_SELF)
+        return ru.ru_utime + ru.ru_stime
+
+    cpu0 = _cpu()
     if os.environ.get("RNB_MH_MODE", "sharded") == "local":
         # local DP builds + one merge collective (graphs that fit one device)
         state, stats = build_graph_local_merge(
             paths, cfg, params, mesh, add_read_pairs=True
         )
+        np.save(f"{out}.cpu{pid}.npy", np.float64(_cpu() - cpu0))
         cbf = np.asarray(jax.device_get(state.cbf))
         rpk = np.asarray(jax.device_get(state.rpkbf))
         if pid == 0:
@@ -476,6 +532,7 @@ def _worker_main(argv: Sequence[str]) -> None:
     state, stats = build_graph_multihost(
         paths, cfg, params, mesh, add_read_pairs=True
     )
+    np.save(f"{out}.cpu{pid}.npy", np.float64(_cpu() - cpu0))
 
     # replicate the global filter arrays so every process can read them
     # (device_get on a partially-addressable array is not allowed)

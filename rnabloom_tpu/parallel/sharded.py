@@ -87,15 +87,25 @@ def make_sharded_graph(
 
 
 def _bucket_capacity(m: int, n: int) -> int:
-    """Per-round bucket size: generous slack, exact for tiny batches.
+    """Per-round bucket size.
 
     Below the threshold C = m: a single round is provably enough and
     _routed_rounds skips the while_loop + completion-psum machinery
     entirely — walk-sized requests (up to ~tens of KB per shard, incl.
-    the depth-D speculative trees) always take this path."""
-    if m <= 32768:
+    the depth-D speculative trees) always take this path.
+
+    Above it (stage-1 build streams), C is the hash-uniform mean per
+    target plus >6 sigma of Poisson slack: the receive side processes
+    n * C slots per shard, so C ~ m/n keeps per-shard routing work at ~m
+    instead of n * m.  Measured on one core, the crossover is n > 4 —
+    below that the second-round cond/psum bookkeeping costs more than the
+    scatter slots it saves, so small meshes keep the provably-single-round
+    C = m.  Heavy-duplicate skew (poly-A, rRNA) overflows a mean-sized
+    bucket at most occasionally and rides the exact round-2 fallback."""
+    if m <= 32768 or n <= 4:
         return m
-    c = int(math.ceil(m / n * 4))
+    mean = m / n
+    c = int(mean + 6.0 * math.sqrt(mean) + 256.0)
     return min(m, (c + 127) // 128 * 128)
 
 
@@ -188,7 +198,7 @@ def _routed_rounds(
     iota_m = jnp.arange(m, dtype=jnp.int32)
     iota_n = jnp.arange(n, dtype=jnp.int32)
 
-    def body(carry):
+    def one_round(carry, cap):
         flat, remaining, outs = carry
         key = jnp.where(remaining, target.astype(jnp.int32), n)
         order = jnp.argsort(key, stable=True)
@@ -196,14 +206,14 @@ def _routed_rounds(
         start = jnp.searchsorted(ts, iota_n)
         # pending rows rank within their target; done rows (ts == n) drop
         rank = iota_m - start[jnp.minimum(ts, n - 1)].astype(jnp.int32)
-        rank = jnp.where(ts < n, rank, C)
-        active = rank < C  # routed this round (sorted order)
-        send = jnp.full((n, C), sentinel, dtype=lidx.dtype)
+        rank = jnp.where(ts < n, rank, cap)
+        active = rank < cap  # routed this round (sorted order)
+        send = jnp.full((n, cap), sentinel, dtype=lidx.dtype)
         send = send.at[ts, rank].set(lidx[order], mode="drop")
         req = _a2a(send, axis)
         preqs = []
         for p in payloads:
-            ps = jnp.zeros((n, C), dtype=p.dtype)
+            ps = jnp.zeros((n, cap), dtype=p.dtype)
             ps = ps.at[ts, rank].set(p[order], mode="drop")
             preqs.append(_a2a(ps, axis))
         flat, resps = local_fn(flat, req, tuple(preqs))
@@ -216,16 +226,21 @@ def _routed_rounds(
         routed = jnp.zeros((m,), bool).at[order].set(active)
         return flat, remaining & ~routed, tuple(new_outs)
 
-    def cond(carry):
-        _, remaining, _ = carry
-        return _psum(jnp.any(remaining).astype(jnp.int32), axis) > 0
-
+    carry = one_round((flat, remaining0, outs0), C)
     if C >= m:
-        # single round is provably enough — skip the loop machinery
-        flat, remaining, outs = body((flat, remaining0, outs0))
-        return flat, outs
-    flat, _, outs = jax.lax.while_loop(cond, body, (flat, remaining0, outs0))
-    return flat, outs
+        # single round is provably complete
+        return carry[0], carry[2]
+
+    # exact 2-round cap: round 1 sized for the hash-uniform mean, round 2
+    # (capacity m = provably complete) runs only when heavy-duplicate skew
+    # overflowed a bucket — under a globally-psum'd predicate so every
+    # shard schedules the same collectives.  Never a lax.while_loop: the
+    # filter tables would become loop carries and get copied every round.
+    need = _psum(jnp.any(carry[1]).astype(jnp.int32), axis) > 0
+    carry = jax.lax.cond(
+        need, lambda c: one_round(c, m), lambda c: c, carry
+    )
+    return carry[0], carry[2]
 
 
 def _global_indices(hashes: U64, size_log2: int, valid, my_shard, local_log2: int, n: int):
