@@ -75,6 +75,7 @@ def correct_batch(
     # collect bridge jobs: (read, left_run_end, right_run_start)
     per_read_runs: List[List[Tuple[int, int]]] = []
     bridge_jobs: List[Tuple[int, int, int]] = []
+    edge_jobs: List[Tuple[int, int, int]] = []  # (read, side 0=L/1=R, bound)
     for b, r in enumerate(reads):
         n = max(len(r) - k + 1, 0)
         solid = (counts[b, :n] >= params.min_kmer_cov) & valid[b, :n]
@@ -84,6 +85,21 @@ def correct_batch(
             gap = runs[j + 1][0] - runs[j][1]
             if 0 < gap <= params.max_gap:
                 bridge_jobs.append((b, j, j + 1))
+        # edge re-walks: anchoring on full min_segment_kmers runs clips
+        # every read's raw ends (~50-150 bp at 7% error), which erased
+        # short transcripts' termini from the whole corrected set.  The
+        # graph knows the true terminus (its coverage ends where the
+        # transcript does), so walk outward from the first/last anchor,
+        # bounded by the raw edge length + indel slack — the windowed
+        # corrector's tip repair (correctLongSequenceWindowed edge
+        # windows, GraphUtils.java:3125-3161), not a raw-bases passthrough
+        if runs:
+            lhead = runs[0][0]
+            if lhead > 0:
+                edge_jobs.append((b, 0, min(lhead + 8, params.max_gap)))
+            rtail = n - runs[-1][1]
+            if rtail > 0:
+                edge_jobs.append((b, 1, min(rtail + 8, params.max_gap)))
 
     # batched bridge walks (left run tail -> right run head anchor)
     bridges: dict = {}
@@ -110,7 +126,41 @@ def correct_batch(
                 # anchor overlaps the seed tail: trim the right run's head
                 bridges[(b, jl)] = ("overlap", k - hit)
 
-    # stitch per read
+    # batched edge walks (left edges walk the reverse complement)
+    edges: dict = {}
+    if edge_jobs:
+        eseeds = np.zeros((len(edge_jobs), k), np.uint8)
+        for i, (b, side, _bound) in enumerate(edge_jobs):
+            runs = per_read_runs[b]
+            if side == 0:
+                s0 = runs[0][0]
+                eseeds[i] = sequtils.revcomp_codes(reads[b][s0 : s0 + k])
+            else:
+                e0 = runs[-1][1]
+                eseeds[i] = reads[b][e0 - 1 : e0 - 1 + k]
+        ebounds = np.zeros((1 << max(6, (len(edge_jobs) - 1).bit_length()),), np.int32)
+        ebounds[: len(edge_jobs)] = [j[2] for j in edge_jobs]
+        ewcfg = traverse.WalkConfig(max_len=k + params.max_gap + 8)
+        est = traverse.make_walks(cfg, ewcfg, eseeds)
+        est = engine.extend_walks(
+            est, graph, cfg, ewcfg, params.min_kmer_cov,
+            jnp.asarray(ebounds), mode="greedy",
+        )
+        ebuf, epos, _ = traverse.harvest(est)
+        for i, (b, side, _bound) in enumerate(edge_jobs):
+            ext = ebuf[i, k : epos[i]]
+            if len(ext):
+                edges[(b, side)] = (
+                    sequtils.revcomp_codes(ext) if side == 0 else ext
+                )
+
+    # stitch per read.  An unbridgeable gap KEEPS the original bases — the
+    # reference's windowed corrector emits the uncorrected window when
+    # repair fails (correctLongSequenceWindowed, GraphUtils.java:3155-3161)
+    # and never splits the read mid-correction; splitting only at gaps
+    # longer than max_gap (previously every failed bridge split the read,
+    # which shattered 7%-error reads into sub-window scraps and collapsed
+    # long-read assembly recall to ~0).
     out: List[List[np.ndarray]] = []
     for b, r in enumerate(reads):
         runs = per_read_runs[b]
@@ -119,18 +169,35 @@ def correct_batch(
             continue
         segments: List[np.ndarray] = []
         cur = [r[runs[0][0] : runs[0][1] + k - 1]]
+        ledge = edges.get((b, 0))
+        if ledge is not None:
+            cur.insert(0, ledge)
         for j in range(len(runs) - 1):
-            nxt = r[runs[j + 1][0] : runs[j + 1][1] + k - 1]
+            e = runs[j][1]
+            s2 = runs[j + 1][0]
+            nxt = r[s2 : runs[j + 1][1] + k - 1]
             fix = bridges.get((b, j))
             if fix is None:
-                segments.append(np.concatenate(cur))
-                cur = [nxt]
+                if s2 - e > params.max_gap:
+                    segments.append(np.concatenate(cur))
+                    cur = [nxt]
+                else:
+                    # keep the original (uncorrected) gap bases
+                    join = e + k - 1  # first base not yet emitted
+                    if s2 >= join:
+                        cur.append(r[join:s2])
+                        cur.append(nxt)
+                    else:
+                        cur.append(nxt[join - s2 :])
             elif fix[0] == "gap":
                 cur.append(fix[1])
                 cur.append(nxt)
             else:  # overlap: drop the duplicated head of the right run
                 trim = fix[1]
                 cur.append(nxt[trim:] if trim < len(nxt) else nxt[:0])
+        redge = edges.get((b, 1))
+        if redge is not None:
+            cur.append(redge)
         segments.append(np.concatenate(cur))
         out.append([s for s in segments if len(s) >= k])
     return out
