@@ -99,3 +99,48 @@ class PartitionedPairState:
 
     def lookup_right(self, h_right: U64) -> jax.Array:
         return filters.bloom_lookup(self.right, self._bcfg(), h_right)
+
+
+class SimpleBloomFilter:
+    """Single-hash, single-bit-array Bloom filter
+    (bloom/SimpleBloomFilter.java): index = hash % size, one lane per key.
+
+    The reference uses it only inside SeqSubsampler internals (where the
+    TPU build's subsamplers use a counting sketch instead); provided for
+    API-for-API completeness.  Host-side numpy — this filter never sits on
+    a device hot path."""
+
+    def __init__(self, size: int):
+        self.size = int(size)
+        self.bits = np.zeros(self.size, bool)
+
+    def _index(self, h: np.ndarray) -> np.ndarray:
+        return (np.asarray(h, np.uint64) % np.uint64(self.size)).astype(np.int64)
+
+    def add(self, h) -> None:
+        self.bits[self._index(h)] = True
+
+    def lookup(self, h) -> np.ndarray:
+        return self.bits[self._index(h)]
+
+    def lookup_and_add(self, h) -> np.ndarray:
+        """getAndSet semantics (SimpleBloomFilter.lookupAndAdd): the
+        pre-insert membership, applied element-wise over a batch in order
+        (duplicates within the batch observe earlier occurrences)."""
+        idx = self._index(h)
+        # first occurrence of each index in the batch reports the PRE-batch
+        # bit; later duplicates report True
+        first = np.zeros(len(idx), bool)
+        _, first_pos, inv = np.unique(idx, return_index=True, return_inverse=True)
+        is_first = np.arange(len(idx)) == first_pos[inv]
+        prev = self.bits[idx]
+        out = np.where(is_first, prev, True)
+        self.bits[idx] = True
+        return out
+
+    def fpr(self) -> float:
+        """Fill ratio (SimpleBloomFilter.getFPR: popcount / size)."""
+        return float(self.bits.sum()) / self.size
+
+    def empty(self) -> None:
+        self.bits[:] = False

@@ -353,3 +353,19 @@ class TestNarrowCounters:
         # stochastic rounding: unbiased but noisy for +1 steps above the
         # quantization knee; accept a generous band around 20
         assert 15 <= got <= 27, got
+
+
+def test_simple_bloom_filter():
+    """SimpleBloomFilter parity (bloom/SimpleBloomFilter.java): single
+    hash, modulo indexing, getAndSet batch semantics, popcount FPR."""
+    from rnabloom_tpu.bloom.variants import SimpleBloomFilter
+
+    bf = SimpleBloomFilter(1 << 12)
+    h = np.array([1, 2, 3, 4096 + 1, 99], np.uint64)  # 4097 % 4096 == 1
+    assert not bf.lookup(h).any()
+    pre = bf.lookup_and_add(np.array([1, 2, 1], np.uint64))
+    assert list(pre) == [False, False, True]  # in-batch duplicate sees the add
+    assert list(bf.lookup(h)) == [True, True, False, True, False]
+    assert 0 < bf.fpr() < 0.01
+    bf.empty()
+    assert not bf.lookup(h).any()
