@@ -402,3 +402,62 @@ if __name__ == "__main__":  # subprocess entry for the isolated depth test
     jax.config.update("jax_platforms", "cpu")
     _blunt_end_depth_confirmation_main()
     print("ok")
+
+
+def test_polya_finder_hand_labeled_fixtures():
+    """Agreement on hand-labeled reads (VERDICT r4 item 8): planted tails
+    with adapters at both ends, noisy tails at the profile identity floor,
+    and decoys — ONT and ILLUMINA profiles (PolyATailFinder.java:70-89)."""
+    rng = np.random.default_rng(99)
+    body = "".join(rng.choice(list("CGT"), size=120))  # A-free body
+    adapter5, adapter3 = "CTGTCGGTGCTG", "GCAATACGTCCG"
+
+    # ONT: clean 30-A tail between body and 3' adapter
+    read = adapter5 + body + "A" * 30 + adapter3
+    codes = sequtils.encode(read)
+    s, e = polya.find_polya_tail(codes, polya.ONT)
+    want_s = len(adapter5) + len(body)
+    assert abs(s - want_s) <= 2 and abs(e - (want_s + 30)) <= len(adapter3), (s, e)
+
+    # ONT: 8%-error tail (1 non-A per ~12) still detected end-to-end
+    tail = list("A" * 36)
+    for p in (5, 17, 29):
+        tail[p] = "G"
+    read = body + "".join(tail)
+    s, e = polya.find_polya_tail(sequtils.encode(read), polya.ONT)
+    assert s <= len(body) + 2 and e >= len(read) - 2, (s, e)
+
+    # ONT: no tail -> None; interior A-run outside the window -> None
+    assert polya.find_polya_tail(sequtils.encode(body), polya.ONT) is None
+    decoy = "A" * 20 + "".join(rng.choice(list("CGT"), size=150))
+    assert polya.find_polya_tail(sequtils.encode(decoy), polya.ONT) is None
+
+    # poly-T head on the antisense strand, with a 5' adapter
+    read = adapter5 + "T" * 25 + sequtils.revcomp(body)
+    head = polya.find_polyt_head(sequtils.encode(read), polya.ONT)
+    assert head is not None
+    assert abs(head[0] - len(adapter5)) <= len(adapter5), head
+    oriented, had, flipped = polya.orient_long_read(sequtils.encode(read))
+    assert had and flipped
+
+    # ILLUMINA profile: short 6-A tail at the very end (seed 4, window 5)
+    read = body + "AAAAAA"
+    s, e = polya.find_polya_tail(sequtils.encode(read), polya.ILLUMINA)
+    assert e == len(read) and s <= len(body) + 1, (s, e)
+    # ...but the ONT profile (seed 12) rejects it
+    assert polya.find_polya_tail(sequtils.encode(read), polya.ONT) is None
+
+
+def test_pas_motifs_full_reference_set():
+    """All 23 PAS hexamers (PolyATailFinder.java:29-34) hit inside the
+    [cleavage-60, cleavage-5) search region and nowhere else."""
+    rng = np.random.default_rng(5)
+    for motif in polya.PAS_MOTIFS:
+        body = "".join(rng.choice(list("CG"), size=80))  # motif-free
+        seq = body[:40] + motif + body[40:66] + "A" * 30
+        tail_start = len(seq) - 30
+        hits = polya.find_pas_positions(seq, tail_start)
+        assert 40 in hits, (motif, hits)
+    # a motif closer than pas_search_end to the cleavage site is excluded
+    seq = "".join(rng.choice(list("CG"), size=60)) + "AATAAA" + "AAA"
+    assert polya.find_pas_positions(seq, len(seq) - 3) == []
