@@ -1,5 +1,6 @@
 """Long-read correction, subsampling, OLC, and the -long pipeline."""
 
+import glob
 import gzip
 import os
 
@@ -430,3 +431,53 @@ def test_paf_to_overlaps_screens_and_dedup(tmp_path):
     # without params, screens are off but dedup still applies
     ov2 = pafmod.paf_to_overlaps(str(path), names, k)
     assert len(ov2) == 3
+
+
+_MM2_FIXTURES = sorted(
+    glob.glob(os.path.join(os.path.dirname(__file__), "golden", "minimap2_fixtures", "*"))
+)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not _MM2_FIXTURES,
+    reason="no vendored minimap2 PAF fixtures committed "
+    "(tools/make_minimap2_paf_fixture.sh generates them on any machine with minimap2)",
+)
+@pytest.mark.parametrize("fixture", _MM2_FIXTURES, ids=os.path.basename)
+def test_internal_overlapper_vs_vendored_minimap2(fixture, tmp_path):
+    """Drive the SAME reads through (a) the internal minimizer overlapper
+    and (b) a vendored real minimap2 ava PAF via -pafin, and assert the
+    internal engine's assembly is equivalent-or-better: it must cover
+    >= 90% of the minimap2-driven assembly's canonical k-mers (and, when
+    the fixture carries a truth.fa, match or beat its truth recall)."""
+    from rnabloom_tpu.assembly import pipeline as pl
+    from rnabloom_tpu.io import fastx
+    from rnabloom_tpu.utils import lrsim
+
+    reads = os.path.join(fixture, "reads.fa.gz")
+    paf = os.path.join(fixture, "minimap2.ava.paf")
+    base = dict(total_mem_bytes=1 << 26, min_transcript_length=200)
+
+    rep_int = pl.assemble_long(
+        [reads], str(tmp_path / "internal"), pl.PipelineParams(**base)
+    )
+    rep_mm2 = pl.assemble_long(
+        [reads], str(tmp_path / "mm2"), pl.PipelineParams(**base, paf_in=paf)
+    )
+    assert rep_int.num_transcripts > 0
+
+    fa = lambda d: [
+        s for _, s in fastx.read_fasta(str(tmp_path / d / "rnabloom.transcripts.fa"))
+    ]
+    internal, mm2 = fa("internal"), fa("mm2")
+    if mm2:
+        cover = lrsim.evaluate(internal, mm2, cov_frac=0.9)
+        assert cover["lr_mean_truth_cov"] >= 0.9, cover
+
+    truth_fa = os.path.join(fixture, "truth.fa")
+    if os.path.exists(truth_fa):
+        truth = [s for _, s in fastx.read_fasta(truth_fa)]
+        m_int = lrsim.evaluate(internal, truth)
+        m_mm2 = lrsim.evaluate(mm2, truth)
+        assert m_int["lr_recall"] >= m_mm2["lr_recall"], (m_int, m_mm2)
